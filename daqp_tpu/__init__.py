@@ -1,0 +1,25 @@
+"""daqp_tpu: a TPU-native dual active-set QP solver framework (JAX/XLA/Pallas).
+
+Capabilities mirror darnstrom/daqp: dense convex QPs with box + general
+two-sided linear constraints, LPs and semidefinite-Hessian QPs via
+proximal-point outer iterations, hierarchical least squares, soft/equality/
+binary constraints, warm starting, and MIQP branch-and-bound — redesigned
+batch-first for TPU: fixed-shape masked workspaces under ``jit``/``vmap``,
+batched GEMM inner ops on the MXU, and mesh-sharded batches via ``shard_map``.
+"""
+from .types import (Settings, Problem, Result, default_settings_f32,
+                    ACTIVE, LOWER, IMMUTABLE, SOFT, BINARY,
+                    EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL, EXIT_INFEASIBLE,
+                    EXIT_CYCLE, EXIT_UNBOUNDED, EXIT_ITERLIMIT,
+                    EXIT_NONCONVEX, EXIT_OVERDETERMINED_INITIAL,
+                    EXIT_TIMELIMIT, FLAG_TO_STATUS)
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy imports keep `import daqp_tpu` light.
+    if name in ("solve", "quadprog", "linprog", "Model", "solve_batch"):
+        from . import api
+        return getattr(api, name)
+    raise AttributeError(name)

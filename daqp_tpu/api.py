@@ -1,0 +1,111 @@
+"""Public API: one-shot solves and the reusable ``Model`` interface.
+
+Mirrors the reference Python binding surface (``interfaces/daqp-python/
+daqp.pyx``: ``daqp.solve``, ``daqp.Model``) and the C API dispatch
+(``daqp_solve``, src/api.c:8-53): proximal path for LPs/semidefinite H,
+branch-and-bound when binary constraints are present, hierarchical QP when
+break points are given, plain LDP otherwise.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import solve as solve_mod
+from .types import (BINARY, Settings, Result, default_settings_f32)
+
+
+def _as_settings(settings, dtype) -> Settings:
+    if settings is None:
+        settings = (default_settings_f32() if dtype == jnp.float32
+                    else Settings())
+    elif isinstance(settings, dict):
+        base = (default_settings_f32() if dtype == jnp.float32
+                else Settings())
+        settings = base._replace(**settings)
+    return settings
+
+
+@functools.partial(jax.jit, static_argnames=("ms", "is_lp", "has_binary",
+                                             "break_points"))
+def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
+               is_lp: bool, has_binary: bool, break_points):
+    if has_binary:
+        from . import bnb
+        return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st)
+    if break_points is not None and len(break_points) > 1:
+        from . import hierarchical
+        return hierarchical.hiqp_core(H, f, A, bupper, blower, sense, ms,
+                                      break_points, st)
+    if is_lp:
+        from . import prox
+        return prox.linprog_core(f, A, bupper, blower, sense, ms, st)
+    from . import prox
+    return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st)
+
+
+def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
+          ms: Optional[int] = None, break_points=None, settings=None,
+          dtype=None):
+    """One-shot solve; returns a ``Result``.
+
+    Matches ``daqp.solve`` in the reference Python binding
+    (interfaces/daqp-python/daqp.pyx:66-219): ``H=None`` solves an LP;
+    binary sense bits trigger branch-and-bound; ``break_points`` triggers
+    hierarchical least squares.  ``bupper``/``blower`` have length
+    ms + A.shape[0]; the first ``ms`` entries bound x[:ms] directly.
+    """
+    bupper = np.atleast_1d(np.asarray(bupper))
+    blower = (np.full_like(bupper, -1e30) if blower is None
+              else np.atleast_1d(np.asarray(blower)))
+    if A is None or np.size(A) == 0:
+        n = np.asarray(H).shape[0] if H is not None else len(bupper)
+        A = np.zeros((0, n))
+    A = np.atleast_2d(np.asarray(A))
+    m = len(bupper)
+    if ms is None:
+        ms = m - A.shape[0]
+    n = A.shape[1] if A.size else (np.asarray(H).shape[0] if H is not None
+                                   else ms)
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    st = _as_settings(settings, dtype)
+    is_lp = H is None
+    sense_arr = (np.zeros(m, np.int32) if sense is None
+                 else np.asarray(sense, np.int32))
+    has_binary = bool(np.any(sense_arr & BINARY))
+    bp = tuple(break_points) if break_points is not None else None
+
+    Hj = None if is_lp else jnp.asarray(H, dtype)
+    fj = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)
+    t0 = time.perf_counter()
+    out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
+                     jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
+                     jnp.asarray(sense_arr), st, int(ms), is_lp, has_binary,
+                     bp)
+    out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
+                                 if hasattr(x, 'block_until_ready') else x,
+                                 out)
+    t1 = time.perf_counter()
+    return Result(x=out.x, lam=out.lam, fval=out.fval, exitflag=out.exitflag,
+                  iterations=out.iterations, soft_slack=out.soft_slack,
+                  nodes=getattr(out, 'nodes', jnp.ones((), jnp.int32)),
+                  solve_time=t1 - t0, setup_time=0.0)
+
+
+def quadprog(H, f, A, bupper, blower, sense=None, ms=None, **kw):
+    """Convex QP one-shot (reference ``daqp_quadprog``, api.c:56-71)."""
+    return solve(H=H, f=f, A=A, bupper=bupper, blower=blower, sense=sense,
+                 ms=ms, **kw)
+
+
+def linprog(f, A, bupper, blower, sense=None, ms=None, **kw):
+    """LP via adaptive proximal smoothing (reference ``quadprog`` with
+    H=NULL -> daqp_prox, api.c:175-177)."""
+    return solve(H=None, f=f, A=A, bupper=bupper, blower=blower, sense=sense,
+                 ms=ms, **kw)

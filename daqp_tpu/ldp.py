@@ -1,0 +1,543 @@
+"""Core dual active-set LDP solver as a single fixed-shape ``lax.while_loop``.
+
+Solves   min ||u||^2  s.t.  dlower <= M u <= dupper   (the least-distance
+problem every QP is reduced to, reference ``src/daqp.c:6-108``) by the dual
+active-set method of Arnstrom/Bemporad/Axehill (IEEE TAC 2022).
+
+TPU-first redesign
+------------------
+The reference maintains a packed LDL' factorization of the working-set Gram
+matrix G = M_W M_W' with rank-one updates (``src/factorization.c``) and
+sequential triangular substitutions (``src/auxiliary.c:313-353``).  Those are
+scalar recurrences — hostile to vmap and to the MXU.  This implementation
+instead maintains the *explicit inverse* E = G^{-1} on a fixed (K, K) buffer:
+
+  * constrained stationary point: lam* = -E @ d_W          (one masked GEMV)
+  * constraint add (bordered inverse): with g = M_W m_i, a = E g and Schur
+    s = m_i'm_i + rho_soft - g'a  (s equals the LDL pivot the reference
+    computes), the update is a single rank-one outer product
+    E += w w'/s with w = [a; -1].
+  * constraint remove at position r: E -= e e'/E_rr with e = E[:, r]
+    (which zeroes row/col r exactly), then compaction.
+  * pricing sweep: mu = M @ u                              (the hot GEMV)
+
+Every iteration primitive is a matvec or outer product over fixed-shape
+buffers, so a ``vmap`` over thousands of QP instances turns them into batched
+GEMMs that ride the MXU; there is no per-iteration retracing and no
+data-dependent shape anywhere.
+
+Because an explicit inverse is permutation-covariant, the reference's
+LDL-ordering machinery (``daqp_pivot_last``, ``reuse_ind`` forward-
+substitution caching) has no analogue here and is intentionally absent; its
+job is done by (a) the division-safety of the deletion update — E_rr >=
+1/G_rr ~ 1 for unit-norm rows — and (b) the same repair/refinement ladder the
+reference uses (refactorization on ill-conditioning or cycling, one step of
+iterative refinement before declaring optimality, ``src/daqp.c:28-85``,
+``src/auxiliary.c:497-588``).
+
+Singularity semantics follow the reference exactly: an add whose Schur
+complement falls below ``sing_tol`` (or that would exceed n + n_soft active
+constraints) enters the working set *flagged singular* as the last entry
+(``factorization.c:92-97``); the null-space direction [-E g; 1] (sign-flipped
+for lower bounds, ``auxiliary.c:356-375``) drives min-ratio removals until
+the blocking constraint leaves, or infeasibility is declared
+(``daqp.c:88-94``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, Settings, DAQP_INF,
+                    EXIT_CYCLE, EXIT_INFEASIBLE, EXIT_ITERLIMIT,
+                    EXIT_OPTIMAL, EXIT_RUNNING, EXIT_SOFT_OPTIMAL)
+
+_BIG = jnp.asarray(DAQP_INF)
+
+
+class LDPState(NamedTuple):
+    """Fixed-shape solver state: the JAX analogue of ``DAQPWorkspace``
+    (reference include/types.h:121-196), carried functionally through
+    ``lax.while_loop`` and batchable with ``vmap``."""
+    # --- LDP problem data (rows of M are unit-normalized; scaling retained) ---
+    M: jnp.ndarray         # (m, n)  all constraint rows in u-space
+    dupper: jnp.ndarray    # (m,)
+    dlower: jnp.ndarray    # (m,)
+    scaling: jnp.ndarray   # (m,)
+    sense: jnp.ndarray     # (m,) int32 bit flags
+    # --- working set ---
+    WS: jnp.ndarray        # (K,) int32 constraint ids (ordered)
+    lam: jnp.ndarray       # (K,)  dual iterate
+    lam_star: jnp.ndarray  # (K,)  constrained stationary point
+    Mw: jnp.ndarray        # (K, n) rows of M for the working set
+    E: jnp.ndarray         # (K, K) inverse Gram (zero outside active block)
+    n_active: jnp.ndarray  # () int32
+    ns_active: jnp.ndarray  # () int32  number of active soft constraints
+    sing: jnp.ndarray      # () bool   last WS entry is singular
+    sing_dir: jnp.ndarray  # (K,)  null-space direction when singular
+    # --- iterates ---
+    u: jnp.ndarray         # (n,)
+    fval: jnp.ndarray      # ()  dual objective (2x the QP objective shift)
+    soft_slack: jnp.ndarray  # ()
+    # --- control ---
+    iterations: jnp.ndarray    # () int32
+    cycle_counter: jnp.ndarray  # () int32
+    tried_repair: jnp.ndarray  # () bool
+    best_fval: jnp.ndarray     # ()
+    status: jnp.ndarray        # () int32 (EXIT_RUNNING while iterating)
+    in_bnb: jnp.ndarray        # () bool  cycling exits instead of repairing
+
+
+def init_state(M, dupper, dlower, sense, scaling=None, K=None,
+               dtype=None) -> LDPState:
+    """Fresh workspace for an LDP with capacity K = n + ns + 1
+    (reference allocation ``src/api.c:288-305``)."""
+    M = jnp.asarray(M, dtype=dtype)
+    m, n = M.shape
+    dtype = M.dtype
+    if K is None:
+        ns = int(jnp.sum((jnp.asarray(sense) & SOFT) > 0)) if sense is not None else 0
+        K = n + ns + 1
+    if scaling is None:
+        scaling = jnp.ones((m,), dtype)
+    if sense is None:
+        sense = jnp.zeros((m,), jnp.int32)
+    z = jnp.zeros((), dtype)
+    return LDPState(
+        M=M,
+        dupper=jnp.asarray(dupper, dtype), dlower=jnp.asarray(dlower, dtype),
+        scaling=jnp.asarray(scaling, dtype),
+        sense=jnp.asarray(sense, jnp.int32),
+        WS=jnp.zeros((K,), jnp.int32), lam=jnp.zeros((K,), dtype),
+        lam_star=jnp.zeros((K,), dtype), Mw=jnp.zeros((K, n), dtype),
+        E=jnp.zeros((K, K), dtype),
+        n_active=jnp.zeros((), jnp.int32), ns_active=jnp.zeros((), jnp.int32),
+        sing=jnp.zeros((), bool), sing_dir=jnp.zeros((K,), dtype),
+        u=jnp.zeros((n,), dtype), fval=z, soft_slack=z,
+        iterations=jnp.zeros((), jnp.int32),
+        cycle_counter=jnp.zeros((), jnp.int32),
+        tried_repair=jnp.zeros((), bool), best_fval=z - 1.0,
+        status=jnp.full((), EXIT_RUNNING, jnp.int32),
+        in_bnb=jnp.zeros((), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# small utilities
+# ---------------------------------------------------------------------------
+def _mask1(K, k):
+    return jnp.arange(K) < k
+
+
+def _mask2(K, k):
+    r = jnp.arange(K)
+    return (r[:, None] < k) & (r[None, :] < k)
+
+
+def _delete_at(arr, pos, axis=0):
+    """Shift entries after ``pos`` down by one along ``axis`` (compaction)."""
+    K = arr.shape[axis]
+    idx = jnp.arange(K)
+    src = jnp.where(idx >= pos, jnp.minimum(idx + 1, K - 1), idx)
+    return jnp.take(arr, src, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# working-set / inverse-Gram maintenance
+# ---------------------------------------------------------------------------
+def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
+    """Bordered-inverse constraint addition.
+
+    Mirrors ``daqp_add_constraint`` + ``daqp_update_LDL_add``
+    (auxiliary.c:27-44, factorization.c:7-98); the Schur complement computed
+    here equals the new LDL pivot D[k] for the current ordering.
+    """
+    K = state.E.shape[0]
+    n = state.M.shape[1]
+    k = state.n_active
+    mask = _mask1(K, k)
+    mi = state.M[idx]
+    is_soft = (state.sense[idx] & SOFT) > 0
+    dii = mi @ mi + jnp.where(is_soft, jnp.asarray(st.rho_soft, mi.dtype), 0)
+    g = jnp.where(mask, state.Mw @ mi, 0)
+    alpha = state.E @ g
+    s_val = dii - g @ alpha
+    ns_new = state.ns_active + is_soft.astype(jnp.int32)
+    singular = (s_val < st.sing_tol) | (k >= n + ns_new)
+
+    sense = state.sense.at[idx].set(state.sense[idx] | ACTIVE)
+    base = state._replace(
+        WS=state.WS.at[k].set(idx.astype(jnp.int32)),
+        lam=state.lam.at[k].set(jnp.asarray(lam_val, state.lam.dtype)),
+        Mw=state.Mw.at[k].set(mi),
+        sense=sense, n_active=k + 1, ns_active=ns_new)
+
+    def sing_branch(s):
+        sdir = jnp.where(mask, -alpha, 0).at[k].set(1.0)
+        is_lower = (sense[idx] & LOWER) > 0  # flip for descent direction
+        sdir = jnp.where(is_lower, -sdir, sdir)
+        return s._replace(sing=jnp.ones((), bool), sing_dir=sdir)
+
+    def ok_branch(s):
+        w = jnp.where(mask, alpha, 0).at[k].set(-1.0)
+        return s._replace(E=s.E + jnp.outer(w, w) / s_val,
+                          sing=jnp.zeros((), bool))
+
+    return lax.cond(singular, sing_branch, ok_branch, base)
+
+
+def remove_constraint(state: LDPState, rm_pos, st: Settings) -> LDPState:
+    """Deletion-inverse constraint removal + compaction.
+
+    Mirrors ``daqp_remove_constraint`` + ``daqp_update_LDL_remove``
+    (auxiliary.c:3-26, factorization.c:99-138).  If a position *before* a
+    singular last entry is removed, that entry's border is re-added — its
+    Schur complement may have become positive (the Gill C1 downdate performs
+    the equivalent pivot refresh in the reference).
+    """
+    K = state.E.shape[0]
+    k = state.n_active
+    idx = state.WS[rm_pos]
+    was_sing = state.sing
+    rm_soft = ((state.sense[idx] & SOFT) > 0).astype(jnp.int32)
+    sense = state.sense.at[idx].set(state.sense[idx] & ~ACTIVE)
+
+    k_ns = k - was_sing.astype(jnp.int32)  # entries covered by E
+
+    def del_E(E):
+        e = E[:, rm_pos]
+        # Division is safe: E_rr >= 1/G_rr and G_rr ~ 1 for unit-norm rows.
+        E = E - jnp.outer(e, e) / e[rm_pos]
+        return _delete_at(_delete_at(E, rm_pos, axis=0), rm_pos, axis=1)
+
+    E = lax.cond(rm_pos < k_ns, del_E, lambda E: E, state.E)
+
+    k2 = k - 1
+    readd = was_sing & (rm_pos < k2)
+    E = E * _mask2(K, k2 - readd.astype(jnp.int32))
+
+    state2 = state._replace(
+        E=E, sense=sense,
+        WS=_delete_at(state.WS, rm_pos), lam=_delete_at(state.lam, rm_pos),
+        Mw=_delete_at(state.Mw, rm_pos, axis=0),
+        n_active=k2, ns_active=state.ns_active - rm_soft,
+        sing=jnp.zeros((), bool))
+
+    def do_readd(s):
+        pos = s.n_active - 1
+        idx2 = s.WS[pos]
+        lam2 = s.lam[pos]
+        soft2 = ((s.sense[idx2] & SOFT) > 0).astype(jnp.int32)
+        s = s._replace(n_active=pos, ns_active=s.ns_active - soft2)
+        return add_constraint(s, idx2, lam2, st)
+
+    return lax.cond(readd, do_readd, lambda s: s, state2)
+
+
+def refactor(state: LDPState, st: Settings) -> LDPState:
+    """Rebuild E from scratch for the current working set (repair path:
+    fresh factorization, ``src/daqp.c:32-46`` / ``:66-85``)."""
+    K = state.E.shape[0]
+    ws, lam, k = state.WS, state.lam, state.n_active
+    s0 = state._replace(n_active=jnp.zeros((), jnp.int32),
+                        ns_active=jnp.zeros((), jnp.int32),
+                        E=jnp.zeros_like(state.E),
+                        sing=jnp.zeros((), bool))
+
+    def body(i, s):
+        return lax.cond((i < k) & ~s.sing,
+                        lambda s: add_constraint(s, ws[i], lam[i], st),
+                        lambda s: s, s)
+
+    return lax.fori_loop(0, K, body, s0)
+
+
+# ---------------------------------------------------------------------------
+# iteration primitives
+# ---------------------------------------------------------------------------
+def compute_csp(state: LDPState) -> LDPState:
+    """lam* = -E d_W: the constrained stationary point as one masked GEMV
+    (replaces the substitution solve ``daqp_compute_CSP``,
+    auxiliary.c:313-353)."""
+    K = state.E.shape[0]
+    mask = _mask1(K, state.n_active)
+    sw = state.sense[state.WS]
+    d = jnp.where((sw & LOWER) > 0, state.dlower[state.WS],
+                  state.dupper[state.WS])
+    d = jnp.where(mask, d, 0)
+    return state._replace(lam_star=-(state.E @ d))
+
+
+def remove_blocking(state: LDPState, st: Settings
+                    ) -> Tuple[jnp.ndarray, LDPState]:
+    """Exact min-ratio line search over dual-infeasible active constraints;
+    removes the blocker (``daqp_remove_blocking``, auxiliary.c:276-311)."""
+    K = state.E.shape[0]
+    mask = _mask1(K, state.n_active)
+    sw = state.sense[state.WS]
+    immut = (sw & IMMUTABLE) > 0
+    is_lower = (sw & LOWER) > 0
+    direction = jnp.where(state.sing, state.sing_dir, state.lam_star)
+    infeas = jnp.where(is_lower, direction > st.dual_tol,
+                       direction < -st.dual_tol)
+    elig = mask & ~immut & infeas
+    delta = jnp.where(state.sing, state.sing_dir, state.lam_star - state.lam)
+    cand = -state.lam / delta
+    cand = jnp.where(elig & jnp.isfinite(cand), cand, _BIG)
+    rm_pos = jnp.argmin(cand).astype(jnp.int32)
+    found = cand[rm_pos] < _BIG
+
+    def do_remove(s):
+        alpha = cand[rm_pos]
+        lam_new = jnp.where(mask, s.lam + alpha * delta, s.lam)
+        return remove_constraint(s._replace(lam=lam_new), rm_pos, st)
+
+    return found, lax.cond(found, do_remove, lambda s: s, state)
+
+
+def compute_primal_and_fval(state: LDPState, st: Settings) -> LDPState:
+    """u = -M_W' lam*; fval = ||u||^2 + rho_soft * sum(lam*_soft^2)
+    (``daqp_compute_primal_and_fval``, auxiliary.c:46-87)."""
+    K = state.E.shape[0]
+    mask = _mask1(K, state.n_active)
+    ls = jnp.where(mask, state.lam_star, 0)
+    u = -(state.Mw.T @ ls)
+    soft = mask & ((state.sense[state.WS] & SOFT) > 0)
+    soft_slack = st.rho_soft * jnp.sum(jnp.where(soft, state.lam_star ** 2, 0))
+    fval = soft_slack + u @ u
+    return state._replace(u=u, fval=fval, soft_slack=soft_slack)
+
+
+def add_infeasible(state: LDPState, st: Settings
+                   ) -> Tuple[jnp.ndarray, LDPState]:
+    """Dantzig pricing: one GEMV ``mu = M u`` over all constraints, then add
+    the most violated (``daqp_add_infeasible`` + ``daqp_compute_Mu``,
+    auxiliary.c:88-197)."""
+    mu = state.M @ state.u
+    bound = -st.primal_tol * state.scaling
+    viol_up = state.dupper - mu
+    viol_lo = mu - state.dlower
+    blocked = (state.sense & (ACTIVE | IMMUTABLE)) > 0
+    up_ok = (viol_up < bound) & ~blocked
+    lo_ok = (viol_lo < bound) & ~blocked & ~up_ok
+    cand = jnp.where(up_ok, viol_up, jnp.where(lo_ok, viol_lo, _BIG))
+    j = jnp.argmin(cand).astype(jnp.int32)
+    found = cand[j] < 0
+    isupper = up_ok[j]
+
+    def do_add(s):
+        K = s.E.shape[0]
+        mask = _mask1(K, s.n_active)
+        sj = jnp.where(isupper, s.sense[j] & ~LOWER, s.sense[j] | LOWER)
+        s = s._replace(sense=s.sense.at[j].set(sj),
+                       lam=jnp.where(mask, s.lam_star, s.lam))
+        return add_constraint(s, j, jnp.where(isupper, 1.0, -1.0), st)
+
+    return found, lax.cond(found, do_add, lambda s: s, state)
+
+
+def refine_active(state: LDPState, st: Settings) -> LDPState:
+    """One step of iterative refinement of (lam*, u) using E
+    (``daqp_refine_active``, auxiliary.c:497-588)."""
+    K = state.E.shape[0]
+    mask = _mask1(K, state.n_active)
+    sw = state.sense[state.WS]
+    d = jnp.where((sw & LOWER) > 0, state.dlower[state.WS],
+                  state.dupper[state.WS])
+    r = state.Mw @ state.u - d
+    soft = (sw & SOFT) > 0
+    r = r - jnp.where(soft, st.rho_soft * state.lam_star, 0)
+    r = jnp.where(mask, r, 0)
+    dlam = state.E @ r
+    lam_star = state.lam_star + jnp.where(mask, dlam, 0)
+    u = state.u - state.Mw.T @ jnp.where(mask, dlam, 0)
+    return state._replace(lam_star=lam_star, u=u,
+                          fval=state.soft_slack + u @ u)
+
+
+# ---------------------------------------------------------------------------
+# main loop
+# ---------------------------------------------------------------------------
+def _max_diag_E(state):
+    K = state.E.shape[0]
+    mask = _mask1(K, state.n_active)
+    return jnp.max(jnp.where(mask, jnp.diagonal(state.E), 0))
+
+
+def _declare_optimal(state, st):
+    flag = jnp.where(state.soft_slack > st.primal_tol,
+                     EXIT_SOFT_OPTIMAL, EXIT_OPTIMAL)
+    return state._replace(status=flag.astype(jnp.int32))
+
+
+def _optimal_path(state, st):
+    """No infeasible constraint remains: repair / refine / declare optimal
+    (``src/daqp.c:28-63``)."""
+    k = state.n_active
+    max_diag = _max_diag_E(state)
+    do_repair = ((k > 2) & ~state.tried_repair
+                 & (max_diag * st.refactor_tol > 1.0))
+
+    def repair(s):
+        # Correct LOWER/UPPER from the sign of lam (daqp.c:37-42), refactor.
+        K = s.E.shape[0]
+        m = s.M.shape[0]
+        mask = _mask1(K, s.n_active)
+        sw = s.sense[s.WS]
+        sw_new = jnp.where(s.lam >= 0, sw & ~LOWER, sw | LOWER)
+        # Masked (stale) WS entries scatter out-of-bounds and are dropped,
+        # so they cannot clobber live sense updates.
+        idx = jnp.where(mask, s.WS, m)
+        sense = s.sense.at[idx].set(sw_new.astype(jnp.int32), mode='drop')
+        s = refactor(s._replace(sense=sense), st)
+        return s._replace(tried_repair=jnp.ones((), bool))
+
+    def no_repair(s):
+        do_refine = (k > 0) & (max_diag * st.pivot_tol > 1.0)
+
+        def refine_then(s):
+            s = refine_active(s, st)
+            added, s = add_infeasible(s, st)
+            return lax.cond(added, lambda q: q,
+                            lambda q: _declare_optimal(q, st), s)
+
+        return lax.cond(do_refine, refine_then,
+                        lambda q: _declare_optimal(q, st), s)
+
+    return lax.cond(do_repair, repair, no_repair, state)
+
+
+def _cycle_guard(state, st):
+    """Progress tracking with one-shot refactorization repair
+    (``src/daqp.c:66-85``)."""
+    no_progress = state.fval - state.best_fval < st.progress_tol
+    cc = jnp.where(no_progress, state.cycle_counter + 1, 0)
+    best = jnp.where(no_progress, state.best_fval, state.fval)
+    trip = no_progress & (cc > st.cycle_tol)
+    give_up = trip & (state.tried_repair | state.in_bnb)
+
+    def cycle_exit(s):
+        return s._replace(status=jnp.full((), EXIT_CYCLE, jnp.int32))
+
+    def repair(s):
+        s = refactor(s, st)
+        return s._replace(tried_repair=jnp.ones((), bool),
+                          cycle_counter=jnp.zeros((), jnp.int32),
+                          best_fval=jnp.asarray(-1.0, s.fval.dtype))
+
+    def keep(s):
+        return s._replace(cycle_counter=cc.astype(jnp.int32), best_fval=best)
+
+    return lax.cond(give_up, cycle_exit,
+                    lambda s: lax.cond(trip, repair, keep, s), state)
+
+
+def _nonsingular_step(state, st):
+    state = compute_csp(state)
+    removed, state = remove_blocking(state, st)
+
+    def after_blocking(s):
+        s = compute_primal_and_fval(s, st)
+        infeas = s.fval > 2.0 * st.fval_bound  # dual objective bound cut
+
+        def feasible(s):
+            added, s = add_infeasible(s, st)
+            return lax.cond(added, lambda q: _cycle_guard(q, st),
+                            lambda q: _optimal_path(q, st), s)
+
+        return lax.cond(
+            infeas,
+            lambda q: q._replace(
+                status=jnp.full((), EXIT_INFEASIBLE, jnp.int32)),
+            feasible, s)
+
+    return lax.cond(removed, lambda s: s, after_blocking, state)
+
+
+def _singular_step(state, st):
+    removed, state = remove_blocking(state, st)
+    return lax.cond(
+        removed, lambda s: s,
+        lambda s: s._replace(status=jnp.full((), EXIT_INFEASIBLE, jnp.int32)),
+        state)
+
+
+def ldp_solve(state: LDPState, st: Settings) -> LDPState:
+    """Run the active-set loop to termination (``daqp_ldp``, daqp.c:6-108)."""
+    iter_limit = jnp.asarray(st.iter_limit, jnp.int32)
+
+    def cond(s):
+        return (s.status == EXIT_RUNNING) & (s.iterations < iter_limit)
+
+    def body(s):
+        s = lax.cond(s.sing, lambda q: _singular_step(q, st),
+                     lambda q: _nonsingular_step(q, st), s)
+        return s._replace(iterations=s.iterations + 1)
+
+    state = state._replace(status=jnp.full((), EXIT_RUNNING, jnp.int32),
+                           iterations=jnp.zeros((), jnp.int32))
+    state = lax.while_loop(cond, body, state)
+    state = state._replace(status=jnp.where(
+        state.status == EXIT_RUNNING, EXIT_ITERLIMIT, state.status))
+    return state
+
+
+def activate_constraints(state: LDPState, st: Settings
+                         ) -> Tuple[jnp.ndarray, LDPState]:
+    """Activate every sense-ACTIVE constraint (warm/equality start),
+    handling singular activations (``daqp_activate_constraints``,
+    auxiliary.c:398-478).
+
+    Returns (flag, state): flag < 0 signals EXIT_OVERDETERMINED_INITIAL.
+    Mirrors the reference's redundant-equality consistency check: a linearly
+    dependent equality whose right-hand side is consistent is dropped and
+    ignored; an inconsistent one is an error.
+    """
+    from .types import EXIT_OVERDETERMINED_INITIAL
+    m = state.M.shape[0]
+
+    def body(i, carry):
+        flag, s = carry
+
+        def try_add(carry):
+            flag, s = carry
+            is_lower = (s.sense[i] & LOWER) > 0
+            s = add_constraint(s, jnp.asarray(i, jnp.int32),
+                               jnp.where(is_lower, -1.0, 1.0), st)
+
+            def on_sing(carry):
+                flag, s = carry
+                last_pos = s.n_active - 1
+                last = s.WS[last_pos]
+                immut = (s.sense[last] & IMMUTABLE) > 0
+                # Consistency residual of the dependent constraint set
+                K = s.E.shape[0]
+                mask = _mask1(K, s.n_active)
+                sw = s.sense[s.WS]
+                bnd = jnp.where((sw & LOWER) > 0, s.dlower[s.WS],
+                                s.dupper[s.WS])
+                terms = jnp.where(mask, s.sing_dir * bnd, 0)
+                resid = jnp.sum(terms)
+                scale = 1.0 + jnp.sum(jnp.abs(terms))
+                consistent = jnp.abs(resid) <= st.primal_tol * scale
+                # Drop the dependent constraint
+                soft_last = ((s.sense[last] & SOFT) > 0).astype(jnp.int32)
+                s = s._replace(
+                    sense=s.sense.at[last].set(s.sense[last] & ~ACTIVE),
+                    n_active=last_pos, ns_active=s.ns_active - soft_last,
+                    sing=jnp.zeros((), bool))
+                new_flag = jnp.where(immut & ~consistent,
+                                     EXIT_OVERDETERMINED_INITIAL, flag)
+                return new_flag, s
+
+            return lax.cond(s.sing, on_sing, lambda c: c, (flag, s))
+
+        want = (s.sense[i] & ACTIVE) > 0
+        return lax.cond(want & (flag >= 0), try_add, lambda c: c, (flag, s))
+
+    flag0 = jnp.ones((), jnp.int32)
+    flag, state = lax.fori_loop(0, m, body, (flag0, state))
+    return flag, state

@@ -1,0 +1,264 @@
+"""Proximal-point outer loop: semidefinite-H QPs and LPs.
+
+Reference: ``src/daqp_prox.c``.  Three regimes (daqp_prox.c:21-189):
+  (a) positive-definite H: the inner LDP equals the original QP, one solve;
+  (b) singular H: semi-proximal (diagonal H — perturb only singular
+      directions via ``prox_mask``) or full shift (dense H), iterated to a
+      fixed point ||x - x_old||_inf < eta/eps with x1.5 over-relaxation when
+      the active set froze;
+  (c) LP (no H): adaptive-eps smoothing (x10 on stall, x0.9 otherwise, cap
+      1e3), fixed-point tolerance eta*eps, a gradient ray-search step to the
+      first blocking constraint when the iterate is not at a vertex
+      (gradient_step, daqp_prox.c:201-271), dual rescale lam/eps at exit.
+
+The inner workspace (working set + inverse Gram) is carried warm across
+outer iterations, exactly as the reference carries L/D and the working set.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import ldp as ldp_mod
+from . import transform
+from . import solve as solve_mod
+from .types import (ACTIVE, IMMUTABLE, LOWER, Settings, DAQP_INF,
+                    EXIT_ITERLIMIT, EXIT_OPTIMAL, EXIT_RUNNING,
+                    EXIT_UNBOUNDED)
+
+_DEFAULT_DUAL_TOL = 1e-12
+_AUTO_ETA_CAP = 1e-6
+
+
+def _auto_eta(st: Settings):
+    """eta < 0 selects an automatic tolerance (daqp_prox.c:43-48)."""
+    eta = jnp.asarray(st.eta_prox)
+    auto = jnp.minimum(jnp.asarray(_AUTO_ETA_CAP),
+                       jnp.where(st.dual_tol != _DEFAULT_DUAL_TOL,
+                                 0.1 * st.dual_tol, _AUTO_ETA_CAP))
+    return jnp.where(eta < 0, auto, eta)
+
+
+class _Carry(NamedTuple):
+    state: ldp_mod.LDPState
+    v: jnp.ndarray
+    x: jnp.ndarray
+    xold: jnp.ndarray
+    eps: jnp.ndarray
+    center_relaxed: jnp.ndarray
+    total_iter: jnp.ndarray
+    status: jnp.ndarray     # outer status; EXIT_RUNNING while iterating
+
+
+def _reset_for_resolve(state, dupper, dlower):
+    return state._replace(
+        dupper=dupper, dlower=dlower,
+        status=jnp.asarray(EXIT_RUNNING, jnp.int32),
+        iterations=jnp.zeros((), jnp.int32),
+        tried_repair=jnp.zeros((), bool),
+        cycle_counter=jnp.zeros((), jnp.int32),
+        best_fval=jnp.asarray(-1.0, state.fval.dtype))
+
+
+def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
+                         st: Settings, K=None):
+    """QP dispatch: single LDP solve for PD H, proximal outer loop otherwise
+    (``daqp_solve`` n_prox dispatch, api.c:16-31 + daqp_prox.c)."""
+    n = A.shape[1] if A.size else H.shape[0]
+    if K is None:
+        K = n + 1
+    dtype = H.dtype
+    ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st)
+    bu = jnp.asarray(bupper, dtype)
+    bl = jnp.asarray(blower, dtype)
+    f_ = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)
+
+    all_pd = ldpd.n_prox == 0
+    eps = jnp.where(all_pd, 0.0, ldpd.eps_used).astype(dtype)
+    eta = _auto_eta(st).astype(dtype)
+    mask = ldpd.prox_mask
+
+    state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
+                               ldpd.scaling, K=K)
+    act_flag, state = ldp_mod.activate_constraints(state, st)
+
+    # Unconstrained shortcut only for plain PD QPs (utils.c:533).
+    unc_ok, x_unc = transform.check_unconstrained(
+        ldpd._replace(sense=state.sense), st)
+    unc_ok = unc_ok & all_pd
+
+    def outer_body(c: _Carry):
+        v = ldpd.Rinv.T @ (f_ - eps * jnp.where(mask, c.x, 0))
+        Mv = ldpd.M @ v
+        du = bu * ldpd.scaling + Mv
+        dl = bl * ldpd.scaling + Mv
+        s = _reset_for_resolve(c.state, du, dl)
+        s = ldp_mod.ldp_solve(s, st)
+        x = ldpd.Rinv @ (s.u - v)
+        total = c.total_iter + s.iterations
+
+        inner_failed = s.status < 0
+        tol_stat = eta / jnp.maximum(eps, 1e-30)
+        max_diff = jnp.max(jnp.abs(x - c.x))
+        converged = max_diff < tol_stat
+
+        # Over-relaxation when the active set froze (daqp_prox.c:146-154)
+        relax = (~all_pd) & (s.iterations == 1) & (~converged)
+        x_next = jnp.where(relax, c.x + 1.5 * (x - c.x), x)
+        center_next = relax
+
+        conv_confirmed = converged & (~c.center_relaxed)
+        status = jnp.where(
+            inner_failed, s.status,
+            jnp.where(all_pd | (eps == 0), s.status,
+                      jnp.where(conv_confirmed, EXIT_OPTIMAL, EXIT_RUNNING)))
+        status = jnp.where((status == EXIT_RUNNING)
+                           & (total >= st.iter_limit),
+                           EXIT_ITERLIMIT, status)
+        return _Carry(state=s, v=v, x=x_next, xold=c.x, eps=eps,
+                      center_relaxed=center_next, total_iter=total,
+                      status=status.astype(jnp.int32))
+
+    def outer_cond(c: _Carry):
+        return c.status == EXIT_RUNNING
+
+    z = jnp.zeros((n,), dtype)
+    init_status = jnp.where(
+        ldpd.error < 0, ldpd.error,
+        jnp.where(act_flag < 0, act_flag,
+                  jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING)))
+    c0 = _Carry(state=state, v=ldpd.v, x=z, xold=z,
+                eps=eps, center_relaxed=jnp.zeros((), bool),
+                total_iter=jnp.zeros((), jnp.int32),
+                status=init_status.astype(jnp.int32))
+    c = lax.while_loop(outer_cond, outer_body, c0)
+
+    x = jnp.where(unc_ok, x_unc, c.x)
+    lam = solve_mod.extract_duals(c.state)
+    fval = 0.5 * x @ (H @ x) + f_ @ x
+    return solve_mod.SolveOut(
+        x=x, lam=lam, fval=fval, exitflag=c.status,
+        iterations=jnp.maximum(c.total_iter, 1).astype(jnp.int32),
+        soft_slack=c.state.soft_slack, state=c.state)
+
+
+# ---------------------------------------------------------------------------
+# LP path
+# ---------------------------------------------------------------------------
+def _gradient_step(state, x, xold, bu, bl, st: Settings):
+    """Ray search x + alpha (x - xold) to the first blocking constraint,
+    which is activated (gradient_step, daqp_prox.c:201-271).
+
+    Returns (found, state, x): found=False signals unboundedness.
+    """
+    M, scaling = state.M, state.scaling
+    delta = x - xold
+    ax = (M @ x) / scaling          # original-row values A_j x (LP: R = I)
+    ds = (M @ delta) / scaling
+    skip = (state.sense & (ACTIVE | IMMUTABLE)) > 0
+    up_ok = (~skip) & (ds > 0) & (bu < DAQP_INF)
+    lo_ok = (~skip) & (ds < 0) & (bl > -DAQP_INF)
+    alpha_up = jnp.where(up_ok, (bu - ax) / jnp.where(up_ok, ds, 1.0),
+                         DAQP_INF)
+    alpha_lo = jnp.where(lo_ok, (bl - ax) / jnp.where(lo_ok, ds, 1.0),
+                         DAQP_INF)
+    cand = jnp.minimum(alpha_up, alpha_lo)
+    j = jnp.argmin(cand).astype(jnp.int32)
+    found = cand[j] < DAQP_INF
+    is_lower = alpha_lo[j] < alpha_up[j]
+
+    def do(args):
+        s, x = args
+        alpha = cand[j]
+        x = x + alpha * delta
+        sj = jnp.where(is_lower, s.sense[j] | LOWER, s.sense[j] & ~LOWER)
+        s = s._replace(sense=s.sense.at[j].set(sj))
+        s = ldp_mod.add_constraint(s, j, jnp.where(is_lower, -1.0, 1.0), st)
+        return s, x
+
+    state, x = lax.cond(found, do, lambda a: a, (state, x))
+    return found, state, x
+
+
+def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
+    """LP via adaptive proximal smoothing (daqp_prox.c LP regime; LP mode is
+    selected in the reference by n_prox = n at api.c:175-177)."""
+    A = jnp.atleast_2d(A)
+    n = A.shape[1]
+    dtype = A.dtype
+    if K is None:
+        K = n + 1
+    ldpd = transform.build_ldp(None, None, A, bupper, blower, sense, ms, st)
+    bu = jnp.asarray(bupper, dtype)
+    bl = jnp.asarray(blower, dtype)
+    f_ = jnp.asarray(f, dtype)
+    eta = _auto_eta(st).astype(dtype)
+
+    state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
+                               ldpd.scaling, K=K)
+    act_flag, state = ldp_mod.activate_constraints(state, st)
+
+    def outer_body(c: _Carry):
+        # Adaptive eps (daqp_prox.c:55-63): first iteration keeps eps = 1.
+        stalled = c.state.iterations == 1
+        eps = jnp.where(c.total_iter > 0,
+                        jnp.minimum(c.eps * jnp.where(stalled, 10.0, 0.9),
+                                    1e3),
+                        c.eps)
+        v = f_ * eps - c.x
+        Mv = ldpd.M @ v
+        du = bu * ldpd.scaling + Mv
+        dl = bl * ldpd.scaling + Mv
+        s = _reset_for_resolve(c.state, du, dl)
+        s = ldp_mod.ldp_solve(s, st)
+        x = s.u - v                      # R = I for LPs (daqp.c:115-119)
+        total = c.total_iter + s.iterations
+
+        inner_failed = s.status < 0
+        tol_stat = eta * eps
+        converged = jnp.max(jnp.abs(x - c.x)) < tol_stat
+
+        # Not at a vertex after a 1-iteration solve: take a gradient step
+        need_grad = (s.iterations == 1) & (s.n_active != n) & (~converged)
+
+        def grad(args):
+            s, x = args
+            found, s, x = _gradient_step(s, x, c.x, bu, bl, st)
+            return s, x, jnp.where(found, EXIT_RUNNING, EXIT_UNBOUNDED)
+
+        def no_grad(args):
+            s, x = args
+            return s, x, jnp.asarray(EXIT_RUNNING, jnp.int32)
+
+        s, x, grad_status = lax.cond(need_grad, grad, no_grad, (s, x))
+
+        status = jnp.where(
+            inner_failed, s.status,
+            jnp.where(converged, EXIT_OPTIMAL, grad_status))
+        status = jnp.where((status == EXIT_RUNNING)
+                           & (total >= st.iter_limit),
+                           EXIT_ITERLIMIT, status)
+        return _Carry(state=s, v=v, x=x, xold=c.x, eps=eps,
+                      center_relaxed=jnp.zeros((), bool), total_iter=total,
+                      status=status.astype(jnp.int32))
+
+    z = jnp.zeros((n,), dtype)
+    init_status = jnp.where(ldpd.error < 0, ldpd.error,
+                            jnp.where(act_flag < 0, act_flag, EXIT_RUNNING))
+    c0 = _Carry(state=state, v=ldpd.v, x=z, xold=z,
+                eps=jnp.ones((), dtype),
+                center_relaxed=jnp.zeros((), bool),
+                total_iter=jnp.zeros((), jnp.int32),
+                status=init_status.astype(jnp.int32))
+    c = lax.while_loop(lambda c: c.status == EXIT_RUNNING, outer_body, c0)
+
+    # Rescale duals by 1/eps (daqp_prox.c:171-173)
+    lam = solve_mod.extract_duals(c.state) / jnp.maximum(c.eps, 1e-30)
+    fval = f_ @ c.x
+    return solve_mod.SolveOut(
+        x=c.x, lam=lam, fval=fval, exitflag=c.status,
+        iterations=jnp.maximum(c.total_iter, 1).astype(jnp.int32),
+        soft_slack=c.state.soft_slack, state=c.state)
