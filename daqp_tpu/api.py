@@ -31,13 +31,14 @@ def _as_settings(settings, dtype) -> Settings:
     return settings
 
 
-@functools.partial(jax.jit, static_argnames=("ms", "is_lp", "has_binary",
+@functools.partial(jax.jit, static_argnames=("ms", "is_lp", "bin_ids",
                                              "break_points"))
 def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
-               is_lp: bool, has_binary: bool, break_points):
-    if has_binary:
+               is_lp: bool, bin_ids: tuple, break_points):
+    if bin_ids:
         from . import bnb
-        return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st)
+        return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
+                            bin_ids=bin_ids)
     if break_points is not None and len(break_points) > 1:
         from . import hierarchical
         return hierarchical.hiqp_core(H, f, A, bupper, blower, sense, ms,
@@ -78,7 +79,7 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     is_lp = H is None
     sense_arr = (np.zeros(m, np.int32) if sense is None
                  else np.asarray(sense, np.int32))
-    has_binary = bool(np.any(sense_arr & BINARY))
+    bin_ids = tuple(int(i) for i in np.where(sense_arr & BINARY)[0])
     bp = tuple(break_points) if break_points is not None else None
 
     Hj = None if is_lp else jnp.asarray(H, dtype)
@@ -86,7 +87,7 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     t0 = time.perf_counter()
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
-                     jnp.asarray(sense_arr), st, int(ms), is_lp, has_binary,
+                     jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
                      bp)
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
                                  if hasattr(x, 'block_until_ready') else x,

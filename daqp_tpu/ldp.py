@@ -373,9 +373,19 @@ def _declare_optimal(state, st):
     return state._replace(status=flag.astype(jnp.int32))
 
 
-def _optimal_path(state, st):
+def _optimal_path(state, st, batch_mode=False):
     """No infeasible constraint remains: repair / refine / declare optimal
-    (``src/daqp.c:28-63``)."""
+    (``src/daqp.c:28-63``).
+
+    With ``batch_mode=True`` (the vmapped path) the repair/refinement ladder
+    is deferred to ``batch_post_pass``: under ``vmap`` a ``lax.cond`` lowers
+    to ``select`` with *both* branches executed for every lane, so keeping
+    the O(K^2 n) refactorization inside the hot loop would tax every
+    iteration of every lane.  The post-pass applies the identical numerics
+    once per solve round instead.
+    """
+    if batch_mode:
+        return _declare_optimal(state, st)
     k = state.n_active
     max_diag = _max_diag_E(state)
     do_repair = ((k > 2) & ~state.tried_repair
@@ -410,14 +420,16 @@ def _optimal_path(state, st):
     return lax.cond(do_repair, repair, no_repair, state)
 
 
-def _cycle_guard(state, st):
+def _cycle_guard(state, st, batch_mode=False):
     """Progress tracking with one-shot refactorization repair
-    (``src/daqp.c:66-85``)."""
+    (``src/daqp.c:66-85``).  In batch mode the repair is deferred to
+    ``batch_post_pass`` (see ``_optimal_path``): a tripped guard exits with
+    EXIT_CYCLE and the post-pass refactors and resumes the lane."""
     no_progress = state.fval - state.best_fval < st.progress_tol
     cc = jnp.where(no_progress, state.cycle_counter + 1, 0)
     best = jnp.where(no_progress, state.best_fval, state.fval)
     trip = no_progress & (cc > st.cycle_tol)
-    give_up = trip & (state.tried_repair | state.in_bnb)
+    give_up = trip & (batch_mode | state.tried_repair | state.in_bnb)
 
     def cycle_exit(s):
         return s._replace(status=jnp.full((), EXIT_CYCLE, jnp.int32))
@@ -435,7 +447,7 @@ def _cycle_guard(state, st):
                     lambda s: lax.cond(trip, repair, keep, s), state)
 
 
-def _nonsingular_step(state, st):
+def _nonsingular_step(state, st, batch_mode=False):
     state = compute_csp(state)
     removed, state = remove_blocking(state, st)
 
@@ -445,8 +457,9 @@ def _nonsingular_step(state, st):
 
         def feasible(s):
             added, s = add_infeasible(s, st)
-            return lax.cond(added, lambda q: _cycle_guard(q, st),
-                            lambda q: _optimal_path(q, st), s)
+            return lax.cond(added,
+                            lambda q: _cycle_guard(q, st, batch_mode),
+                            lambda q: _optimal_path(q, st, batch_mode), s)
 
         return lax.cond(
             infeas,
@@ -465,8 +478,14 @@ def _singular_step(state, st):
         state)
 
 
-def ldp_solve(state: LDPState, st: Settings) -> LDPState:
-    """Run the active-set loop to termination (``daqp_ldp``, daqp.c:6-108)."""
+def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
+              reset: bool = True) -> LDPState:
+    """Run the active-set loop to termination (``daqp_ldp``, daqp.c:6-108).
+
+    ``batch_mode`` defers repair/refinement to ``batch_post_pass`` (see
+    ``_optimal_path``).  ``reset=False`` resumes with accumulated iteration
+    counts and a previously assigned status (used by the batched post-pass
+    rounds and by warm restarts)."""
     iter_limit = jnp.asarray(st.iter_limit, jnp.int32)
 
     def cond(s):
@@ -474,18 +493,66 @@ def ldp_solve(state: LDPState, st: Settings) -> LDPState:
 
     def body(s):
         s = lax.cond(s.sing, lambda q: _singular_step(q, st),
-                     lambda q: _nonsingular_step(q, st), s)
+                     lambda q: _nonsingular_step(q, st, batch_mode), s)
         return s._replace(iterations=s.iterations + 1)
 
-    state = state._replace(status=jnp.full((), EXIT_RUNNING, jnp.int32),
-                           iterations=jnp.zeros((), jnp.int32))
+    if reset:
+        state = state._replace(status=jnp.full((), EXIT_RUNNING, jnp.int32),
+                               iterations=jnp.zeros((), jnp.int32))
     state = lax.while_loop(cond, body, state)
     state = state._replace(status=jnp.where(
-        state.status == EXIT_RUNNING, EXIT_ITERLIMIT, state.status))
+        (state.status == EXIT_RUNNING) & (state.iterations >= iter_limit),
+        EXIT_ITERLIMIT, state.status))
     return state
 
 
-def activate_constraints(state: LDPState, st: Settings
+def batch_post_pass(state: LDPState, st: Settings) -> LDPState:
+    """Per-lane repair round for the batched solver.
+
+    Applies — once, outside the hot loop — the same numerics the scalar
+    solver applies inline (``src/daqp.c:28-85``):
+      * optimal lanes with an active set get one iterative-refinement step
+        and are re-priced; a surviving violation re-opens the lane;
+      * cycle-flagged lanes that have not yet been repaired are
+        refactorized and re-opened.
+    Designed to be vmapped and followed by ``ldp_solve(..., reset=False)``.
+    """
+    is_opt = ((state.status == EXIT_OPTIMAL)
+              | (state.status == EXIT_SOFT_OPTIMAL)) & (state.n_active > 0)
+
+    def fix_opt(s):
+        s = refine_active(s, st)
+        added, s = add_infeasible(s, st)
+        return s._replace(status=jnp.where(
+            added, EXIT_RUNNING, s.status).astype(jnp.int32))
+
+    state = lax.cond(is_opt, fix_opt, lambda s: s, state)
+
+    from .types import EXIT_CYCLE as _CYC
+    do_cyc = (state.status == _CYC) & ~state.tried_repair & ~state.in_bnb
+
+    def fix_cycle(s):
+        s = refactor(s, st)
+        return s._replace(status=jnp.full((), EXIT_RUNNING, jnp.int32),
+                          tried_repair=jnp.ones((), bool),
+                          cycle_counter=jnp.zeros((), jnp.int32),
+                          best_fval=jnp.asarray(-1.0, s.fval.dtype))
+
+    return lax.cond(do_cyc, fix_cycle, lambda s: s, state)
+
+
+def ldp_solve_batched_lane(state: LDPState, st: Settings,
+                           rounds: int = 2) -> LDPState:
+    """Single-lane view of the batched solve: fast loop + repair rounds.
+    vmap this over a batch of LDPStates."""
+    state = ldp_solve(state, st, batch_mode=True, reset=False)
+    for _ in range(rounds):
+        state = batch_post_pass(state, st)
+        state = ldp_solve(state, st, batch_mode=True, reset=False)
+    return state
+
+
+def activate_constraints(state: LDPState, st: Settings, m_limit=None
                          ) -> Tuple[jnp.ndarray, LDPState]:
     """Activate every sense-ACTIVE constraint (warm/equality start),
     handling singular activations (``daqp_activate_constraints``,
@@ -498,6 +565,8 @@ def activate_constraints(state: LDPState, st: Settings
     """
     from .types import EXIT_OVERDETERMINED_INITIAL
     m = state.M.shape[0]
+    if m_limit is None:
+        m_limit = m
 
     def body(i, carry):
         flag, s = carry
@@ -535,7 +604,7 @@ def activate_constraints(state: LDPState, st: Settings
 
             return lax.cond(s.sing, on_sing, lambda c: c, (flag, s))
 
-        want = (s.sense[i] & ACTIVE) > 0
+        want = ((s.sense[i] & ACTIVE) > 0) & (i < m_limit)
         return lax.cond(want & (flag >= 0), try_add, lambda c: c, (flag, s))
 
     flag0 = jnp.ones((), jnp.int32)

@@ -227,7 +227,8 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
         def grad(args):
             s, x = args
             found, s, x = _gradient_step(s, x, c.x, bu, bl, st)
-            return s, x, jnp.where(found, EXIT_RUNNING, EXIT_UNBOUNDED)
+            return s, x, jnp.where(found, EXIT_RUNNING,
+                                   EXIT_UNBOUNDED).astype(jnp.int32)
 
         def no_grad(args):
             s, x = args

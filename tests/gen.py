@@ -109,3 +109,69 @@ def generate_test_avi(n, m, rng=None):
     b = Ax + 5 * rng.random(m)
     b[AS] = Ax[AS]
     return x, H, f, A, b
+
+
+def generate_test_qp_batch(B, n, m, ms, n_active, kappa, rng=None,
+                           dtype=None):
+    """Vectorized batch version of ``generate_test_qp``: constructs B
+    strictly convex QPs with known optimizers in one shot (batched QR /
+    einsum), for vmap tests and throughput benchmarks.
+
+    Active-set membership is drawn per-constraint (first ``n_active`` of a
+    random permutation), with upper/lower chosen i.i.d. — statistically
+    equivalent coverage to the reference fixture.
+    Returns dict of arrays with leading batch dim B.
+    """
+    rng = np.random.default_rng(rng)
+    eig = np.empty((B, n))
+    eig[:, 0], eig[:, 1] = 1.0, kappa
+    eig[:, 2:] = 1.0 + (kappa - 1.0) * rng.random((B, n - 2))
+    Q, _ = np.linalg.qr(rng.standard_normal((B, n, n)))
+    sq = np.sqrt(eig)
+    T = sq[:, :, None] * np.swapaxes(Q, 1, 2)          # diag(sq) @ Q'
+    Tinv = Q / sq[:, None, :]
+    H = np.einsum('bij,bik->bjk', T, T)                 # T'T
+
+    M = np.concatenate([Tinv[:, :ms, :],
+                        rng.standard_normal((B, m - ms, n))], axis=1)
+    perm = np.argsort(rng.random((B, m)), axis=1)
+    act = perm[:, :n_active]                            # (B, nA)
+    inact = perm[:, n_active:]                          # (B, m-nA)
+    is_up = rng.random((B, n_active)) < 0.5             # upper vs lower
+
+    lam = rng.random((B, n_active))
+    Mact = np.take_along_axis(M, act[:, :, None], axis=1)  # (B,nA,n)
+    sgn = np.where(is_up, 1.0, -1.0)
+    Ma = sgn[:, :, None] * Mact
+    u = -np.einsum('bij,bi->bj', Ma, lam)               # -Ma' lam  (B,n)
+    d_act = np.einsum('bij,bj->bi', Ma, u)              # Ma u = -Ma Ma' lam
+
+    dupper = np.zeros((B, m))
+    dlower = np.zeros((B, m))
+    # active rows: tight at the optimizer
+    d_signed = sgn * d_act                              # value of M_i u
+    up_val = np.where(is_up, d_signed, d_signed + (0.01 + rng.random((B, n_active))))
+    lo_val = np.where(is_up, d_signed - (0.01 + rng.random((B, n_active))), d_signed)
+    np.put_along_axis(dupper, act, up_val, axis=1)
+    np.put_along_axis(dlower, act, lo_val, axis=1)
+    # inactive rows: strictly feasible
+    Minact = np.take_along_axis(M, inact[:, :, None], axis=1)
+    mu_in = np.einsum('bij,bj->bi', Minact, u)
+    np.put_along_axis(dupper, inact,
+                      mu_in + (0.01 + rng.random(mu_in.shape)), axis=1)
+    np.put_along_axis(dlower, inact,
+                      mu_in - (0.01 + rng.random(mu_in.shape)), axis=1)
+
+    v = rng.standard_normal((B, n))
+    f = np.einsum('bij,bi->bj', T, v)                   # T'v
+    x = np.linalg.solve(T, (u - v)[:, :, None])[:, :, 0]
+    A = np.einsum('bij,bjk->bik', M[:, ms:, :], T)
+    Mv = np.einsum('bij,bj->bi', M, v)
+    bupper = dupper - Mv
+    blower = dlower - Mv
+    out = dict(x=x, H=H, f=f, A=A, bupper=bupper, blower=blower,
+               sense=np.zeros((B, m), np.int32))
+    if dtype is not None:
+        out = {k: (val.astype(dtype) if val.dtype == np.float64 else val)
+               for k, val in out.items()}
+    return out
