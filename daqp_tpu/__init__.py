@@ -19,7 +19,13 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # Lazy imports keep `import daqp_tpu` light.
-    if name in ("solve", "quadprog", "linprog", "Model", "solve_batch"):
+    if name in ("solve", "quadprog", "linprog", "avi", "minrep", "Model"):
         from . import api
-        return getattr(api, name)
+        fn = getattr(api, name)
+        globals()[name] = fn
+        return fn
+    if name == "solve_batch":
+        from .batch import solve_batch
+        globals()[name] = solve_batch
+        return solve_batch
     raise AttributeError(name)

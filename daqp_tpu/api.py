@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import solve as solve_mod
+from . import core as solve_mod
 from .types import (BINARY, Settings, Result, default_settings_f32)
 
 
@@ -32,9 +32,13 @@ def _as_settings(settings, dtype) -> Settings:
 
 
 @functools.partial(jax.jit, static_argnames=("ms", "is_lp", "bin_ids",
-                                             "break_points"))
+                                             "break_points", "is_avi"))
 def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
-               is_lp: bool, bin_ids: tuple, break_points):
+               is_lp: bool, bin_ids: tuple, break_points,
+               is_avi: bool = False):
+    if is_avi:
+        from . import avi_solver as avi_mod
+        return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st)
     if bin_ids:
         from . import bnb
         return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
@@ -52,7 +56,7 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
 
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
           ms: Optional[int] = None, break_points=None, settings=None,
-          dtype=None):
+          dtype=None, is_avi: bool = False):
     """One-shot solve; returns a ``Result``.
 
     Matches ``daqp.solve`` in the reference Python binding
@@ -88,7 +92,7 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
-                     bp)
+                     bp, is_avi)
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
                                  if hasattr(x, 'block_until_ready') else x,
                                  out)
@@ -110,3 +114,10 @@ def linprog(f, A, bupper, blower, sense=None, ms=None, **kw):
     H=NULL -> daqp_prox, api.c:175-177)."""
     return solve(H=None, f=f, A=A, bupper=bupper, blower=blower, sense=sense,
                  ms=ms, **kw)
+
+
+def avi(H, f, A, bupper, blower=None, sense=None, ms=None, **kw):
+    """Affine variational inequality one-shot (reference ``daqp_avi``,
+    api.c:73-77 / Julia ``DAQPBase.avi``)."""
+    return solve(H=H, f=f, A=A, bupper=bupper, blower=blower, sense=sense,
+                 ms=ms, is_avi=True, **kw)

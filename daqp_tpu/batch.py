@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from . import ldp as ldp_mod
 from . import transform
-from . import solve as solve_mod
+from . import core as solve_mod
 from .types import Settings, EXIT_OPTIMAL, EXIT_RUNNING
 
 

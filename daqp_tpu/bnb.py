@@ -37,7 +37,7 @@ from jax import lax
 
 from . import ldp as ldp_mod
 from . import transform
-from . import solve as solve_mod
+from . import core as solve_mod
 from .types import (ACTIVE, BINARY, IMMUTABLE, LOWER, Settings, DAQP_INF,
                     EXIT_CYCLE, EXIT_INFEASIBLE, EXIT_OPTIMAL, EXIT_RUNNING)
 

@@ -552,11 +552,12 @@ def ldp_solve_batched_lane(state: LDPState, st: Settings,
     return state
 
 
-def activate_constraints(state: LDPState, st: Settings, m_limit=None
-                         ) -> Tuple[jnp.ndarray, LDPState]:
-    """Activate every sense-ACTIVE constraint (warm/equality start),
-    handling singular activations (``daqp_activate_constraints``,
-    auxiliary.c:398-478).
+def activate_constraints(state: LDPState, st: Settings, m_limit=None,
+                         m_start=0) -> Tuple[jnp.ndarray, LDPState]:
+    """Activate every sense-ACTIVE constraint in [m_start, m_limit)
+    (warm/equality start), handling singular activations
+    (``daqp_activate_constraints``, auxiliary.c:398-478; the range form
+    covers the per-level activation in ``daqp_hiqp``, hierarchical.c:26-35).
 
     Returns (flag, state): flag < 0 signals EXIT_OVERDETERMINED_INITIAL.
     Mirrors the reference's redundant-equality consistency check: a linearly
@@ -604,7 +605,7 @@ def activate_constraints(state: LDPState, st: Settings, m_limit=None
 
             return lax.cond(s.sing, on_sing, lambda c: c, (flag, s))
 
-        want = ((s.sense[i] & ACTIVE) > 0) & (i < m_limit)
+        want = ((s.sense[i] & ACTIVE) > 0) & (i < m_limit) & (i >= m_start)
         return lax.cond(want & (flag >= 0), try_add, lambda c: c, (flag, s))
 
     flag0 = jnp.ones((), jnp.int32)
