@@ -18,12 +18,21 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):
-    # Lazy imports keep `import daqp_tpu` light.
-    if name in ("solve", "quadprog", "linprog", "avi", "minrep", "Model"):
+    # Lazy imports keep `import daqp_tpu` light.  (Exposed names never
+    # collide with submodule names — see the solve.py->core.py rename.)
+    if name in ("solve", "quadprog", "linprog", "avi"):
         from . import api
         fn = getattr(api, name)
         globals()[name] = fn
         return fn
+    if name == "Model":
+        from .model import Model
+        globals()[name] = Model
+        return Model
+    if name == "minrep":
+        from .geometry import minrep
+        globals()[name] = minrep
+        return minrep
     if name == "solve_batch":
         from .batch import solve_batch
         globals()[name] = solve_batch

@@ -32,31 +32,36 @@ def _as_settings(settings, dtype) -> Settings:
 
 
 @functools.partial(jax.jit, static_argnames=("ms", "is_lp", "bin_ids",
-                                             "break_points", "is_avi"))
+                                             "break_points", "is_avi",
+                                             "K"))
 def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
                is_lp: bool, bin_ids: tuple, break_points,
-               is_avi: bool = False):
+               is_avi: bool = False, x0=None, deadline=None, K=None):
     if is_avi:
         from . import avi_solver as avi_mod
-        return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st)
+        return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
+                                x0=x0, K=K)
     if bin_ids:
         from . import bnb
         return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
-                            bin_ids=bin_ids)
+                            bin_ids=bin_ids, deadline=deadline, K=K)
     if break_points is not None and len(break_points) > 1:
         from . import hierarchical
         return hierarchical.hiqp_core(H, f, A, bupper, blower, sense, ms,
                                       break_points, st)
     if is_lp:
         from . import prox
-        return prox.linprog_core(f, A, bupper, blower, sense, ms, st)
+        return prox.linprog_core(f, A, bupper, blower, sense, ms, st, x0=x0,
+                                 deadline=deadline, K=K)
     from . import prox
-    return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st)
+    return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st,
+                                     x0=x0, deadline=deadline, K=K)
 
 
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
           ms: Optional[int] = None, break_points=None, settings=None,
-          dtype=None, is_avi: bool = False):
+          dtype=None, is_avi: bool = False, primal_start=None,
+          dual_start=None):
     """One-shot solve; returns a ``Result``.
 
     Matches ``daqp.solve`` in the reference Python binding
@@ -64,6 +69,9 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     binary sense bits trigger branch-and-bound; ``break_points`` triggers
     hierarchical least squares.  ``bupper``/``blower`` have length
     ms + A.shape[0]; the first ``ms`` entries bound x[:ms] directly.
+    ``primal_start``/``dual_start`` warm-start the active set
+    (``daqp_primal_init_active``/``daqp_dual_init_active``,
+    api.c:555-609).
     """
     bupper = np.atleast_1d(np.asarray(bupper))
     blower = (np.full_like(bupper, -1e30) if blower is None
@@ -83,16 +91,33 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     is_lp = H is None
     sense_arr = (np.zeros(m, np.int32) if sense is None
                  else np.asarray(sense, np.int32))
+    if primal_start is not None:
+        from . import warmstart
+        sense_arr = np.asarray(warmstart.primal_init_active(
+            np.asarray(primal_start, float), A, bupper, blower, sense_arr,
+            int(ms)))
+    if dual_start is not None:
+        from . import warmstart
+        sense_arr = np.asarray(warmstart.dual_init_active(
+            np.asarray(dual_start, float), sense_arr))
     bin_ids = tuple(int(i) for i in np.where(sense_arr & BINARY)[0])
     bp = tuple(break_points) if break_points is not None else None
 
     Hj = None if is_lp else jnp.asarray(H, dtype)
     fj = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)
+    x0 = (jnp.zeros((n,), dtype) if primal_start is None
+          else jnp.asarray(primal_start, dtype))
     t0 = time.perf_counter()
+    # A positive time limit compiles in the every-32-iterations wall-clock
+    # check (daqp.c:95-103); deadline=None (static) compiles it out.
+    deadline = (jnp.asarray(t0 + float(st.time_limit), jnp.float64)
+                if float(st.time_limit) > 0 else None)
+    # Working-set capacity n + ns + 1 (reference allocation api.c:288-305)
+    ns = int(np.sum((sense_arr & 8) > 0))
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
-                     bp, is_avi)
+                     bp, is_avi, x0, deadline, int(n) + ns + 1)
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
                                  if hasattr(x, 'block_until_ready') else x,
                                  out)

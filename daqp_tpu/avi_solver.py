@@ -110,7 +110,8 @@ def _check_optimal(state, x, lam, Aall, bupper, blower, st: Settings):
     return dual_ok & primal_ok
 
 
-def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
+def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
+             x0=None):
     """Solve the AVI (``daqp_solve_avi``, avi.c:6-101)."""
     A = jnp.atleast_2d(A)
     n = H.shape[0]
@@ -222,8 +223,9 @@ def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
         jnp.where(act_flag < 0, act_flag,
                   jnp.where(unc_ok, EXIT_OPTIMAL,
                             EXIT_RUNNING))).astype(jnp.int32)
+    xinit = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     c0 = _AVICarry(
-        state=state, x=jnp.zeros((n,), dtype), y=jnp.zeros((n,), dtype),
+        state=state, x=xinit, y=xinit,
         xold=jnp.zeros((n,), dtype), lam=jnp.zeros((K,), dtype),
         min_newton_res=jnp.asarray(DAQP_INF, dtype),
         counter=jnp.zeros((), jnp.int32),

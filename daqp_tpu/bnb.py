@@ -173,7 +173,8 @@ def _find_branch(state, bin_ids, st):
     return found, bid.astype(jnp.int32), lower_first
 
 
-def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int):
+def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
+              deadline=None):
     """Run branch-and-bound on a built LDP. ``bin_ids``: (nb,) int32 indices
     of binary constraints (static count nb)."""
     nb = int(bin_ids.shape[0])
@@ -258,7 +259,7 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int):
             tried_repair=jnp.zeros((), bool),
             cycle_counter=jnp.zeros((), jnp.int32),
             best_fval=jnp.asarray(-1.0, dtype))
-        s = ldp_mod.ldp_solve(s, st_node)
+        s = ldp_mod.ldp_solve(s, st_node, deadline=deadline)
         c = c._replace(state=s, itercount=c.itercount + s.iterations)
 
         def retry_cold(c):
@@ -269,7 +270,7 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int):
                 tried_repair=jnp.zeros((), bool),
                 cycle_counter=jnp.zeros((), jnp.int32),
                 best_fval=jnp.asarray(-1.0, dtype))
-            s = ldp_mod.ldp_solve(s, st_node)
+            s = ldp_mod.ldp_solve(s, st_node, deadline=deadline)
             return c._replace(state=s, itercount=c.itercount + s.iterations)
 
         c = lax.cond(c.state.status == EXIT_CYCLE, retry_cold,
@@ -338,6 +339,21 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int):
         c = lax.cond(
             flag == EXIT_INFEASIBLE, pruned,
             lambda c: lax.cond(flag < 0, errored, explore, c), c)
+
+        if deadline is not None:
+            # Tree-level wall-clock check every 32 nodes (bnb.c:51-59):
+            # node relaxations can each finish before the inner solver's
+            # periodic check fires.
+            from .utils.timers import now_callback
+            from .types import EXIT_TIMELIMIT
+
+            def check_time(c):
+                t = now_callback()
+                return c._replace(status=jnp.where(
+                    (t > deadline) & (c.status == EXIT_RUNNING),
+                    EXIT_TIMELIMIT, c.status).astype(jnp.int32))
+
+            c = lax.cond(c.nodecount % 32 == 0, check_time, lambda c: c, c)
         return c
 
     c = lax.while_loop(cond, body, c0)
@@ -366,16 +382,18 @@ class BnBOut(NamedTuple):
 
 
 def bnb_core(H, f, A, bupper, blower, sense, ms: int, st: Settings,
-             bin_ids: tuple = ()):
+             bin_ids: tuple = (), deadline=None, K=None):
     """MIQP entry: build LDP, run BnB, extract (api.c dispatch work->bnb).
 
     ``bin_ids`` is the *static* tuple of binary-constraint indices (the
     tree structure is shape-determining and must be known at trace time).
     """
     n = A.shape[1] if A.size else H.shape[0]
-    K = n + 1
+    if K is None:
+        K = n + 1
     ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st)
-    c = bnb_solve(ldpd, jnp.asarray(bin_ids, jnp.int32), st, K)
+    c = bnb_solve(ldpd, jnp.asarray(bin_ids, jnp.int32), st, K,
+                  deadline=deadline)
     x = transform.ldp_to_qp_solution(ldpd, c.state.u)
     lam = solve_mod.extract_duals(c.state)
     fval = 0.5 * (c.state.fval - ldpd.v @ ldpd.v)

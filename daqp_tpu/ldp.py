@@ -479,13 +479,16 @@ def _singular_step(state, st):
 
 
 def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
-              reset: bool = True) -> LDPState:
+              reset: bool = True, deadline=None) -> LDPState:
     """Run the active-set loop to termination (``daqp_ldp``, daqp.c:6-108).
 
     ``batch_mode`` defers repair/refinement to ``batch_post_pass`` (see
     ``_optimal_path``).  ``reset=False`` resumes with accumulated iteration
     counts and a previously assigned status (used by the batched post-pass
-    rounds and by warm restarts)."""
+    rounds and by warm restarts).  ``deadline`` (absolute perf_counter
+    seconds, traced scalar) enables the reference's every-32-iterations
+    wall-clock check (daqp.c:95-103) via a host callback; None (static)
+    compiles it out entirely."""
     iter_limit = jnp.asarray(st.iter_limit, jnp.int32)
 
     def cond(s):
@@ -494,6 +497,18 @@ def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
     def body(s):
         s = lax.cond(s.sing, lambda q: _singular_step(q, st),
                      lambda q: _nonsingular_step(q, st, batch_mode), s)
+        if deadline is not None:
+            from .utils.timers import now_callback
+            from .types import EXIT_TIMELIMIT
+
+            def check_time(q):
+                t = now_callback()
+                return q._replace(status=jnp.where(
+                    (t > deadline) & (q.status == EXIT_RUNNING),
+                    EXIT_TIMELIMIT, q.status).astype(jnp.int32))
+
+            s = lax.cond(s.iterations % 32 == 31, check_time,
+                         lambda q: q, s)
         return s._replace(iterations=s.iterations + 1)
 
     if reset:

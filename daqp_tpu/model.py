@@ -1,0 +1,216 @@
+"""Reusable ``Model``: setup once, solve repeatedly with masked updates.
+
+Mirrors the reference binding surface (Python ``daqp.Model``,
+interfaces/daqp-python/daqp.pyx:220-631; Julia ``DAQPBase.Model``,
+interfaces/daqp-julia/src/api.jl:198-415) and the C update-mask contract
+(``daqp_update_ldp``, src/utils.c:14-135):
+
+  * ``update`` with only f / bupper / blower recomputes v and d ONLY,
+    keeping Rinv, M, the working set and the inverse Gram — the warm
+    MPC re-solve path (docs/docs/c.md:60-73), typically 0-2 active-set
+    changes per solve;
+  * updating H, A, or sense rebuilds the LDP (masks UPDATE_Rinv/M/sense)
+    and cold-starts the next solve.
+
+The solver state (``LDPState``) is carried across ``solve`` calls, so a
+re-solve at the optimum terminates in one iteration, matching the
+reference's warm-start tests (core_tests.jl:449-496).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core as core_mod
+from . import ldp as ldp_mod
+from . import transform
+from . import warmstart
+from .types import (BINARY, Settings, Result, EXIT_RUNNING)
+
+
+@jax.jit
+def _cold_solve_from_ldp(ldpd, st: Settings):
+    """Plain-QP cold solve from a prebuilt LDP (state returned for warm
+    restarts)."""
+    n = ldpd.M.shape[1]
+    state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
+                               ldpd.scaling, K=n + 1)
+    act_flag, state = ldp_mod.activate_constraints(state, st)
+    unc_ok, _ = transform.check_unconstrained(
+        ldpd._replace(sense=state.sense), st)
+    from .types import EXIT_OPTIMAL
+    pre = jnp.where(ldpd.error < 0, ldpd.error,
+                    jnp.where(act_flag < 0, act_flag,
+                              jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING)))
+    state = state._replace(status=pre.astype(jnp.int32))
+    state = ldp_mod.ldp_solve(state, st)
+    return _extract(ldpd, state)
+
+
+@jax.jit
+def _warm_resolve(ldpd, state, st: Settings):
+    """Warm re-solve after a v/d-only update: the working set, inverse Gram
+    and sense persist; only the bounds change (utils.c:410-455 semantics —
+    ``reuse_ind`` invalidation maps to recomputing the CSP)."""
+    state = state._replace(
+        dupper=ldpd.dupper, dlower=ldpd.dlower,
+        status=jnp.asarray(EXIT_RUNNING, jnp.int32),
+        iterations=jnp.zeros((), jnp.int32),
+        tried_repair=jnp.zeros((), bool),
+        cycle_counter=jnp.zeros((), jnp.int32),
+        best_fval=jnp.asarray(-1.0, state.fval.dtype))
+    state = ldp_mod.ldp_solve(state, st, reset=False)
+    return _extract(ldpd, state)
+
+
+def _extract(ldpd, state):
+    x = transform.ldp_to_qp_solution(ldpd, state.u)
+    lam = core_mod.extract_duals(state)
+    fval = 0.5 * (state.fval - ldpd.v @ ldpd.v)
+    return core_mod.SolveOut(
+        x=x, lam=lam, fval=fval, exitflag=state.status,
+        iterations=jnp.maximum(state.iterations, 1),
+        soft_slack=state.soft_slack, state=state)
+
+
+class Model:
+    """Reusable solver object with persistent warm-start state."""
+
+    def __init__(self, settings=None):
+        self._settings = settings
+        self._ldpd = None
+        self._state = None
+        self._special = False   # bnb / hierarchy / avi / LP path
+        self._args = None
+
+    # -- setup ------------------------------------------------------------
+    def setup(self, H, f, A, bupper, blower=None, sense=None, ms=None,
+              break_points=None, is_avi=False, primal_start=None,
+              dual_start=None, dtype=None):
+        H = None if (H is None or np.size(H) == 0) else np.asarray(H)
+        f = None if (f is None or np.size(f) == 0) else np.asarray(f)
+        bupper = np.atleast_1d(np.asarray(bupper, float))
+        blower = (np.full_like(bupper, -1e30) if blower is None
+                  else np.atleast_1d(np.asarray(blower, float)))
+        A = np.zeros((0, H.shape[0] if H is not None else len(bupper))) \
+            if A is None or np.size(A) == 0 else np.atleast_2d(np.asarray(A))
+        m = len(bupper)
+        if ms is None:
+            ms = m - A.shape[0]
+        sense = (np.zeros(m, np.int32) if sense is None
+                 else np.array(sense, np.int32))
+        if primal_start is not None:
+            sense = np.asarray(warmstart.primal_init_active(
+                primal_start, A, bupper, blower, sense, int(ms)))
+        if dual_start is not None:
+            sense = np.asarray(warmstart.dual_init_active(dual_start, sense))
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        from .api import _as_settings
+        st = _as_settings(self._settings, dtype)
+        self._st = st
+        self._dtype = dtype
+        self._ms = int(ms)
+        self._H, self._f, self._A = H, f, A
+        self._bupper, self._blower, self._sense = bupper, blower, sense
+        self._break_points = (tuple(int(b) for b in break_points)
+                              if break_points is not None else None)
+        self._is_avi = bool(is_avi)
+        self._x0 = (np.asarray(primal_start, float)
+                    if primal_start is not None else None)
+        self._bin_ids = tuple(int(i) for i in np.where(sense & BINARY)[0])
+        self._special = (self._is_avi or bool(self._bin_ids)
+                         or (self._break_points is not None
+                             and len(self._break_points) > 1)
+                         or H is None)
+        if not self._special:
+            self._ldpd = transform.build_ldp(
+                jnp.asarray(H, dtype),
+                None if f is None else jnp.asarray(f, dtype),
+                jnp.asarray(A, dtype), jnp.asarray(bupper, dtype),
+                jnp.asarray(blower, dtype), jnp.asarray(sense), self._ms,
+                st)
+            self._special = int(self._ldpd.n_prox) > 0  # semidefinite H
+        self._state = None
+        return self
+
+    # -- solve ------------------------------------------------------------
+    def solve(self) -> Result:
+        if not hasattr(self, '_st'):
+            raise RuntimeError("Model.solve() before Model.setup()")
+        t0 = time.perf_counter()
+        if self._special:
+            from .api import solve as api_solve
+            res = api_solve(H=self._H, f=self._f, A=self._A,
+                            bupper=self._bupper, blower=self._blower,
+                            sense=self._sense, ms=self._ms,
+                            break_points=self._break_points,
+                            settings=self._st, is_avi=self._is_avi,
+                            primal_start=self._x0)
+            return res
+        if self._state is None:
+            out = _cold_solve_from_ldp(self._ldpd, self._st)
+        else:
+            out = _warm_resolve(self._ldpd, self._state, self._st)
+        out = jax.block_until_ready(out)
+        self._state = out.state
+        t1 = time.perf_counter()
+        return Result(x=out.x, lam=out.lam, fval=out.fval,
+                      exitflag=out.exitflag, iterations=out.iterations,
+                      soft_slack=out.soft_slack,
+                      nodes=jnp.ones((), jnp.int32),
+                      solve_time=t1 - t0, setup_time=0.0)
+
+    # -- update -----------------------------------------------------------
+    def update(self, H=None, f=None, A=None, bupper=None, blower=None,
+               sense=None):
+        """Masked update (``daqp_update_ldp``, utils.c:14-135): pass only
+        what changed.  f/bupper/blower alone keep the factorization and the
+        warm working set; H/A/sense rebuild and cold-start."""
+        structural = any(v is not None and np.size(v) > 0
+                         for v in (H, A)) or sense is not None
+        if f is not None:
+            self._f = np.asarray(f)
+        if bupper is not None:
+            self._bupper = np.atleast_1d(np.asarray(bupper, float))
+        if blower is not None:
+            self._blower = np.atleast_1d(np.asarray(blower, float))
+        if H is not None and np.size(H) > 0:
+            self._H = np.asarray(H)
+        if A is not None and np.size(A) > 0:
+            self._A = np.atleast_2d(np.asarray(A))
+        if sense is not None:
+            self._sense = np.array(sense, np.int32)
+            self._bin_ids = tuple(
+                int(i) for i in np.where(self._sense & BINARY)[0])
+
+        if structural or self._special:
+            return self.setup(self._H, self._f, self._A, self._bupper,
+                              self._blower, self._sense, ms=self._ms,
+                              break_points=self._break_points,
+                              is_avi=self._is_avi, dtype=self._dtype)
+        # v/d-only refresh (mask UPDATE_v | UPDATE_d)
+        dt = self._dtype
+        self._ldpd = transform.update_vd(
+            self._ldpd,
+            None if self._f is None else jnp.asarray(self._f, dt),
+            jnp.asarray(self._bupper, dt), jnp.asarray(self._blower, dt))
+        return self
+
+    # -- settings ---------------------------------------------------------
+    def settings(self, updates: Optional[dict] = None) -> dict:
+        from .api import _as_settings
+        st = _as_settings(self._settings, getattr(self, '_dtype',
+                                                  jnp.float64))
+        if updates:
+            st = st._replace(**updates)
+            self._settings = st
+            if hasattr(self, '_st'):
+                self._st = st
+        return st._asdict()

@@ -64,7 +64,7 @@ def _reset_for_resolve(state, dupper, dlower):
 
 
 def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
-                         st: Settings, K=None):
+                         st: Settings, K=None, x0=None, deadline=None):
     """QP dispatch: single LDP solve for PD H, proximal outer loop otherwise
     (``daqp_solve`` n_prox dispatch, api.c:16-31 + daqp_prox.c)."""
     n = A.shape[1] if A.size else H.shape[0]
@@ -96,7 +96,7 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
         du = bu * ldpd.scaling + Mv
         dl = bl * ldpd.scaling + Mv
         s = _reset_for_resolve(c.state, du, dl)
-        s = ldp_mod.ldp_solve(s, st)
+        s = ldp_mod.ldp_solve(s, st, deadline=deadline)
         x = ldpd.Rinv @ (s.u - v)
         total = c.total_iter + s.iterations
 
@@ -125,7 +125,7 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
     def outer_cond(c: _Carry):
         return c.status == EXIT_RUNNING
 
-    z = jnp.zeros((n,), dtype)
+    z = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     init_status = jnp.where(
         ldpd.error < 0, ldpd.error,
         jnp.where(act_flag < 0, act_flag,
@@ -183,7 +183,8 @@ def _gradient_step(state, x, xold, bu, bl, st: Settings):
     return found, state, x
 
 
-def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
+def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
+                 x0=None, deadline=None):
     """LP via adaptive proximal smoothing (daqp_prox.c LP regime; LP mode is
     selected in the reference by n_prox = n at api.c:175-177)."""
     A = jnp.atleast_2d(A)
@@ -213,7 +214,7 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
         du = bu * ldpd.scaling + Mv
         dl = bl * ldpd.scaling + Mv
         s = _reset_for_resolve(c.state, du, dl)
-        s = ldp_mod.ldp_solve(s, st)
+        s = ldp_mod.ldp_solve(s, st, deadline=deadline)
         x = s.u - v                      # R = I for LPs (daqp.c:115-119)
         total = c.total_iter + s.iterations
 
@@ -246,7 +247,7 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None):
                       center_relaxed=jnp.zeros((), bool), total_iter=total,
                       status=status.astype(jnp.int32))
 
-    z = jnp.zeros((n,), dtype)
+    z = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     init_status = jnp.where(ldpd.error < 0, ldpd.error,
                             jnp.where(act_flag < 0, act_flag, EXIT_RUNNING))
     c0 = _Carry(state=state, v=ldpd.v, x=z, xold=z,

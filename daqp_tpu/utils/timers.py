@@ -9,6 +9,22 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
+
+
+def _now():
+    return np.float64(time.perf_counter())
+
+
+def now_callback():
+    """Traced host wall-clock read (for the in-loop time-limit check,
+    reference daqp.c:95-103).  Only traced when a time limit is set."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import io_callback
+    return io_callback(_now, jax.ShapeDtypeStruct((), jnp.float64),
+                       ordered=False)
+
 
 class Timer:
     """tic/toc monotonic timer (CLOCK_MONOTONIC equivalent)."""

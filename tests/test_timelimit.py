@@ -1,0 +1,50 @@
+"""Time-limit tests — ports of the reference testset 'Time limit'
+(interfaces/daqp-julia/test/core_tests.jl:498-535)."""
+import numpy as np
+
+import daqp_tpu
+from tests.gen import generate_test_qp
+
+
+def test_time_limit_triggers():
+    rng = np.random.default_rng(83)
+    x, H, f, A, bu, bl, sense = generate_test_qp(100, 500, 50, 80, 1e2, rng)
+    res = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=50,
+                            settings={"time_limit": 1e-9})
+    assert int(res.exitflag) == daqp_tpu.EXIT_TIMELIMIT, int(res.exitflag)
+
+
+def test_time_limit_generous():
+    rng = np.random.default_rng(83)
+    x, H, f, A, bu, bl, sense = generate_test_qp(100, 500, 50, 80, 1e2, rng)
+    res = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=50,
+                            settings={"time_limit": 100.0})
+    assert int(res.exitflag) == daqp_tpu.EXIT_OPTIMAL
+    assert np.linalg.norm(np.asarray(res.x) - x) < 1e-4
+
+
+def test_time_limit_bnb_tree_level():
+    # core_tests.jl:514-534: node relaxations can each finish before the
+    # inner periodic check; the tree-level check must still enforce it.
+    rng = np.random.default_rng(1)
+    nt, nbt, mt = 30, 14, 6
+    Qt = rng.standard_normal((nt, nt))
+    Ht = Qt.T @ Qt / nt + 0.2 * np.eye(nt)
+    target = 0.15 + 0.7 * rng.random(nt)
+    ft = -Ht @ target
+    At = np.zeros((mt, nt))
+    for row in range(mt):
+        At[row, :nbt] = 0.2 + rng.random(nbt)
+        At[row, nbt:] = 0.1 * rng.standard_normal(nt - nbt)
+    center = At @ target
+    width = 0.15 + 0.15 * rng.random(mt)
+    but = np.concatenate([np.ones(nbt), np.full(nt - nbt, 2.0),
+                          center + width])
+    blt = np.concatenate([np.zeros(nbt), np.full(nt - nbt, -2.0),
+                          center - width])
+    sense = np.concatenate([np.full(nbt, daqp_tpu.BINARY, np.int32),
+                            np.zeros(nt - nbt + mt, np.int32)])
+    res = daqp_tpu.quadprog(Ht, ft, At, but, blt, sense, ms=nt,
+                            settings={"time_limit": 1e-9})
+    assert int(res.exitflag) == daqp_tpu.EXIT_TIMELIMIT, int(res.exitflag)
+    assert int(res.nodes) <= 33, int(res.nodes)
