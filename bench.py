@@ -29,7 +29,7 @@ def main():
 
     d = generate_test_qp_batch(B, n, m, ms, nact, kappa, rng=2026,
                                dtype=dtype)
-    st = _as_settings(None, jnp.float32)
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
 
     H = jnp.asarray(d['H'])
     f = jnp.asarray(d['f'])
@@ -39,7 +39,8 @@ def main():
     sense = jnp.asarray(d['sense'])
 
     def run():
-        res = batch_mod.solve_batch_jit(H, f, A, bu, bl, sense, st, ms=ms)
+        res = batch_mod.solve_batch_flat_jit(H, f, A, bu, bl, sense, st,
+                                              ms=ms)
         jax.block_until_ready(res)
         return res
 

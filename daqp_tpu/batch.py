@@ -78,6 +78,70 @@ def solve_batch_jit(H, f, A, bupper, blower, sense, st: Settings,
     return jax.vmap(fn)(H, f, A, bupper, blower, sense)
 
 
+def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
+                    K: int):
+    """Single-lane body for the flat (slot-based) batched solver: the
+    branch-free hot path (see ``ldp_flat``).
+
+    Traced under ``jax.default_matmul_precision('highest')``: TPU lowers
+    cholesky / triangular_solve (the QP->LDP transform) to blocked
+    dot_generals at the *default* matmul precision, which is bf16 — fatal
+    for f32 solves (observed 1e-1 primal errors from the transform alone).
+    """
+    from . import ldp_flat
+    ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st)
+    s = ldp_flat.flat_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
+                           ldpd.scaling, K=K)
+    s = ldp_flat.flat_activate(s, st)
+    unc_ok, _ = transform.check_unconstrained(
+        ldpd._replace(sense=s.sense), st)
+    pre = jnp.where(ldpd.error < 0, ldpd.error,
+                    jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING))
+    s = s._replace(status=pre.astype(jnp.int32))
+    s = ldp_flat.flat_solve(s, st)
+
+    x = transform.ldp_to_qp_solution(ldpd, s.u)
+    lam = ldp_flat.flat_extract_duals(s)
+    fval = 0.5 * (s.fval - ldpd.v @ ldpd.v)
+    return BatchResult(x=x, lam=lam, fval=fval,
+                       exitflag=s.status, iterations=s.iterations,
+                       soft_slack=s.soft_slack)
+
+
+@functools.partial(jax.jit, static_argnames=("ms", "K", "lane_chunk"))
+def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
+                         ms: int = 0, K: Optional[int] = None,
+                         lane_chunk: int = 512) -> BatchResult:
+    """Jitted batched strictly-convex QP solve on the flat hot path.
+
+    The batch is processed in vmapped chunks of ``lane_chunk`` lanes via
+    ``lax.map``.  Two reasons: (a) lockstep waste — a chunk ends when its
+    own slowest lane converges, not the whole batch's; (b) a v5e
+    miscompilation was observed for this program at batch >= ~1024 lanes
+    (bitwise-correct trajectories at B<=768, systematically corrupt state
+    at B=1024, same HLO) — chunked shapes stay in the well-compiled
+    regime.
+    """
+    n = A.shape[-1]
+    if K is None:
+        K = n + 1
+    fn = functools.partial(_solve_one_flat, ms=ms, st=st, K=K)
+    B = H.shape[0]
+    with jax.default_matmul_precision('highest'):
+        if B <= lane_chunk or B % lane_chunk != 0:
+            return jax.vmap(fn)(H, f, A, bupper, blower, sense)
+        C = B // lane_chunk
+
+        def chunk(args):
+            return jax.vmap(fn)(*args)
+
+        parts = jax.lax.map(chunk, tuple(
+            x.reshape((C, lane_chunk) + x.shape[1:])
+            for x in (H, f, A, bupper, blower, sense)))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B,) + x.shape[2:]), parts)
+
+
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
                 settings: Optional[Settings] = None,
                 repair_rounds: int = 2) -> BatchResult:

@@ -1,0 +1,512 @@
+"""Branch-free slot-based dual active-set LDP solver — the batched hot path.
+
+Same mathematics as ``ldp.py`` (reference ``src/daqp.c`` / ``auxiliary.c`` /
+``factorization.c``), restructured for lockstep batched execution on TPU:
+
+  * **No ordered working set.**  The reference appends/compacts an ordered
+    ``WS`` and keeps an ordered LDL' factorization; order only matters to a
+    sequential factorization.  Here active constraints live in K fixed
+    *slots* with a ``used`` bitmap, and the explicit inverse Gram
+    E = (M_W M_W' [+ rho_soft I_soft])^{-1} is maintained on the slot grid:
+    deletion ``E -= e e'/e_rr`` zeroes exactly the freed slot's row/column,
+    and the bordered addition ``E += w w'/s`` works into ANY free slot.
+    No compaction gathers, no permutation bookkeeping.
+
+  * **One masked update per iteration, zero ``lax.cond``.**  Under ``vmap``
+    a cond lowers to a select that executes BOTH branches on every lane;
+    the previous batched path paid for the repair/refactor ladder every
+    iteration.  Here every iteration does: CSP GEMV -> blocking-removal
+    min-ratio -> (masked) deletion -> (masked) addition from either the
+    pending singular constraint or the pricing winner.  All selects are on
+    (K,)/(K,K) values, never on whole-state branches.
+
+  * **Singular handling via a pending constraint.**  The reference parks a
+    singular addition as a flagged last WS entry (factorization.c:92-97)
+    and line-searches its null direction (daqp.c:88-94).  Here the
+    constraint is held OUT of the slot table as ``pend_*`` state; its null
+    direction is recomputed from E each iteration (one extra GEMV), its
+    multiplier accumulates through the singular line searches, and the add
+    is retried after each blocking removal — identical iterates, no
+    ordering requirement.
+
+  * **Numerics: f32 storage + HIGHEST-precision contractions + periodic
+    Newton refresh.**  TPU default matmul precision is bf16 — fatal for an
+    inverse maintained over hundreds of rank-one updates.  Every
+    contraction here requests ``Precision.HIGHEST``, and every
+    ``REFRESH_EVERY`` iterations (between inner while_loop rounds, so
+    converged lanes never pay) E is polished with one Newton step
+    E <- E(2I - G E) — two batched K^3 GEMMs that ride the MXU — with G
+    rebuilt from the slot rows.  This plays the role of the reference's
+    refactorization repair (daqp.c:32-46) as a *scheduled* batched pass.
+
+Reference file:line anchors for each primitive are on the functions below.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, Settings, DAQP_INF,
+                    EXIT_CYCLE, EXIT_INFEASIBLE, EXIT_ITERLIMIT,
+                    EXIT_OPTIMAL, EXIT_RUNNING, EXIT_SOFT_OPTIMAL)
+
+_HI = lax.Precision.HIGHEST
+
+# Internal running-family status: the lane needs an exact refactorization
+# of E before it can continue (a removal hit an unstable pivot).  The
+# reference instead guards its LDL ordering with daqp_pivot_last and
+# refactorizes on ill-conditioning (daqp.c:32-46, auxiliary.c:378-395);
+# here the lane simply parks until the next scheduled refresh rebuilds E
+# by Cholesky.
+EXIT_REFACTOR = 90
+
+
+def _mv(A, x):
+    return jnp.matmul(A, x, precision=_HI)
+
+
+class FlatState(NamedTuple):
+    """Slot-table workspace (the vmap axis is added by the caller)."""
+    # problem data
+    M: jnp.ndarray        # (m, n) unit-normalized rows
+    dupper: jnp.ndarray   # (m,)
+    dlower: jnp.ndarray   # (m,)
+    scaling: jnp.ndarray  # (m,)
+    sense: jnp.ndarray    # (m,) int32
+    # slot table
+    used: jnp.ndarray     # (K,) bool
+    sid: jnp.ndarray      # (K,) int32 constraint id per slot
+    lam: jnp.ndarray      # (K,) dual iterate per slot
+    Mw: jnp.ndarray       # (K, n) constraint rows per slot
+    E: jnp.ndarray        # (K, K) inverse Gram on used slots
+    lam_star: jnp.ndarray  # (K,) last CSP solution
+    # pending singular addition
+    pend: jnp.ndarray       # () bool
+    pend_id: jnp.ndarray    # () int32
+    pend_lam: jnp.ndarray   # ()
+    pend_row: jnp.ndarray   # (n,)
+    pend_lower: jnp.ndarray  # () bool
+    # iterates
+    u: jnp.ndarray        # (n,)
+    fval: jnp.ndarray     # ()
+    soft_slack: jnp.ndarray  # ()
+    # control
+    iterations: jnp.ndarray   # () int32
+    cycle: jnp.ndarray        # () int32
+    best_fval: jnp.ndarray    # ()
+    repaired: jnp.ndarray     # () bool — one-shot exact-repair used
+    status: jnp.ndarray       # () int32
+
+
+def flat_init(M, dupper, dlower, sense, scaling=None, K=None) -> FlatState:
+    """Fresh workspace, capacity K = n + ns + 1 (reference api.c:288-305)."""
+    M = jnp.asarray(M)
+    m, n = M.shape
+    dtype = M.dtype
+    if K is None:
+        K = n + 1
+    if scaling is None:
+        scaling = jnp.ones((m,), dtype)
+    if sense is None:
+        sense = jnp.zeros((m,), jnp.int32)
+    z = jnp.zeros((), dtype)
+    return FlatState(
+        M=M, dupper=jnp.asarray(dupper, dtype),
+        dlower=jnp.asarray(dlower, dtype),
+        scaling=jnp.asarray(scaling, dtype),
+        sense=jnp.asarray(sense, jnp.int32),
+        used=jnp.zeros((K,), bool), sid=jnp.zeros((K,), jnp.int32),
+        lam=jnp.zeros((K,), dtype), Mw=jnp.zeros((K, n), dtype),
+        E=jnp.zeros((K, K), dtype), lam_star=jnp.zeros((K,), dtype),
+        pend=jnp.zeros((), bool), pend_id=jnp.zeros((), jnp.int32),
+        pend_lam=z, pend_row=jnp.zeros((n,), dtype),
+        pend_lower=jnp.zeros((), bool),
+        u=jnp.zeros((n,), dtype), fval=z, soft_slack=z,
+        iterations=jnp.zeros((), jnp.int32),
+        cycle=jnp.zeros((), jnp.int32), best_fval=z - 1.0,
+        repaired=jnp.zeros((), bool),
+        status=jnp.full((), EXIT_RUNNING, jnp.int32))
+
+
+def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
+             add_lower):
+    """Masked bordered addition into the first free slot
+    (``daqp_update_LDL_add``, factorization.c:7-98: the Schur complement
+    ``sval`` equals the new LDL pivot; singular adds become pending)."""
+    K = s.E.shape[0]
+    n = s.M.shape[1]
+    dtype = s.E.dtype
+    is_soft = (s.sense[add_id] & SOFT) > 0
+    dii = _mv(add_row, add_row) + jnp.where(
+        is_soft, jnp.asarray(st.rho_soft, dtype), 0)
+    g = jnp.where(s.used, _mv(s.Mw, add_row), 0)
+    a = _mv(s.E, g)
+    sval = dii - _mv(g, a)
+    k = jnp.sum(s.used).astype(jnp.int32)
+    softmask = s.used & ((s.sense[s.sid] & SOFT) > 0)
+    ns_act = jnp.sum(softmask).astype(jnp.int32) + is_soft.astype(jnp.int32)
+    singular = (sval < st.sing_tol) | (k >= n + ns_act)
+
+    slot = jnp.argmin(s.used).astype(jnp.int32)   # first free slot
+    w = jnp.where(s.used, a, 0).at[slot].set(jnp.asarray(-1.0, dtype))
+    E_ok = s.E + jnp.outer(w, w) / sval
+
+    ok = do_add & ~singular
+    make_pend = do_add & singular
+
+    sense_bits = jnp.where(add_lower, s.sense[add_id] | LOWER,
+                           s.sense[add_id] & ~LOWER) | ACTIVE
+    sense = s.sense.at[jnp.where(do_add, add_id, s.M.shape[0])].set(
+        sense_bits.astype(jnp.int32), mode='drop')
+
+    return s._replace(
+        E=jnp.where(ok, E_ok, s.E),
+        used=s.used.at[slot].set(ok | s.used[slot]),
+        sid=jnp.where(ok, s.sid.at[slot].set(add_id), s.sid),
+        lam=jnp.where(ok, s.lam.at[slot].set(add_lam), s.lam),
+        Mw=jnp.where(ok, s.Mw.at[slot].set(add_row), s.Mw),
+        sense=sense,
+        pend=jnp.where(do_add, make_pend, s.pend),
+        pend_id=jnp.where(make_pend, add_id, s.pend_id),
+        pend_lam=jnp.where(make_pend, add_lam, s.pend_lam),
+        pend_row=jnp.where(make_pend, add_row, s.pend_row),
+        pend_lower=jnp.where(make_pend, add_lower, s.pend_lower))
+
+
+def flat_step(s: FlatState, st: Settings) -> FlatState:
+    """One branch-free iteration of the dual active-set loop
+    (``daqp_ldp`` body, daqp.c:12-104)."""
+    K = s.E.shape[0]
+    m, n = s.M.shape
+    dtype = s.E.dtype
+    BIG = jnp.asarray(DAQP_INF, dtype)
+    running = s.status == EXIT_RUNNING
+
+    used = s.used
+    sw = s.sense[s.sid]
+    is_lower = (sw & LOWER) > 0
+    immut = (sw & IMMUTABLE) > 0
+
+    # --- CSP: lam* = -E d_W  (daqp_compute_CSP, auxiliary.c:313-353) ---
+    d_W = jnp.where(is_lower, s.dlower[s.sid], s.dupper[s.sid])
+    d_W = jnp.where(used, d_W, 0)
+    lam_star = -_mv(s.E, d_W)
+
+    # --- singular null direction (auxiliary.c:356-375) ---
+    gp = jnp.where(used, _mv(s.Mw, s.pend_row), 0)
+    ap = _mv(s.E, gp)
+    pend_sign = jnp.where(s.pend_lower, jnp.asarray(-1.0, dtype),
+                          jnp.asarray(1.0, dtype))
+    sdir = -ap * pend_sign
+
+    # --- blocking min-ratio line search (auxiliary.c:276-311) ---
+    delta = jnp.where(s.pend, sdir, lam_star - s.lam)
+    signv = jnp.where(s.pend, sdir, lam_star)
+    infeas = jnp.where(is_lower, signv > st.dual_tol, signv < -st.dual_tol)
+    elig = used & ~immut & infeas
+    ratio = -s.lam / delta
+    cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
+    rm_slot = jnp.argmin(cand).astype(jnp.int32)
+    do_remove = running & (cand[rm_slot] < BIG)
+
+    # Deletion-pivot stability guard: the downdate E -= e e'/e_rr amplifies
+    # accumulated f32 error by ||e||^2/e_rr; a small pivot means E must be
+    # rebuilt exactly before removing (observed: one drift-flipped removal
+    # at an unstable pivot cascades into mass removals and a corrupted E).
+    e_guard = s.E[:, rm_slot]
+    bad_pivot = do_remove & (e_guard[rm_slot]
+                             < st.pivot_tol * jnp.max(jnp.abs(e_guard)))
+    do_remove = do_remove & ~bad_pivot
+
+    # --- masked deletion (daqp_update_LDL_remove, factorization.c:99-138:
+    #     the rank-one E -= e e'/e_rr zeroes the freed row/col exactly) ---
+    alpha = jnp.where(do_remove, cand[rm_slot], 0)
+    lam1 = jnp.where(used, s.lam + alpha * delta, s.lam)
+    pend_lam1 = s.pend_lam + jnp.where(s.pend, alpha * pend_sign, 0)
+    e = s.E[:, rm_slot]
+    err = e[rm_slot]
+    E_rm = s.E - jnp.outer(e, e) / jnp.where(err != 0, err, 1.0)
+    zero_rm = (jnp.arange(K) != rm_slot)
+    E_rm = E_rm * (zero_rm[:, None] & zero_rm[None, :])
+    E1 = jnp.where(do_remove, E_rm, s.E)
+    used1 = s.used.at[rm_slot].set(s.used[rm_slot] & ~do_remove)
+    lam1 = lam1.at[rm_slot].set(jnp.where(do_remove, 0, lam1[rm_slot]))
+    rm_id = s.sid[rm_slot]
+    sense1 = s.sense.at[jnp.where(do_remove, rm_id, m)].set(
+        (s.sense[jnp.clip(rm_id, 0, m - 1)] & ~ACTIVE).astype(jnp.int32),
+        mode='drop')
+    s = s._replace(E=E1, used=used1, lam=lam1, pend_lam=pend_lam1,
+                   sense=sense1)
+
+    status_park = jnp.where(bad_pivot, EXIT_REFACTOR,
+                            s.status).astype(jnp.int32)
+    s = s._replace(status=status_park)
+    running = running & ~bad_pivot
+
+    # --- pending with no blocker -> infeasible (daqp.c:88-94).  In f32 a
+    # spuriously-singular add can reach this state with a drifted E, so the
+    # first occurrence requests an exact repair (EXIT_CYCLE -> flat_refresh
+    # refactorizes, drops the pending constraint and re-opens); only a
+    # repaired lane declares infeasibility — the one-shot repair ladder of
+    # daqp.c:66-85 applied to the singular exit. ---
+    stuck = running & s.pend & ~do_remove
+    status = jnp.where(stuck,
+                       jnp.where(s.repaired, EXIT_INFEASIBLE, EXIT_CYCLE),
+                       s.status).astype(jnp.int32)
+
+    # --- primal + pricing on the non-removal, non-pending path ---
+    price_path = running & ~do_remove & ~s.pend
+    lamm = jnp.where(s.used, lam_star, 0)
+    u = -_mv(s.Mw.T, lamm)
+    softm = s.used & ((s.sense[s.sid] & SOFT) > 0)
+    soft_slack = st.rho_soft * jnp.sum(jnp.where(softm, lam_star ** 2, 0))
+    fval = soft_slack + _mv(u, u)
+    # dual-objective bound cut (daqp.c:20-23)
+    status = jnp.where(price_path & (fval > 2.0 * st.fval_bound),
+                       EXIT_INFEASIBLE, status).astype(jnp.int32)
+
+    mu = _mv(s.M, u)
+    bound = -st.primal_tol * s.scaling
+    viol_up = s.dupper - mu
+    viol_lo = mu - s.dlower
+    blocked = (s.sense & (ACTIVE | IMMUTABLE)) > 0
+    up_ok = (viol_up < bound) & ~blocked
+    lo_ok = (viol_lo < bound) & ~blocked & ~up_ok
+    candv = jnp.where(up_ok, viol_up, jnp.where(lo_ok, viol_lo, BIG))
+    j = jnp.argmin(candv).astype(jnp.int32)
+    found_viol = candv[j] < 0
+
+    # optimal: nothing violated on the priced path (repair/refinement is a
+    # scheduled batched pass in flat_solve, not an in-loop branch)
+    opt_flag = jnp.where(soft_slack > st.primal_tol, EXIT_SOFT_OPTIMAL,
+                         EXIT_OPTIMAL)
+    status = jnp.where(price_path & ~found_viol & (status == EXIT_RUNNING),
+                       opt_flag, status).astype(jnp.int32)
+
+    # cycle guard (daqp.c:66-85; repair deferred to the scheduled pass)
+    no_prog = fval - s.best_fval < st.progress_tol
+    cyc = jnp.where(price_path, jnp.where(no_prog, s.cycle + 1, 0), s.cycle)
+    best = jnp.where(price_path & ~no_prog, fval, s.best_fval)
+    status = jnp.where(price_path & no_prog & (cyc > st.cycle_tol)
+                       & (status == EXIT_RUNNING),
+                       EXIT_CYCLE, status).astype(jnp.int32)
+
+    s = s._replace(u=jnp.where(price_path, u, s.u),
+                   fval=jnp.where(price_path, fval, s.fval),
+                   soft_slack=jnp.where(price_path, soft_slack,
+                                        s.soft_slack),
+                   lam_star=jnp.where(running, lam_star, s.lam_star),
+                   cycle=cyc.astype(jnp.int32), best_fval=best)
+
+    # --- one masked addition: retry pending after a removal, or add the
+    #     pricing winner (daqp_add_infeasible, auxiliary.c:88-166) ---
+    retry_pend = s.pend & do_remove
+    price_add = price_path & found_viol & (status == EXIT_RUNNING)
+    do_add = retry_pend | price_add
+    add_id = jnp.where(retry_pend, s.pend_id, j)
+    add_row = jnp.where(retry_pend, s.pend_row, s.M[j])
+    add_lower = jnp.where(retry_pend, s.pend_lower, lo_ok[j])
+    one = jnp.asarray(1.0, dtype)
+    add_lam = jnp.where(retry_pend, s.pend_lam,
+                        jnp.where(lo_ok[j], -one, one))
+    # On the new-lam path the reference promotes lam <- lam* before adding
+    # (auxiliary.c:158-159)
+    lam2 = jnp.where(price_add, jnp.where(s.used, lam_star, 0), s.lam)
+    s = s._replace(lam=lam2, pend=s.pend & ~retry_pend)
+    s = _try_add(s, st, do_add, add_id, add_lam, add_row, add_lower)
+
+    return s._replace(
+        status=status,
+        iterations=s.iterations + running.astype(jnp.int32))
+
+
+def flat_gram(s: FlatState, st: Settings):
+    """Rebuild the (masked) Gram matrix from the slot rows:
+    G = M_W M_W' + rho_soft I_soft, identity on free slots."""
+    dtype = s.E.dtype
+    G = jnp.matmul(s.Mw, s.Mw.T, precision=_HI)
+    softm = s.used & ((s.sense[s.sid] & SOFT) > 0)
+    G = G + jnp.diag(jnp.where(softm, jnp.asarray(st.rho_soft, dtype), 0))
+    um = s.used
+    G = jnp.where(um[:, None] & um[None, :], G, 0)
+    return G + jnp.diag(jnp.where(um, 0.0, 1.0).astype(dtype))
+
+
+def flat_refresh(s: FlatState, st: Settings) -> FlatState:
+    """Scheduled numerical maintenance between solve rounds:
+
+    * one Newton polish E <- E(2I - G E) of the inverse Gram (two batched
+      K^3 GEMMs on the MXU) — the role of the reference's refactorization
+      repair (daqp.c:32-46) as a lockstep pass;
+    * cycle-flagged lanes get an EXACT refactorization (batched solve
+      against the rebuilt Gram) and re-open (daqp.c:66-85);
+    * optimal lanes get one iterative-refinement step (auxiliary.c:497-588
+      semantics via the polished inverse) — re-priced by the next round's
+      first iteration since their status stays terminal unless re-opened.
+    """
+    K = s.E.shape[0]
+    dtype = s.E.dtype
+    G = flat_gram(s, st)
+    I = jnp.eye(K, dtype=dtype)
+    um = s.used
+    Iu = jnp.diag(um.astype(dtype))
+    # Newton polish, guarded by the contraction condition ||GE - I|| < 1/2:
+    # outside it the iteration DIVERGES quadratically (observed as NaN
+    # states when unguarded), and terminal lanes are never touched.
+    P = jnp.matmul(G, s.E, precision=_HI)
+    resid = jnp.max(jnp.abs(P - Iu))
+    E_new = jnp.matmul(s.E, 2 * Iu - P, precision=_HI)
+    E_new = jnp.where(um[:, None] & um[None, :], E_new, 0)
+    newton_ok = (s.status == EXIT_RUNNING) & (resid < 0.5)
+    E1 = jnp.where(newton_ok, E_new, s.E)
+
+    # one-shot exact refactorization for cycle-flagged lanes (also the
+    # escape hatch for a drifted E outside the Newton basin).  Cholesky,
+    # not LU: G is SPD by construction (identity on free slots) and TPU's
+    # LU expander is orders of magnitude slower than the native Cholesky.
+    cyc = (s.status == EXIT_CYCLE) & ~s.repaired
+    parked = s.status == EXIT_REFACTOR   # unstable deletion pivot
+    need_exact = cyc | parked
+    cF = jnp.linalg.cholesky(G)
+    cF = jnp.where(jnp.isfinite(cF), cF, I)
+    E_exact = jax.scipy.linalg.cho_solve((cF, True), I)
+    E_exact = jnp.where(um[:, None] & um[None, :], E_exact, 0)
+    exact_ok = jnp.all(jnp.isfinite(E_exact))
+    E2 = jnp.where(need_exact & exact_ok, E_exact, E1)
+    status = jnp.where(need_exact & exact_ok, EXIT_RUNNING,
+                       s.status).astype(jnp.int32)
+    # a parked lane whose Gram is itself numerically singular gives up
+    status = jnp.where(parked & ~exact_ok, EXIT_CYCLE,
+                       status).astype(jnp.int32)
+    cyc = cyc & exact_ok
+    # a pending constraint of a repaired lane is dropped and re-priced
+    drop_pend = cyc & s.pend
+    m = s.M.shape[0]
+    sense = s.sense.at[jnp.where(drop_pend, s.pend_id, m)].set(
+        (s.sense[jnp.clip(s.pend_id, 0, m - 1)] & ~ACTIVE).astype(
+            jnp.int32), mode='drop')
+    return s._replace(
+        E=E2, status=status, sense=sense,
+        pend=s.pend & ~drop_pend,
+        repaired=s.repaired | cyc,
+        cycle=jnp.where(cyc, 0, s.cycle).astype(jnp.int32),
+        best_fval=jnp.where(cyc, jnp.asarray(-1.0, dtype), s.best_fval))
+
+
+def flat_polish(s: FlatState, st: Settings) -> FlatState:
+    """Post-convergence refinement for optimal lanes: one residual
+    correction of (lam*, u) through E, then a re-price that re-opens the
+    lane if a violation survives (the lockstep analogue of
+    daqp_refine_active + the optimal-path re-check, daqp.c:47-63)."""
+    dtype = s.E.dtype
+    is_opt = (s.status == EXIT_OPTIMAL) | (s.status == EXIT_SOFT_OPTIMAL)
+    used = s.used
+    sw = s.sense[s.sid]
+    d_W = jnp.where((sw & LOWER) > 0, s.dlower[s.sid], s.dupper[s.sid])
+    d_W = jnp.where(used, d_W, 0)
+    r = _mv(s.Mw, s.u) - d_W
+    softm = used & ((sw & SOFT) > 0)
+    r = r - jnp.where(softm, st.rho_soft * s.lam_star, 0)
+    r = jnp.where(used, r, 0)
+    dlam = _mv(s.E, r)
+    ok = is_opt & jnp.all(jnp.isfinite(dlam))
+    lam_star = s.lam_star + jnp.where(used, dlam, 0)
+    u = s.u - _mv(s.Mw.T, jnp.where(used, dlam, 0))
+    lam_star = jnp.where(ok, lam_star, s.lam_star)
+    u2 = jnp.where(ok, u, s.u)
+    soft_slack = st.rho_soft * jnp.sum(
+        jnp.where(softm, lam_star ** 2, 0))
+    fval = soft_slack + _mv(u2, u2)
+
+    # re-price: any remaining violation re-opens the lane
+    mu = _mv(s.M, u2)
+    blocked = (s.sense & (ACTIVE | IMMUTABLE)) > 0
+    viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
+            | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
+    reopen = ok & jnp.any(viol)
+    status = jnp.where(reopen, EXIT_RUNNING, s.status).astype(jnp.int32)
+    return s._replace(
+        lam_star=lam_star, u=u2, status=status,
+        soft_slack=jnp.where(ok, soft_slack, s.soft_slack),
+        fval=jnp.where(ok, fval, s.fval))
+
+
+def flat_activate(s: FlatState, st: Settings) -> FlatState:
+    """Activate sense-ACTIVE constraints (warm/equality start,
+    ``daqp_activate_constraints``, auxiliary.c:398-478).  Dependent
+    entries are dropped (pending is cleared), mirroring the
+    consistent-redundant-equality path."""
+    m = s.M.shape[0]
+
+    def body(i, s):
+        want = ((s.sense[i] & ACTIVE) > 0) & (s.status == EXIT_RUNNING)
+        in_slots = jnp.any(s.used & (s.sid == i))
+        want = want & ~in_slots
+        is_lower = (s.sense[i] & LOWER) > 0
+        one = jnp.asarray(1.0, s.E.dtype)
+        s = _try_add(s, st, want, jnp.asarray(i, jnp.int32),
+                     jnp.where(is_lower, -one, one), s.M[i], is_lower)
+        # a dependent activation is dropped rather than kept pending
+        return s._replace(pend=jnp.zeros((), bool))
+
+    return lax.fori_loop(0, m, body, s)
+
+
+def flat_solve(s: FlatState, st: Settings, inner_iters: int = 32,
+               do_refresh: bool = True, do_polish: bool = True) -> FlatState:
+    """Round-structured solve: lockstep iterations in chunks of
+    ``inner_iters`` with scheduled Newton refresh / exact repair / polish
+    between chunks.  Designed to be vmapped: the outer while exits only
+    when every lane is terminal, and converged lanes skip all per-round
+    work except the (cheap, GEMM-shaped) refresh they ride along with."""
+    iter_limit = jnp.asarray(st.iter_limit, jnp.int32)
+    # Hard cap on repair/polish rounds: a marginal lane that keeps being
+    # re-opened by the polish re-price must not drag the whole chunk
+    # through hundreds of (Cholesky-bearing) refresh rounds.
+    max_rounds = jnp.asarray(64, jnp.int32)
+
+    def outer_cond(c):
+        r, s = c
+        return (s.status == EXIT_RUNNING) & (s.iterations < iter_limit) \
+            & (r < max_rounds)
+
+    def outer_body(c):
+        r, s = c
+
+        def cond(c):
+            lim, s = c
+            return (s.status == EXIT_RUNNING) & (lim > 0) \
+                & (s.iterations < iter_limit)
+
+        def body(c):
+            lim, s = c
+            return lim - 1, flat_step(s, st)
+
+        _, s = lax.while_loop(cond, body,
+                              (jnp.asarray(inner_iters, jnp.int32), s))
+        if do_refresh:
+            s = flat_refresh(s, st)
+        if do_polish:
+            s = flat_polish(s, st)
+        return r + 1, s
+
+    _, s = lax.while_loop(outer_cond, outer_body,
+                          (jnp.zeros((), jnp.int32), s))
+    return s._replace(status=jnp.where(
+        (s.status == EXIT_RUNNING) & (s.iterations >= iter_limit),
+        EXIT_ITERLIMIT,
+        jnp.where(s.status == EXIT_RUNNING, EXIT_CYCLE,
+                  s.status)).astype(jnp.int32))
+
+
+def flat_extract_duals(s: FlatState) -> jnp.ndarray:
+    """Scatter slot duals to a dense (m,) vector, rescaled to the original
+    rows (daqp.c:135-138 + api.c:449-453)."""
+    m = s.M.shape[0]
+    idx = jnp.where(s.used, s.sid, m)
+    vals = s.lam_star * s.scaling[jnp.clip(s.sid, 0, m - 1)]
+    return jnp.zeros((m,), s.lam.dtype).at[idx].set(
+        jnp.where(s.used, vals, 0), mode='drop')

@@ -28,6 +28,16 @@ from jax import lax
 from .types import (ACTIVE, IMMUTABLE, SOFT, Settings, DAQP_INF,
                     EXIT_INFEASIBLE, EXIT_NONCONVEX)
 
+# TPU's default matmul precision is bf16; the transform feeds an active-set
+# solver whose tolerances assume true f32, so every contraction here pins
+# Precision.HIGHEST explicitly (observed 6e-3 errors in M = A R^{-1} and
+# 3e-2 in d at default precision on v5e).
+_HI = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class LDPData(NamedTuple):
     """Everything produced by the QP->LDP transform."""
@@ -164,13 +174,13 @@ def build_ldp(H: Optional[jnp.ndarray], f: Optional[jnp.ndarray],
     if f is None:
         v = jnp.zeros((n,), dtype)
     else:
-        v = Rinv_.T @ jnp.asarray(f, dtype)
+        v = _mm(Rinv_.T, jnp.asarray(f, dtype))
 
     # Materialized full constraint matrix: simple-bound rows are rows of Rinv
     if ms > 0:
-        M = jnp.concatenate([Rinv_[:ms, :], A @ Rinv_], axis=0)
+        M = jnp.concatenate([Rinv_[:ms, :], _mm(A, Rinv_)], axis=0)
     else:
-        M = A @ Rinv_
+        M = _mm(A, Rinv_)
 
     # Bounds checks (daqp_check_bounds, utils.c:457-478)
     bu = jnp.asarray(bupper, dtype)
@@ -193,7 +203,7 @@ def build_ldp(H: Optional[jnp.ndarray], f: Optional[jnp.ndarray],
     sense = jnp.where(zero_row, (sense | IMMUTABLE) & ~ACTIVE, sense)
 
     # d = b * scaling + M v   (daqp_update_d, utils.c:410-455)
-    Mv = M @ v
+    Mv = _mm(M, v)
     dupper = bu * scaling + Mv
     dlower = bl * scaling + Mv
 
@@ -210,8 +220,8 @@ def update_vd(ldp: LDPData, f: jnp.ndarray, bupper: jnp.ndarray,
     """Cheap re-solve update: recompute v and d only, keeping M/Rinv/scaling
     (the MPC contract: mask DAQP_UPDATE_v | DAQP_UPDATE_d,
     ``docs/docs/c.md:60-73``)."""
-    v = ldp.Rinv.T @ f if f is not None else jnp.zeros_like(ldp.v)
-    Mv = ldp.M @ v
+    v = _mm(ldp.Rinv.T, f) if f is not None else jnp.zeros_like(ldp.v)
+    Mv = _mm(ldp.M, v)
     dupper = bupper * ldp.scaling + Mv
     dlower = blower * ldp.scaling + Mv
     return ldp._replace(v=v, dupper=dupper, dlower=dlower)
@@ -219,7 +229,7 @@ def update_vd(ldp: LDPData, f: jnp.ndarray, bupper: jnp.ndarray,
 
 def update_d_from_v(ldp: LDPData, v: jnp.ndarray, bupper, blower) -> LDPData:
     """Set a caller-provided v (proximal outer loops) and refresh d."""
-    Mv = ldp.M @ v
+    Mv = _mm(ldp.M, v)
     return ldp._replace(v=v, dupper=bupper * ldp.scaling + Mv,
                         dlower=blower * ldp.scaling + Mv)
 
@@ -231,7 +241,7 @@ def check_unconstrained(ldp: LDPData, st: Settings):
     Returns (feasible, x_unc).  Callers must also gate on the absence of
     active/immutable constraints and special modes.
     """
-    x = -(ldp.Rinv @ ldp.v)
+    x = -_mm(ldp.Rinv, ldp.v)
     # The unconstrained LDP optimum is u = 0 (so x = -Rinv v = -H^{-1} f);
     # feasibility reduces to dlower <= 0 <= dupper on normalized rows.
     up_ok = ldp.dupper >= -st.primal_tol * ldp.scaling
@@ -244,4 +254,4 @@ def check_unconstrained(ldp: LDPData, st: Settings):
 
 def ldp_to_qp_solution(ldp: LDPData, u: jnp.ndarray):
     """x = Rinv (u - v)  (``ldp2qp_solution``, daqp.c:111-139)."""
-    return ldp.Rinv @ (u - ldp.v)
+    return _mm(ldp.Rinv, u - ldp.v)
