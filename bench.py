@@ -5,6 +5,16 @@ of 50-var/100-constraint strictly convex QPs, vmapped active-set solve").
 The north-star target is 100k QP solves/sec/chip at DAQP-equivalent
 accuracy (BASELINE.json:5); ``vs_baseline`` reports value / 100000.
 
+Measurement notes:
+  * the Pallas mega-kernel path (``solve_batch_pallas_jit``) is used:
+    the whole dual active-set loop runs VMEM-resident in 128-lane tiles;
+  * throughput is SUSTAINED: several distinct batches are pipelined and
+    synced via a host transfer of the exit flags (``block_until_ready``
+    acks early through the axon TPU tunnel and is not a true sync here);
+  * the accuracy gate mirrors the reference benchmark harness
+    (benchmark.jl:39,62-64): per-instance ||x - xref|| <= 2e-3 for the
+    f32 path.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
@@ -23,52 +33,49 @@ def main():
     from daqp_tpu.api import _as_settings
     from tests.gen import generate_test_qp_batch
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    B_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    B = 1024                         # per-call batch
+    NB = max(1, B_total // B)
     n, m, ms, nact, kappa = 50, 100, 0, 40, 1e2
-    dtype = np.float32
 
-    d = generate_test_qp_batch(B, n, m, ms, nact, kappa, rng=2026,
-                               dtype=dtype)
+    d = generate_test_qp_batch(NB * B, n, m, ms, nact, kappa, rng=2026,
+                               dtype=np.float32)
     st = _as_settings({"iter_limit": 1000}, jnp.float32)
 
-    H = jnp.asarray(d['H'])
-    f = jnp.asarray(d['f'])
-    A = jnp.asarray(d['A'])
-    bu = jnp.asarray(d['bupper'])
-    bl = jnp.asarray(d['blower'])
-    sense = jnp.asarray(d['sense'])
+    keys = ('H', 'f', 'A', 'bupper', 'blower', 'sense')
+    batches = [[jnp.asarray(d[k][i * B:(i + 1) * B]) for k in keys]
+               for i in range(NB)]
+    _ = [np.asarray(b[0][0, 0, 0]) for b in batches]   # inputs resident
 
-    def run():
-        res = batch_mod.solve_batch_flat_jit(H, f, A, bu, bl, sense, st,
-                                              ms=ms)
-        jax.block_until_ready(res)
-        return res
+    def solve(b):
+        return batch_mod.solve_batch_pallas_jit(*b, st=st, ms=ms)
 
-    res = run()  # compile + first run
-    # Accuracy gate (benchmark.jl:39,62-64): ||x - xref|| <= 1e-4 per
-    # instance (f32 path: relax to 2e-3 consistent with single precision).
-    err = np.linalg.norm(np.asarray(res.x) - d['x'], axis=1)
-    flags = np.asarray(res.exitflag)
-    ok = float(np.mean((flags == 1) & (err < 2e-3)))
+    # compile + warm + accuracy check on the first batch
+    res0 = solve(batches[0])
+    x0 = np.asarray(res0.x)
+    flags0 = np.asarray(res0.exitflag)
+    err = np.linalg.norm(x0 - d['x'][:B], axis=1)
+    ok = float(np.mean((flags0 == 1) & (err < 2e-3)))
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    solves_per_sec = B / t
+    t0 = time.perf_counter()
+    rs = [solve(b) for b in batches]
+    flags = np.concatenate([np.asarray(r.exitflag) for r in rs])  # true sync
+    t1 = time.perf_counter()
+    total = NB * B
+    solves_per_sec = total / (t1 - t0)
 
     print(json.dumps({
         "metric": "QP solves/sec/chip (50-var/100-constraint dense, "
-                  f"batch {B})",
+                  f"{total} solves sustained)",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 100000.0, 4),
-        "batch": B,
+        "batches": NB,
+        "batch_size": B,
         "accuracy_pass_rate": ok,
-        "median_iters": int(np.median(np.asarray(res.iterations))),
-        "wall_s": round(t, 4),
+        "optimal_rate": float(np.mean(flags == 1)),
+        "median_iters": int(np.median(np.asarray(res0.iterations))),
+        "wall_s": round(t1 - t0, 4),
     }))
 
 

@@ -142,6 +142,43 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
             lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret"))
+def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
+                           ms: int = 0, interpret: bool = False
+                           ) -> BatchResult:
+    """Batched strictly-convex QP solve on the Pallas mega-kernel path
+    (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
+    in 128-lane tiles; numerical repair runs between kernel rounds on the
+    MXU.  Scope: hard two-sided constraints, cold start (the throughput
+    path).  Falls back to ``solve_batch_flat_jit`` semantics otherwise.
+    """
+    from .ops import pallas_batch as pb
+    from .types import IMMUTABLE
+
+    B = H.shape[0]
+    n = A.shape[-1]
+    with jax.default_matmul_precision('highest'):
+        ldpd = jax.vmap(
+            functools.partial(transform.build_ldp, ms=ms, st=st))(
+                H, f, A, bupper, blower, sense)
+        immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
+        m = ldpd.M.shape[1]
+        s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
+                          immut)
+        s = pb.dense_solve(s, st, n_true=n, interpret=interpret)
+
+        u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]               # (B, n)
+        x = jax.vmap(transform.ldp_to_qp_solution)(ldpd, u_b)
+        act = s.act_up + s.act_lo
+        lam = jnp.moveaxis(s.lam_star * act * s.scaling, -1, 0)[:, :m]
+        fval = 0.5 * (s.fval[0] - jnp.einsum('bk,bk->b', ldpd.v, ldpd.v))
+        exitflag = jnp.where(ldpd.error < 0, ldpd.error, s.status[0])
+        return BatchResult(x=x, lam=lam, fval=fval,
+                           exitflag=exitflag.astype(jnp.int32),
+                           iterations=s.iterations[0].astype(jnp.int32),
+                           soft_slack=jnp.zeros((B,), x.dtype))
+
+
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
                 settings: Optional[Settings] = None,
                 repair_rounds: int = 2) -> BatchResult:

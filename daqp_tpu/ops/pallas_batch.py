@@ -1,0 +1,571 @@
+"""Pallas TPU mega-kernel: the whole dual active-set iteration in VMEM.
+
+The XLA-composed batched solver (``ldp_flat``) is correct but pays ~3 ms
+per lockstep iteration for a 512-lane chunk: every iteration is ~30
+separate HLO ops, each a full HBM round-trip over (B, K, K) state.  At
+~50 kFLOPs per lane-iteration the arithmetic is trivial — the cost is all
+memory traffic and kernel dispatch.  This kernel removes both:
+
+  * **One ``pallas_call`` runs up to ``STEPS`` iterations for a tile of
+    L = 128 lanes with every piece of solver state resident in VMEM**
+    (E: (m, m, L) inverse Gram, M: (m, n, L) rows, bounds, masks,
+    per-lane scalars).  m = 100, n = 50 uses ~9 MB of the ~16 MB VMEM.
+  * **Lanes-last layout**: the batch is the minor (lane) dimension, so
+    every scalar op of the reference C loop becomes one (sublane, 128)
+    vector op on the VPU — the tiling the hardware wants.
+  * **Gather-free dense-mask formulation**: the reference's ordered
+    working set (and ldp_flat's slot table) index by position; here a
+    constraint's OWN row/column of E is its slot.  Working-set membership
+    is a pair of (m, L) masks (upper/lower side), selections are one-hot
+    masks built by comparing a broadcasted iota with an argmin — there is
+    no gather, no scatter, no compaction anywhere.  E is (m, m) instead
+    of (K, K); the extra zero block costs FLOPs the VPU has to spare.
+
+Algorithmic content is identical to ``ldp_flat``/``ldp`` (reference
+``src/daqp.c``, ``src/auxiliary.c``, ``src/factorization.c``): CSP via the
+explicit inverse, min-ratio blocking removal with a pivot-stability guard,
+Dantzig pricing, bordered addition with pending-singular handling, cycle
+guard.  Numerical repair (Newton polish / exact Cholesky refactorization /
+iterative refinement) stays OUTSIDE the kernel in the JAX driver
+(``pallas_flat_solve``), between kernel rounds — it runs on the MXU over
+the full batch and only every ``STEPS`` iterations.
+
+Scope (v1): strictly convex QPs, two-sided bounds, hard constraints, cold
+start — the throughput path (BASELINE config 2).  Soft/binary/warm paths
+use the XLA solvers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+from ..types import (Settings, DAQP_INF, EXIT_CYCLE, EXIT_INFEASIBLE,
+                     EXIT_ITERLIMIT, EXIT_OPTIMAL, EXIT_RUNNING,
+                     EXIT_SOFT_OPTIMAL)
+from ..ldp_flat import EXIT_REFACTOR
+
+LANES = 128          # lanes per kernel program (TPU lane width)
+
+
+class DenseState(NamedTuple):
+    """Dense-mask batched solver state, lanes-last: trailing dim is B."""
+    M: jnp.ndarray        # (m, n, B)
+    dupper: jnp.ndarray   # (m, B)
+    dlower: jnp.ndarray   # (m, B)
+    scaling: jnp.ndarray  # (m, B)
+    immut: jnp.ndarray    # (m, B) f32 0/1
+    act_up: jnp.ndarray   # (m, B) f32 0/1
+    act_lo: jnp.ndarray   # (m, B) f32 0/1
+    E: jnp.ndarray        # (m, m, B)
+    lam: jnp.ndarray      # (m, B) dual iterate (by constraint row)
+    lam_star: jnp.ndarray  # (m, B) last CSP solution
+    pend: jnp.ndarray     # (1, B) f32 0/1
+    pend_oh: jnp.ndarray  # (m, B) one-hot of the pending constraint
+    pend_lam: jnp.ndarray  # (1, B)
+    pend_lo: jnp.ndarray  # (1, B) f32 0/1
+    u: jnp.ndarray        # (n, B)
+    fval: jnp.ndarray     # (1, B)
+    best_fval: jnp.ndarray  # (1, B)
+    cycle: jnp.ndarray    # (1, B) f32 counter
+    repaired: jnp.ndarray  # (1, B) f32 0/1
+    iterations: jnp.ndarray  # (1, B) f32
+    status: jnp.ndarray   # (1, B) int32
+
+
+def _row_chunks(m: int, target: int = 25):
+    """Static row-chunk boundaries for E passes (VMEM temp control)."""
+    rc = target
+    while m % rc != 0:
+        rc -= 1
+    return [(i * rc, rc) for i in range(m // rc)]
+
+
+def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
+                 M_ref, du_ref, dl_ref, sc_ref, im_ref,
+                 au_ref, al_ref, E_ref, lam_ref, ls_ref,
+                 pd_ref, po_ref, pl_ref, plo_ref,
+                 u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
+                 au_o, al_o, E_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
+                 u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                 E_s, M_s):
+    """``steps`` masked dual active-set iterations for one 128-lane tile.
+
+    E lives in its (aliased) output ref and is read/updated in static row
+    chunks — whole-array (m, m, L) temporaries would blow the ~16 MB VMEM
+    budget (observed 27 MB scoped-stack OOM with the naive formulation).
+    """
+    f32 = jnp.float32
+    BIG = f32(DAQP_INF)
+    dtol = f32(st.dual_tol)
+    ptol = f32(st.primal_tol)
+    pivtol = f32(st.pivot_tol)
+    singtol = f32(st.sing_tol)
+    progtol = f32(st.progress_tol)
+    cyctol = f32(st.cycle_tol)
+    chunks = _row_chunks(m)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    du = du_ref[:]
+    dl = dl_ref[:]
+    sc = sc_ref[:]
+    im = im_ref[:]
+
+    # Big buffers (E, M) and the state inputs live UNBLOCKED in HBM; grid-
+    # blocked VMEM windows are double-buffered by the pipeline, which blew
+    # the 16 MB budget.  E and M use single-buffered VMEM *scratch* filled
+    # by explicit DMA; the small states DMA into their (blocked) output
+    # windows.
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, lam_ref, ls_ref, pd_ref, po_ref,
+               pl_ref, plo_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref,
+               it_ref, stt_ref]
+    out_refs = [au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
+                u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o]
+
+    def load_state(sems):
+        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                        sems.at[0]),
+                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                        sems.at[1])]
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i + 2]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_state,
+                  pltpu.SemaphoreType.DMA((len(in_refs) + 2,)))
+    M = M_s[:]            # (m, n, L)
+
+    iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)   # (m, 1)
+
+    def contract2(x1, x2):
+        # two contractions through one row-chunked pass over E:
+        # out[i, l] = sum_j E[i, j, l] x[j, l]
+        o1, o2 = [], []
+        for off, rc in chunks:
+            Eb = E_s[off:off + rc]
+            o1.append(jnp.sum(Eb * x1[None, :, :], axis=1))
+            o2.append(jnp.sum(Eb * x2[None, :, :], axis=1))
+        return jnp.concatenate(o1, axis=0), jnp.concatenate(o2, axis=0)
+
+    def update_E(c_del, e, c_add, w, keep):
+        # one read-modify-write pass:
+        # E <- (E + c_del e e') * keep_i keep_j + c_add w w'
+        for off, rc in chunks:
+            Eb = E_s[off:off + rc]
+            Eb = (Eb + c_del[None, :, :] * e[off:off + rc][:, None, :]
+                  * e[None, :, :]) \
+                * keep[off:off + rc][:, None, :] * keep[None, :, :] \
+                + c_add[None, :, :] * w[off:off + rc][:, None, :] \
+                * w[None, :, :]
+            E_s[off:off + rc] = Eb
+
+    def rowdot(y):
+        # out[i, l] = sum_k M[i, k, l] y[k, l]
+        return jnp.sum(M * y[None, :, :], axis=1)
+
+    def coldot(w):
+        # out[k, l] = sum_i M[i, k, l] w[i, l]
+        return jnp.sum(M * w[:, None, :], axis=0)
+
+    def first_min_onehot(cand):
+        # (m, L) -> one-hot (m, L) of the first row-minimum, + (1, L) min
+        cmin = jnp.min(cand, axis=0, keepdims=True)
+        idx = jnp.argmin(cand, axis=0, keepdims=True).astype(jnp.int32)
+        oh = (iota_m == idx).astype(f32)
+        return oh, cmin
+
+    def body(_, carry):
+        (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
+         stt) = carry
+        run = (stt == EXIT_RUNNING).astype(f32)          # (1, L)
+
+        act = au + al                                     # (m, L) 0/1
+        d_W = (au * du + al * dl)                         # (m, L)
+        g_p = rowdot(coldot(po)) * act                    # pending Gram col
+        # E pass 1: CSP + pending null direction
+        lam_star_neg, a_p = contract2(d_W, g_p)
+        lam_star = -lam_star_neg
+        sgn_p = 1.0 - 2.0 * plo                           # (1, L)
+        sdir = -a_p * sgn_p                               # auxiliary.c:356
+
+        # blocking min-ratio line search (auxiliary.c:276-311)
+        delta = pd * sdir + (1.0 - pd) * (lam_star - lam)
+        signv = pd * sdir + (1.0 - pd) * lam_star
+        # f32 mask algebra (Mosaic cannot select between i1 vectors)
+        infeas = al * (signv > dtol).astype(f32) \
+            + (1.0 - al) * (signv < -dtol).astype(f32)
+        elig = infeas * act * (1.0 - im)
+        ratio = -lam / delta
+        cand = jnp.where((elig > 0) & jnp.isfinite(ratio), ratio, BIG)
+        oh_rm, rmin = first_min_onehot(cand)
+        do_rm0 = run * (rmin < BIG).astype(f32)           # pre-guard
+
+        # primal + pricing (no E access; gates applied later)
+        lam_sel = lam_star * act
+        u_new = -coldot(lam_sel)
+        fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True)
+        mu = rowdot(u_new)
+        bound = -ptol * sc
+        v_up = du - mu
+        v_lo = mu - dl
+        blocked = (act > 0) | (im > 0) | (po > 0)
+        up_ok = (v_up < bound) & ~blocked
+        lo_ok = (v_lo < bound) & ~blocked & ~up_ok
+        cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
+        oh_j, vmin = first_min_onehot(cand2)
+        found = (vmin < 0).astype(f32)
+        j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
+
+        # add candidate (retry pending after removal, or pricing winner);
+        # wrong-but-gated when the pivot guard cancels the removal below
+        retry = pd * do_rm0
+        price0 = run * (1.0 - do_rm0) * (1.0 - pd)
+        padd0 = price0 * found
+        add_oh = retry * po + padd0 * oh_j                # (m, L)
+        add_lo = retry * plo + padd0 * j_lo
+        add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
+        mj = coldot(add_oh)                               # (n, L)
+        g = rowdot(mj) * act
+        keep0 = 1.0 - oh_rm * do_rm0
+        g_k = g * keep0
+
+        # E pass 2: removed column + Schur vector
+        e, a_pre = contract2(oh_rm, g_k)
+        err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
+        bad = (do_rm0 > 0) & (err < pivtol * jnp.max(jnp.abs(e), axis=0,
+                                                     keepdims=True))
+        stt = jnp.where(bad, EXIT_REFACTOR, stt)
+        do_rm = do_rm0 * (1.0 - bad.astype(f32))
+        keep = 1.0 - oh_rm * do_rm
+        err_s = jnp.where(err != 0, err, 1.0)
+
+        # post-deletion Schur vector without a third E pass:
+        # a' = keep (a_pre - e (e.g_k)/err) when removing
+        ec = jnp.sum(e * g_k, axis=0, keepdims=True) / err_s
+        a_post = keep * (a_pre - do_rm * e * ec)
+
+        # line-search dual update (masked removal)
+        alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
+        lam = (lam + alpha * delta * act) * keep
+        plm = plm + alpha * sgn_p * pd
+        au = au * keep
+        al = al * keep
+
+        # pending with no blocker: repair once, then infeasible
+        stuck = (stt == EXIT_RUNNING) & (pd > 0) & (do_rm == 0) & (run > 0)
+        stt = jnp.where(stuck,
+                        jnp.where(rp > 0, EXIT_INFEASIBLE, EXIT_CYCLE),
+                        stt)
+
+        price = price0 * (stt == EXIT_RUNNING).astype(f32)
+        stt = jnp.where((price > 0) & (found == 0), EXIT_OPTIMAL, stt)
+
+        # cycle guard (daqp.c:66-85; repair deferred to the driver)
+        no_prog = (fv_new - bf < progtol).astype(f32)
+        cy = price * (no_prog * (cy + 1.0)) + (1.0 - price) * cy
+        bf = jnp.where((price > 0) & (no_prog == 0), fv_new, bf)
+        stt = jnp.where((price > 0) & (cy > cyctol)
+                        & (stt == EXIT_RUNNING), EXIT_CYCLE, stt)
+
+        u = price * u_new + (1.0 - price) * u
+        fv = price * fv_new + (1.0 - price) * fv
+        ls = run * lam_star + (1.0 - run) * ls
+        # promote lam <- lam* before a priced add (auxiliary.c:158-159)
+        padd = padd0 * (stt == EXIT_RUNNING).astype(f32)
+        lam = jnp.where(padd > 0, lam_star * act, lam)
+
+        # Schur complement & singularity (factorization.c:7-98)
+        dii = jnp.sum(mj * mj, axis=0, keepdims=True)
+        sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
+        k = jnp.sum(act, axis=0, keepdims=True)
+        sing = ((sval < singtol) | (k >= n_true)).astype(f32)
+
+        do_add = retry * (1.0 - bad.astype(f32)) + padd
+        ok = do_add * (1.0 - sing)
+        w = jnp.where(add_oh > 0, -1.0, a_post * act)
+        # E pass 3: combined deletion + rescale + bordered addition
+        update_E(-do_rm / err_s, e,
+                 ok / jnp.where(sval != 0, sval, 1.0), w, keep)
+        au = jnp.minimum(au + ok * add_oh * (1.0 - add_lo), 1.0)
+        al = jnp.minimum(al + ok * add_oh * add_lo, 1.0)
+        lam = lam + ok * add_oh * add_lam
+
+        mk_pend = do_add * sing
+        pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
+        po = jnp.where(mk_pend > 0, add_oh, po) * pd
+        plm = jnp.where(mk_pend > 0, add_lam, plm)
+        plo = jnp.where(mk_pend > 0, add_lo, plo)
+
+        it = it + run
+        return (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp,
+                it, stt)
+
+    carry = (au_o[:], al_o[:], lam_o[:], ls_o[:],
+             pd_o[:], po_o[:], pl_o[:], plo_o[:], u_o[:],
+             fv_o[:], bf_o[:], cy_o[:], rp_o[:], it_o[:],
+             stt_o[:])
+    carry = lax.fori_loop(0, steps, body, carry)
+    (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
+     stt) = carry
+    au_o[:] = au
+    al_o[:] = al
+    lam_o[:] = lam
+    ls_o[:] = ls
+    pd_o[:] = pd
+    po_o[:] = po
+    pl_o[:] = plm
+    plo_o[:] = plo
+    u_o[:] = u
+    fv_o[:] = fv
+    bf_o[:] = bf
+    cy_o[:] = cy
+    rp_o[:] = rp
+    it_o[:] = it
+    stt_o[:] = stt
+
+    def store_E(sem):
+        cp = pltpu.make_async_copy(E_s, E_o.at[lane_idx3], sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(store_E, pltpu.SemaphoreType.DMA(()))
+
+
+def run_kernel_round(s: DenseState, st: Settings, n_true: int,
+                     steps: int = 64,
+                     interpret: bool = False) -> DenseState:
+    """One kernel round: ``steps`` masked iterations per lane, tiled over
+    the batch in 128-lane programs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    in_state = [s.act_up, s.act_lo, s.E, s.lam, s.lam_star, s.pend,
+                s.pend_oh, s.pend_lam, s.pend_lo, s.u, s.fval,
+                s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
+    const = [s.M, s.dupper, s.dlower, s.scaling, s.immut]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
+        + [any_spec for _ in in_state]
+    out_specs = tuple(any_spec if a is s.E else spec(a.shape)
+                      for a in in_state)
+    out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in in_state)
+    scratch_shapes = [pltpu.VMEM((m, m, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32)]
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_kernel_body, st, m, n, n_true, steps)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*const, *in_state)
+    return s._replace(act_up=outs[0], act_lo=outs[1], E=outs[2],
+                      lam=outs[3], lam_star=outs[4], pend=outs[5],
+                      pend_oh=outs[6], pend_lam=outs[7], pend_lo=outs[8],
+                      u=outs[9], fval=outs[10], best_fval=outs[11],
+                      cycle=outs[12], repaired=outs[13],
+                      iterations=outs[14], status=outs[15])
+
+
+# ---------------------------------------------------------------------------
+# JAX driver: init, between-round repair, outer loop, extraction
+# ---------------------------------------------------------------------------
+_HI = lax.Precision.HIGHEST
+
+
+def dense_init(M_b, du_b, dl_b, sc_b, immut_b) -> DenseState:
+    """Build lanes-last state from batch-leading LDP data arrays
+    ((B, m, n), (B, m), ...).
+
+    m and n are zero-padded to multiples of 8 (TPU DMA slice tiling);
+    padded rows get infinite bounds and the IMMUTABLE mask so they never
+    participate.  Callers slice outputs back to the true sizes.
+    """
+    B, m, n = M_b.shape
+    f32 = jnp.float32
+    mp = (-m) % 8
+    np_ = (-n) % 8
+    if mp or np_:
+        M_b = jnp.pad(M_b, ((0, 0), (0, mp), (0, np_)))
+        big = jnp.asarray(DAQP_INF, du_b.dtype)
+        du_b = jnp.pad(du_b, ((0, 0), (0, mp)), constant_values=big)
+        dl_b = jnp.pad(dl_b, ((0, 0), (0, mp)), constant_values=-big)
+        sc_b = jnp.pad(sc_b, ((0, 0), (0, mp)), constant_values=1.0)
+        immut_b = jnp.pad(immut_b, ((0, 0), (0, mp)), constant_values=1.0)
+        m, n = m + mp, n + np_
+    T = lambda x: jnp.moveaxis(x, 0, -1)
+    z_m = jnp.zeros((m, B), f32)
+    z1 = jnp.zeros((1, B), f32)
+    return DenseState(
+        M=T(M_b).astype(f32), dupper=T(du_b).astype(f32),
+        dlower=T(dl_b).astype(f32), scaling=T(sc_b).astype(f32),
+        immut=T(immut_b).astype(f32),
+        act_up=z_m, act_lo=z_m, E=jnp.zeros((m, m, B), f32),
+        lam=z_m, lam_star=z_m,
+        pend=z1, pend_oh=z_m, pend_lam=z1, pend_lo=z1,
+        u=jnp.zeros((n, B), f32), fval=z1, best_fval=z1 - 1.0,
+        cycle=z1, repaired=z1, iterations=z1,
+        status=jnp.full((1, B), EXIT_RUNNING, jnp.int32))
+
+
+def _gram(s: DenseState):
+    """G = (act M)(act M)' on the active block, identity on inactive
+    rows/cols; batch-last einsum (rides the MXU)."""
+    m = s.M.shape[0]
+    act = s.act_up + s.act_lo                     # (m, B)
+    Ma = s.M * act[:, None, :]
+    G = jnp.einsum('ikb,jkb->ijb', Ma, Ma, precision=_HI)
+    G = G * (act[:, None, :] * act[None, :, :])
+    eye = jnp.eye(m, dtype=G.dtype)[:, :, None]
+    return G + eye * (1.0 - act)[None, :, :]
+
+
+def exact_repair(s: DenseState, st: Settings) -> DenseState:
+    """Exact Cholesky refactorization of E for parked / cycling lanes
+    (the escape hatch for the kernel's deletion-pivot guard and the
+    one-shot cycle repair, daqp.c:66-85).  Call under a lax.cond gated on
+    ``jnp.any(repair_needed(s))`` — it prices a batched (B, m, m)
+    Cholesky."""
+    m = s.M.shape[0]
+    act = s.act_up + s.act_lo
+    actm = act[:, None, :] * act[None, :, :]
+    G = _gram(s)
+    Gb = jnp.moveaxis(G, -1, 0)                  # (B, m, m)
+    Eb = jnp.moveaxis(s.E, -1, 0)
+
+    parked = s.status[0] == EXIT_REFACTOR
+    cyc = (s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0)
+    need = parked | cyc
+    cF = jnp.linalg.cholesky(Gb)
+    cF = jnp.where(jnp.isfinite(cF), cF, jnp.eye(m, dtype=cF.dtype))
+    E_exact = jax.scipy.linalg.cho_solve(
+        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=cF.dtype),
+                                     Gb.shape))
+    exact_ok = jnp.all(jnp.isfinite(E_exact), axis=(1, 2))
+    fix = need & exact_ok
+    Eb = jnp.where(fix[:, None, None], E_exact, Eb)
+    E2 = jnp.moveaxis(Eb, 0, -1) * actm
+    status = jnp.where(fix[None, :], EXIT_RUNNING, s.status)
+    status = jnp.where((parked & ~exact_ok)[None, :], EXIT_CYCLE, status)
+    # a cycling lane's pending constraint is dropped and re-priced
+    drop = (cyc & exact_ok)[None, :].astype(s.pend.dtype)
+    return s._replace(
+        E=E2, status=status,
+        pend=s.pend * (1 - drop),
+        pend_oh=s.pend_oh * (1 - drop),
+        repaired=jnp.minimum(s.repaired + (cyc & exact_ok)[None, :], 1.0),
+        cycle=s.cycle * (1 - fix[None, :]),
+        best_fval=jnp.where(fix[None, :], -1.0, s.best_fval))
+
+
+def repair_needed(s: DenseState):
+    return (s.status[0] == EXIT_REFACTOR) \
+        | ((s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0))
+
+
+def polish(s: DenseState, st: Settings) -> DenseState:
+    """One iterative-refinement step of (lam*, u) for optimal lanes plus a
+    re-price that re-opens a lane if a violation survives
+    (auxiliary.c:497-588 + the optimal-path re-check, daqp.c:47-63).
+    Runs OUTSIDE the round loop — accuracy work, not progress work."""
+    act = s.act_up + s.act_lo
+    is_opt = s.status[0] == EXIT_OPTIMAL
+    d_W = s.act_up * s.dupper + s.act_lo * s.dlower
+    r = jnp.einsum('ikb,kb->ib', s.M, s.u, precision=_HI) - d_W
+    r = r * act
+    dlam = jnp.einsum('ijb,jb->ib', s.E, r, precision=_HI)
+    okl = is_opt & jnp.all(jnp.isfinite(dlam), axis=0)
+    lam_star = s.lam_star + jnp.where(okl[None, :], dlam * act, 0)
+    u2 = s.u - jnp.einsum('ikb,ib->kb', s.M,
+                          jnp.where(okl[None, :], dlam * act, 0),
+                          precision=_HI)
+    u2 = jnp.where(okl[None, :], u2, s.u)
+    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True)
+    mu = jnp.einsum('ikb,kb->ib', s.M, u2, precision=_HI)
+    blocked = (act > 0) | (s.immut > 0)
+    viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
+            | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
+    reopen = okl & jnp.any(viol, axis=0)
+    return s._replace(
+        lam_star=jnp.where(okl[None, :], lam_star, s.lam_star),
+        u=u2,
+        fval=jnp.where(okl[None, :], fv2, s.fval),
+        status=jnp.where(reopen[None, :], EXIT_RUNNING, s.status))
+
+
+def dense_solve(s: DenseState, st: Settings, n_true: int = None,
+                steps: int = 64,
+                max_rounds: int = 16, interpret: bool = False
+                ) -> DenseState:
+    """Kernel rounds until every lane is terminal; exact repair runs only
+    when some lane actually needs it (a real branch at batch level — a
+    whole-batch lax.cond, unlike per-lane conds under vmap); refinement
+    polish runs after convergence, with up to two bounded re-open cycles
+    for lanes whose refined iterate still shows a violation."""
+    iter_limit = jnp.minimum(
+        jnp.asarray(st.iter_limit, jnp.float32),
+        jnp.asarray(steps * max_rounds, jnp.float32))
+    nt = s.M.shape[1] if n_true is None else n_true
+
+    def rounds(c):
+        r, s = c
+
+        def cond(c):
+            r, s = c
+            return (r < max_rounds) & jnp.any(
+                (s.status == EXIT_RUNNING) & (s.iterations < iter_limit))
+
+        def body(c):
+            r, s = c
+            s = run_kernel_round(s, st, nt, steps=steps,
+                                 interpret=interpret)
+            s = lax.cond(jnp.any(repair_needed(s)),
+                         lambda s: exact_repair(s, st), lambda s: s, s)
+            return r + 1, s
+
+        return lax.while_loop(cond, body, (r, s))
+
+    r, s = rounds((jnp.zeros((), jnp.int32), s))
+    for _ in range(2):
+        s = polish(s, st)
+        r, s = rounds((r, s))
+
+    done_running = s.status == EXIT_RUNNING
+    return s._replace(status=jnp.where(
+        done_running & (s.iterations >= iter_limit),
+        EXIT_ITERLIMIT,
+        jnp.where(done_running, EXIT_CYCLE, s.status)).astype(jnp.int32))

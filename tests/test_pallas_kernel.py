@@ -1,0 +1,34 @@
+"""Pallas mega-kernel path (interpret mode on CPU): correctness vs
+constructed solutions and vs the ordered solver."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import daqp_tpu
+from daqp_tpu import batch as batch_mod
+from daqp_tpu.api import _as_settings
+from tests.gen import generate_test_qp_batch
+
+
+def test_pallas_kernel_interpret_correct():
+    B, n, m, ms, nact = 128, 20, 40, 0, 12
+    d = generate_test_qp_batch(B, n, m, ms, nact, 1e2, rng=5,
+                               dtype=np.float32)
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    res = batch_mod.solve_batch_pallas_jit(
+        *[jnp.asarray(d[k]) for k in
+          ('H', 'f', 'A', 'bupper', 'blower', 'sense')],
+        st=st, ms=ms, interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.all(flags == daqp_tpu.EXIT_OPTIMAL), \
+        np.unique(flags, return_counts=True)
+    err = np.linalg.norm(np.asarray(res.x) - d['x'], axis=1)
+    assert err.max() < 2e-3, err.max()
+    # dual feasibility/stationarity through the returned multipliers
+    b0 = 0
+    lam = np.asarray(res.lam)[b0]
+    grad = d['H'][b0] @ np.asarray(res.x)[b0] + d['f'][b0] \
+        + d['A'][b0].T @ lam
+    assert np.linalg.norm(grad) < 5e-3, np.linalg.norm(grad)
