@@ -203,6 +203,17 @@ class Model:
             jnp.asarray(self._bupper, dt), jnp.asarray(self._blower, dt))
         return self
 
+    # -- codegen ----------------------------------------------------------
+    def codegen(self, name="daqp_embedded", dir="."):
+        """Render the model's problem into standalone embedded C
+        (reference ``DAQPBase.codegen``, api.jl:393-404 ->
+        codegen/codegen.c).  Returns the generated .c path."""
+        from . import codegen as cg
+        return cg.render_c(self._H, self._f, self._A, self._bupper,
+                           self._blower, name=name, dir=dir,
+                           sense=self._sense, ms=self._ms,
+                           settings=self._settings)
+
     # -- settings ---------------------------------------------------------
     def settings(self, updates: Optional[dict] = None) -> dict:
         from .api import _as_settings
