@@ -1,0 +1,141 @@
+"""Benchmark suite: QP/LP grids with median-of-medians timing to CSV.
+
+Port of the reference harness (``test/benchmark.jl``): pinned problem
+sizes small/medium/large (benchmark.jl:32-36), correctness gate
+||x - xref|| <= 1e-4 (benchmark.jl:39,62-64), median-of-medians setup/solve
+timing written to CSV.  The batched TPU dimension is added as its own
+suite (solves/sec at several batch sizes).
+
+Usage:
+    python benchmarks/suite.py [--suite small|medium|large|batch|all]
+                               [--out results.csv] [--repeats 5]
+"""
+import argparse
+import csv
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '.')
+
+# (n, m, ms, nAct) grids, kappa = 1e2 (benchmark.jl:32-36)
+SUITES = {
+    "small": [(10, 50, 5, 8)],
+    "medium": [(50, 250, 25, 40), (100, 500, 50, 80)],
+    "large": [(200, 1000, 100, 160), (500, 2500, 250, 400)],
+}
+KAPPA = 1e2
+N_PROBLEMS = 10
+TOL = 1e-4
+
+
+def _bench_qp(sizes, repeats, rows):
+    import daqp_tpu
+    from tests.gen import generate_test_qp
+    for (n, m, ms, nact) in sizes:
+        rng = np.random.default_rng(1000 + n)
+        probs = [generate_test_qp(n, m, ms, nact, KAPPA, rng)
+                 for _ in range(N_PROBLEMS)]
+        # compile once on the first problem
+        x, H, f, A, bu, bl, sense = probs[0]
+        daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=ms)
+        med_times, errs, iters = [], [], []
+        for (x, H, f, A, bu, bl, sense) in probs:
+            ts = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                res = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=ms)
+                np.asarray(res.x)       # true sync
+                ts.append(time.perf_counter() - t0)
+            err = float(np.linalg.norm(np.asarray(res.x) - x))
+            assert err < TOL, (n, m, err)
+            med_times.append(statistics.median(ts))
+            errs.append(err)
+            iters.append(int(res.iterations))
+        rows.append(dict(kind="qp", n=n, m=m, ms=ms, nAct=nact,
+                         solve_ms=1e3 * statistics.median(med_times),
+                         max_err=max(errs),
+                         median_iters=int(statistics.median(iters))))
+        print(rows[-1], flush=True)
+
+
+def _bench_lp(sizes, repeats, rows):
+    import daqp_tpu
+    from tests.gen import generate_test_lp
+    for (n, m, ms, _) in sizes:
+        rng = np.random.default_rng(2000 + n)
+        probs = [generate_test_lp(n, m, ms, rng) for _ in range(N_PROBLEMS)]
+        x, f, A, bu, bl, sense = probs[0]
+        daqp_tpu.linprog(f, A, bu, bl, sense, ms=ms)
+        med_times, errs = [], []
+        for (x, f, A, bu, bl, sense) in probs:
+            ts = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                res = daqp_tpu.linprog(f, A, bu, bl, sense, ms=ms)
+                np.asarray(res.x)
+                ts.append(time.perf_counter() - t0)
+            err = float(np.linalg.norm(np.asarray(res.x) - x))
+            assert err < TOL, (n, m, err)
+            med_times.append(statistics.median(ts))
+            errs.append(err)
+        rows.append(dict(kind="lp", n=n, m=m, ms=ms, nAct=0,
+                         solve_ms=1e3 * statistics.median(med_times),
+                         max_err=max(errs), median_iters=0))
+        print(rows[-1], flush=True)
+
+
+def _bench_batch(rows):
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from tests.gen import generate_test_qp_batch
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    for B in (1024, 4096):
+        d = generate_test_qp_batch(B, 50, 100, 0, 40, KAPPA, rng=7,
+                                   dtype=np.float32)
+        args = [jnp.asarray(d[k]) for k in
+                ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
+        res = batch_mod.solve_batch_pallas_jit(*args, st=st, ms=0)
+        np.asarray(res.exitflag)        # compile + sync
+        t0 = time.perf_counter()
+        res = batch_mod.solve_batch_pallas_jit(*args, st=st, ms=0)
+        flags = np.asarray(res.exitflag)
+        dt = time.perf_counter() - t0
+        err = np.linalg.norm(np.asarray(res.x) - d['x'], axis=1)
+        rows.append(dict(kind="batch_qp", n=50, m=100, ms=0, nAct=40,
+                         solve_ms=1e3 * dt / B,
+                         max_err=float(np.median(err)),
+                         median_iters=int(B / dt)))
+        print(f"batch B={B}: {B/dt:.0f} solves/s, "
+              f"optimal {(flags==1).sum()}/{B}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="small")
+    ap.add_argument("--out", default="bench_results.csv")
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    rows = []
+    names = (list(SUITES) + ["batch"] if args.suite == "all"
+             else [args.suite])
+    for s in names:
+        if s == "batch":
+            _bench_batch(rows)
+        else:
+            _bench_qp(SUITES[s], args.repeats, rows)
+            _bench_lp(SUITES[s], args.repeats, rows)
+
+    with open(args.out, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,10 +173,9 @@ def _find_branch(state, bin_ids, st):
     return found, bid.astype(jnp.int32), lower_first
 
 
-def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
-              deadline=None):
-    """Run branch-and-bound on a built LDP. ``bin_ids``: (nb,) int32 indices
-    of binary constraints (static count nb)."""
+def bnb_init(ldpd: transform.LDPData, bin_ids, st: Settings, K: int
+             ) -> BnBCarry:
+    """Initial BnB carry (root node on the stack, equalities activated)."""
     nb = int(bin_ids.shape[0])
     cap = 2 * nb + 2
     wcap = max(nb, 1) * K
@@ -192,7 +191,7 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
     bound0 = (st.fval_bound - st.abs_subopt) * eps_r
 
     zi = jnp.zeros((cap,), jnp.int32)
-    c0 = BnBCarry(
+    return BnBCarry(
         state=state,
         node_id=zi, node_lower=zi,
         node_depth=zi.at[0].set(-1), node_ws0=zi, node_ws1=zi,
@@ -212,9 +211,24 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
                          EXIT_RUNNING).astype(jnp.int32),
     )
 
+
+def bnb_run(c0: BnBCarry, bin_ids, st: Settings, node_budget=None,
+            deadline=None) -> BnBCarry:
+    """Process nodes from the carry's stack until it empties, the solver
+    errors, or ``node_budget`` nodes have been processed (the resumable
+    form behind periodic incumbent-bound exchange across devices)."""
+    dtype = c0.incumbent_u.dtype
+    wcap = c0.tree_ws.shape[0]
+    eps_r = 1.0 / (1.0 + st.rel_subopt)
+    target = None if node_budget is None \
+        else c0.nodecount + jnp.asarray(node_budget, jnp.int32)
+
     def cond(c: BnBCarry):
-        return (c.n_nodes > 0) & (c.status == EXIT_RUNNING) \
+        ok = (c.n_nodes > 0) & (c.status == EXIT_RUNNING) \
             & (c.itercount < st.iter_limit)
+        if target is not None:
+            ok = ok & (c.nodecount < target)
+        return ok
 
     def body(c: BnBCarry):
         p = c.n_nodes - 1
@@ -356,9 +370,13 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
             c = lax.cond(c.nodecount % 32 == 0, check_time, lambda c: c, c)
         return c
 
-    c = lax.while_loop(cond, body, c0)
+    return lax.while_loop(cond, body, c0)
 
-    # Finalize (bnb.c:77-89): recover fval from the folded bound.
+
+def bnb_finalize(c: BnBCarry, st: Settings) -> BnBCarry:
+    """Recover fval from the folded bound, select the incumbent
+    (bnb.c:77-89)."""
+    eps_r = 1.0 / (1.0 + st.rel_subopt)
     fval_internal = 2.0 * c.bound / eps_r + 2.0 * st.abs_subopt
     final_status = jnp.where(
         c.incumbent_found,
@@ -369,6 +387,15 @@ def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
         fval=jnp.where(c.incumbent_found, fval_internal, c.state.fval))
     return c._replace(state=final_state,
                       status=final_status.astype(jnp.int32))
+
+
+def bnb_solve(ldpd: transform.LDPData, bin_ids, st: Settings, K: int,
+              deadline=None):
+    """Run branch-and-bound on a built LDP. ``bin_ids``: (nb,) int32 indices
+    of binary constraints (static count nb)."""
+    c = bnb_init(ldpd, bin_ids, st, K)
+    c = bnb_run(c, bin_ids, st, deadline=deadline)
+    return bnb_finalize(c, st)
 
 
 class BnBOut(NamedTuple):

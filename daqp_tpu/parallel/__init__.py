@@ -1,2 +1,2 @@
 from .sharding import (make_mesh, solve_batch_sharded, exchange_incumbent,
-                       ShardedStats)
+                       solve_miqp_sharded, ShardedStats)

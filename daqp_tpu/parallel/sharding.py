@@ -55,7 +55,7 @@ def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
     axis = mesh.axis_names[0]
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()))
     def shard_solve(H, f, A, bu, bl, sense):
@@ -79,3 +79,84 @@ def exchange_incumbent(fval_bound_local, axis: str):
     dominance cut (reference fval_bound pruning, src/bnb.c:29-31,62;
     src/daqp.c:20-23). Call between frontier waves inside shard_map."""
     return -jax.lax.pmax(-fval_bound_local, axis)
+
+
+def solve_miqp_sharded(H, f, A, bupper, blower, sense, ms: int,
+                       st: Settings, mesh: Mesh, rounds: int = 16,
+                       node_budget: int = 32):
+    """One MIQP, its branch-and-bound TREE sharded over the mesh.
+
+    Each device owns the subtree obtained by pre-fixing the first
+    log2(n_devices) binary constraints to the bits of its device index
+    (as immutable equalities, the same mechanism BnB itself uses to fix a
+    binary, bnb.c:106-107).  Devices run resumable DFS waves of
+    ``node_budget`` nodes and exchange ONLY the incumbent dominance bound
+    by a min-reduction between waves — the single value whose exchange
+    changes solver behavior (bnb.c:29-31,62) — then the globally best
+    incumbent is selected by an all_gather + argmin.
+
+    The reference has no distributed mode at all (SURVEY.md §2.3); this is
+    the TPU-native scale-out of its warm-started DFS.
+    """
+    import functools
+    from .. import bnb as bnb_mod
+    from .. import transform
+    from ..types import (ACTIVE, BINARY, IMMUTABLE, LOWER, DAQP_INF,
+                         EXIT_INFEASIBLE, EXIT_OPTIMAL)
+
+    axis = mesh.axis_names[0]
+    D = int(np.prod([d for d in mesh.devices.shape]))
+    kfix = max(0, int(np.log2(D)))
+    sense_arr = np.asarray(sense, np.int32)
+    bin_ids_all = tuple(int(i) for i in np.where(sense_arr & BINARY)[0])
+    kfix = min(kfix, len(bin_ids_all))
+    fixed_ids = bin_ids_all[:kfix]
+    free_ids = bin_ids_all  # fixed ones carry ACTIVE and are never branched
+    n = np.asarray(A).shape[1]
+    K = n + 1
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()))
+    def worker(H, f, A, bu, bl, sense):
+        d = jax.lax.axis_index(axis)
+        # pre-fix this device's subtree: binary i at bit i of d
+        for i, bid in enumerate(fixed_ids):
+            side_lo = ((d >> i) & 1) > 0       # 1 -> lower endpoint
+            bits = jnp.where(side_lo,
+                             sense[bid] | (ACTIVE | LOWER | IMMUTABLE),
+                             (sense[bid] | (ACTIVE | IMMUTABLE)) & ~LOWER)
+            sense = sense.at[bid].set(bits.astype(jnp.int32))
+
+        ldpd = transform.build_ldp(H, f, A, bu, bl, sense, ms, st)
+        bin_arr = jnp.asarray(free_ids, jnp.int32)
+        c = bnb_mod.bnb_init(ldpd, bin_arr, st, K)
+
+        def wave(_, c):
+            c = bnb_mod.bnb_run(c, bin_arr, st, node_budget=node_budget)
+            gbound = -jax.lax.pmax(-c.bound, axis)   # min over devices
+            return c._replace(bound=gbound)
+
+        c = jax.lax.fori_loop(0, rounds, wave, c)
+        c = bnb_mod.bnb_run(c, bin_arr, st)          # drain remainder
+        c = bnb_mod.bnb_finalize(c, st)
+
+        x = transform.ldp_to_qp_solution(ldpd, c.state.u)
+        fval = 0.5 * (c.state.fval - ldpd.v @ ldpd.v)
+        my = jnp.where(c.incumbent_found, fval,
+                       jnp.asarray(DAQP_INF, fval.dtype))
+        # winner selection across devices
+        all_f = jax.lax.all_gather(my, axis)         # (D,)
+        all_x = jax.lax.all_gather(x, axis)          # (D, n)
+        widx = jnp.argmin(all_f)
+        found_any = jnp.min(all_f) < DAQP_INF
+        xg = all_x[widx]
+        fg = all_f[widx]
+        status = jnp.where(found_any, EXIT_OPTIMAL,
+                           EXIT_INFEASIBLE).astype(jnp.int32)
+        nodes = jax.lax.psum(c.nodecount, axis)
+        return xg, fg, status, nodes
+
+    return jax.jit(worker)(H, f, A, bupper, blower,
+                           jnp.asarray(sense_arr))

@@ -118,7 +118,9 @@ def factorize_hessian(H: jnp.ndarray, st: Settings):
             return Lf, okf, eps_used
 
         def plain(_):
-            return L0, ok0, jnp.asarray(0, dtype)
+            # eps0 * 0 (not a literal 0): under shard_map both cond
+            # branches must agree on varying-manual-axes typing
+            return L0, ok0, eps0 * 0.0
 
         reg_needed = ~ok0
         L, ok, eps_used = lax.cond(reg_needed, regularized, plain, None)

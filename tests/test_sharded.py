@@ -1,0 +1,64 @@
+"""Mesh-sharded solves on the 8-virtual-device CPU mesh: batch sharding
+with statistics collectives, and the tree-sharded MIQP with incumbent-
+bound exchange (SURVEY.md §2.3 components — no reference analogue)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import daqp_tpu
+from daqp_tpu.api import _as_settings
+from daqp_tpu.parallel import make_mesh, solve_batch_sharded, \
+    solve_miqp_sharded
+from tests.gen import generate_test_qp_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_solve_batch_sharded(mesh):
+    B = 16
+    d = generate_test_qp_batch(B, 10, 30, 0, 6, 1e2, rng=31)
+    st = _as_settings(None, jnp.float64)
+    res, stats = solve_batch_sharded(
+        jnp.asarray(d['H']), jnp.asarray(d['f']), jnp.asarray(d['A']),
+        jnp.asarray(d['bupper']), jnp.asarray(d['blower']),
+        jnp.asarray(d['sense']), st, mesh, ms=0)
+    assert int(stats.n_optimal) == B
+    err = np.linalg.norm(np.asarray(res.x) - d['x'], axis=1)
+    assert err.max() < 1e-6
+
+
+def test_solve_miqp_sharded_matches_single(mesh):
+    rng = np.random.default_rng(37)
+    n, m, ms, nb = 12, 30, 6, 4
+    M = rng.standard_normal((n, n))
+    H = M.T @ M + 0.5 * np.eye(n)
+    A = rng.standard_normal((m - ms, n))
+    bu = 20 * rng.random(m)
+    bl = -20 * rng.random(m)
+    f = 10 * rng.standard_normal(n)
+    f[:nb] = -np.abs(f[:nb])
+    bu[:nb] = 1.0
+    bl[:nb] = 0.0
+    sense = np.zeros(m, np.int32)
+    sense[:nb] = daqp_tpu.BINARY
+
+    ref = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=ms)
+    assert int(ref.exitflag) == daqp_tpu.EXIT_OPTIMAL
+
+    st = _as_settings(None, jnp.float64)
+    x, fval, status, nodes = solve_miqp_sharded(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A),
+        jnp.asarray(bu), jnp.asarray(bl), sense, ms, st, mesh,
+        rounds=4, node_budget=8)
+    assert int(status) == daqp_tpu.EXIT_OPTIMAL
+    assert abs(float(fval) - float(ref.fval)) < 1e-6, \
+        (float(fval), float(ref.fval))
+    xb = np.asarray(x)[:nb]
+    assert np.all((np.abs(xb - 1) < 1e-5) | (np.abs(xb) < 1e-5))
