@@ -36,7 +36,8 @@ def _as_settings(settings, dtype) -> Settings:
                                              "K"))
 def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
                is_lp: bool, bin_ids: tuple, break_points,
-               is_avi: bool = False, x0=None, deadline=None, K=None):
+               is_avi: bool = False, x0=None, deadline=None, K=None,
+               Rinv=None):
     if is_avi:
         from . import avi_solver as avi_mod
         return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
@@ -55,13 +56,14 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
                                  deadline=deadline, K=K)
     from . import prox
     return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st,
-                                     x0=x0, deadline=deadline, K=K)
+                                     x0=x0, deadline=deadline, K=K,
+                                     Rinv=Rinv)
 
 
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
           ms: Optional[int] = None, break_points=None, settings=None,
           dtype=None, is_avi: bool = False, primal_start=None,
-          dual_start=None):
+          dual_start=None, prefactored: bool = False):
     """One-shot solve; returns a ``Result``.
 
     Matches ``daqp.solve`` in the reference Python binding
@@ -104,6 +106,14 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     bp = tuple(break_points) if break_points is not None else None
 
     Hj = None if is_lp else jnp.asarray(H, dtype)
+    Rinv = None
+    if prefactored and not is_lp:
+        # H holds the upper Cholesky factor R (H = R'R): the reference's
+        # problem_type == 2 path (utils.c:167-176, types.jl:38-44)
+        import jax.scipy.linalg as jsl
+        Rinv = jsl.solve_triangular(Hj, jnp.eye(n, dtype=dtype),
+                                    lower=False)
+        Hj = jnp.matmul(Hj.T, Hj, precision=jax.lax.Precision.HIGHEST)
     fj = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)
     x0 = (jnp.zeros((n,), dtype) if primal_start is None
           else jnp.asarray(primal_start, dtype))
@@ -117,7 +127,7 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
-                     bp, is_avi, x0, deadline, int(n) + ns + 1)
+                     bp, is_avi, x0, deadline, int(n) + ns + 1, Rinv)
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
                                  if hasattr(x, 'block_until_ready') else x,
                                  out)

@@ -180,9 +180,9 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
 
 
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
-                settings: Optional[Settings] = None,
-                repair_rounds: int = 2) -> BatchResult:
-    """Convenience wrapper: batched dense strictly-convex QP solve."""
+                settings: Optional[Settings] = None) -> BatchResult:
+    """Convenience wrapper: batched dense strictly-convex QP solve on the
+    flat (slot-table) hot path."""
     H = jnp.asarray(H)
     B = H.shape[0]
     m = jnp.asarray(bupper).shape[-1]
@@ -192,7 +192,6 @@ def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
     if settings is None:
         from .api import _as_settings
         settings = _as_settings(None, dtype)
-    return solve_batch_jit(H, jnp.asarray(f), jnp.asarray(A),
-                           jnp.asarray(bupper), jnp.asarray(blower),
-                           jnp.asarray(sense), settings, ms=ms,
-                           repair_rounds=repair_rounds)
+    return solve_batch_flat_jit(H, jnp.asarray(f), jnp.asarray(A),
+                                jnp.asarray(bupper), jnp.asarray(blower),
+                                jnp.asarray(sense), settings, ms=ms)
