@@ -179,6 +179,23 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                            soft_slack=jnp.zeros((B,), x.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("ms", "bin_ids", "K"))
+def solve_batch_miqp_jit(H, f, A, bupper, blower, sense, st: Settings,
+                         ms: int = 0, bin_ids: tuple = (), K=None):
+    """Batched MIQP: vmap the branch-and-bound solver over independent
+    instances sharing the same binary-constraint indices (the BnB-node
+    embarrassing parallelism of SURVEY.md §2.3, batched at instance
+    granularity).  Returns a ``bnb.BnBOut`` with leading batch dims."""
+    from . import bnb
+
+    def one(H, f, A, bu, bl, sense):
+        return bnb.bnb_core(H, f, A, bu, bl, sense, ms, st,
+                            bin_ids=bin_ids, K=K)
+
+    with jax.default_matmul_precision('highest'):
+        return jax.vmap(one)(H, f, A, bupper, blower, sense)
+
+
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
                 settings: Optional[Settings] = None) -> BatchResult:
     """Convenience wrapper: batched dense strictly-convex QP solve on the
