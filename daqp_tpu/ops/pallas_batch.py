@@ -454,6 +454,58 @@ def _gram(s: DenseState):
     return G + eye * (1.0 - act)[None, :, :]
 
 
+def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
+    """Bulk cold-start heuristic: activate the constraints violated at the
+    unconstrained optimum u = 0 (capped at n_true - 1, most-violated
+    first) and build their inverse Gram with ONE batched Cholesky on the
+    MXU, so the kernel only corrects the guess instead of adding ~n_act
+    constraints one iteration at a time.
+
+    This is the reference's own warm-start machinery
+    (``daqp_primal_init_active`` + ``daqp_activate_constraints``,
+    api.c:555-592 / auxiliary.c:398-478) used as a cold-start heuristic;
+    a lane whose guessed set is numerically dependent falls back to the
+    empty start.
+
+    Measured on BASELINE config 2 (random geometry, ~40 active): the
+    guess cuts median iterations only 97 -> 82 while the batched Cholesky
+    costs more than the saved iterations, so it is OFF by default; it
+    pays off when the guess is informative (structured/MPC instances).
+    """
+    m, n, B = s.M.shape
+    dtype = s.E.dtype
+    # violation at u = 0: d_upper < 0 or d_lower > 0
+    score = jnp.maximum(-s.dupper, s.dlower)             # (m, B)
+    side_lo = s.dlower > -s.dupper
+    viol = (score > st.primal_tol * s.scaling) & (s.immut == 0)
+    order = jnp.argsort(jnp.where(viol, -score, jnp.inf), axis=0)
+    rank = jnp.argsort(order, axis=0)
+    keep = viol & (rank < n_true - 1)
+    act_up = (keep & ~side_lo).astype(dtype)
+    act_lo = (keep & side_lo).astype(dtype)
+    s2 = s._replace(act_up=act_up, act_lo=act_lo)
+
+    G = _gram(s2)
+    Gb = jnp.moveaxis(G, -1, 0)                          # (B, m, m)
+    cF = jnp.linalg.cholesky(Gb)
+    ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))     # (B,)
+    cF = jnp.where(ok_lane[:, None, None], cF, jnp.eye(m, dtype=dtype))
+    E = jax.scipy.linalg.cho_solve(
+        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype), Gb.shape))
+    ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
+    act = act_up + act_lo
+    E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
+
+    okb = ok_lane[None, :]
+    lam0 = jnp.where(keep, jnp.where(side_lo, -1.0, 1.0),
+                     0.0).astype(dtype)
+    return s._replace(
+        act_up=jnp.where(okb, act_up, s.act_up),
+        act_lo=jnp.where(okb, act_lo, s.act_lo),
+        E=jnp.where(okb[None, :, :], E, s.E),
+        lam=jnp.where(okb, lam0, s.lam))
+
+
 def exact_repair(s: DenseState, st: Settings) -> DenseState:
     """Exact Cholesky refactorization of E for parked / cycling lanes
     (the escape hatch for the kernel's deletion-pivot guard and the
@@ -529,8 +581,8 @@ def polish(s: DenseState, st: Settings) -> DenseState:
 
 def dense_solve(s: DenseState, st: Settings, n_true: int = None,
                 steps: int = 64,
-                max_rounds: int = 16, interpret: bool = False
-                ) -> DenseState:
+                max_rounds: int = 16, interpret: bool = False,
+                warm: bool = False) -> DenseState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane actually needs it (a real branch at batch level — a
     whole-batch lax.cond, unlike per-lane conds under vmap); refinement
@@ -540,6 +592,8 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
         jnp.asarray(st.iter_limit, jnp.float32),
         jnp.asarray(steps * max_rounds, jnp.float32))
     nt = s.M.shape[1] if n_true is None else n_true
+    if warm:
+        s = warm_guess(s, st, nt)
 
     def rounds(c):
         r, s = c
