@@ -41,7 +41,7 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
     if is_avi:
         from . import avi_solver as avi_mod
         return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
-                                x0=x0, K=K)
+                                x0=x0, K=K, deadline=deadline)
     if bin_ids:
         from . import bnb
         return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
@@ -49,7 +49,7 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
     if break_points is not None and len(break_points) > 1:
         from . import hierarchical
         return hierarchical.hiqp_core(H, f, A, bupper, blower, sense, ms,
-                                      break_points, st)
+                                      break_points, st, deadline=deadline)
     if is_lp:
         from . import prox
         return prox.linprog_core(f, A, bupper, blower, sense, ms, st, x0=x0,

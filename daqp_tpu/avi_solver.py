@@ -111,7 +111,7 @@ def _check_optimal(state, x, lam, Aall, bupper, blower, st: Settings):
 
 
 def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
-             x0=None):
+             x0=None, deadline=None):
     """Solve the AVI (``daqp_solve_avi``, avi.c:6-101)."""
     A = jnp.atleast_2d(A)
     n = H.shape[0]
@@ -168,7 +168,7 @@ def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
             tried_repair=jnp.zeros((), bool),
             cycle_counter=jnp.zeros((), jnp.int32),
             best_fval=jnp.asarray(-1.0, dtype))
-        s = ldp_mod.ldp_solve(s, st, reset=False)
+        s = ldp_mod.ldp_solve(s, st, reset=False, deadline=deadline)
         y_inner = ldpd.Rinv @ (s.u - v)
         tot = c.tot_iter + s.iterations
         inner_failed = s.status < 0

@@ -127,7 +127,7 @@ def _reactivate(state, st: Settings, start: int, n: int):
 
 
 def hiqp_core(H, f, A, bupper, blower, sense, ms: int, break_points: tuple,
-              st: Settings):
+              st: Settings, deadline=None):
     """Lexicographic least-squares solve (``daqp_hiqp``, hierarchical.c).
 
     ``break_points`` is a static, strictly increasing tuple ending at m.
@@ -191,7 +191,7 @@ def hiqp_core(H, f, A, bupper, blower, sense, ms: int, break_points: tuple,
                 tried_repair=jnp.zeros((), bool),
                 cycle_counter=jnp.zeros((), jnp.int32),
                 best_fval=jnp.asarray(-1.0, dtype))
-            s = ldp_mod.ldp_solve(s, st, reset=False)
+            s = ldp_mod.ldp_solve(s, st, reset=False, deadline=deadline)
             total_iter = total_iter + s.iterations
 
             failed = (s.status < 0) | (act_flag < 0)
