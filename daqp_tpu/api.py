@@ -37,7 +37,7 @@ def _as_settings(settings, dtype) -> Settings:
 def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
                is_lp: bool, bin_ids: tuple, break_points,
                is_avi: bool = False, x0=None, deadline=None, K=None,
-               Rinv=None):
+               Rinv=None, soft_weights=None):
     if is_avi:
         from . import avi_solver as avi_mod
         return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
@@ -57,13 +57,13 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
     from . import prox
     return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st,
                                      x0=x0, deadline=deadline, K=K,
-                                     Rinv=Rinv)
+                                     Rinv=Rinv, soft_weights=soft_weights)
 
 
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
           ms: Optional[int] = None, break_points=None, settings=None,
           dtype=None, is_avi: bool = False, primal_start=None,
-          dual_start=None, prefactored: bool = False):
+          dual_start=None, prefactored: bool = False, soft_weights=None):
     """One-shot solve; returns a ``Result``.
 
     Matches ``daqp.solve`` in the reference Python binding
@@ -124,10 +124,12 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
                 if float(st.time_limit) > 0 else None)
     # Working-set capacity n + ns + 1 (reference allocation api.c:288-305)
     ns = int(np.sum((sense_arr & 8) > 0))
+    sw = (None if soft_weights is None
+          else jnp.asarray(soft_weights, dtype))
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
-                     bp, is_avi, x0, deadline, int(n) + ns + 1, Rinv)
+                     bp, is_avi, x0, deadline, int(n) + ns + 1, Rinv, sw)
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
                                  if hasattr(x, 'block_until_ready') else x,
                                  out)

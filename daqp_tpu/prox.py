@@ -65,7 +65,7 @@ def _reset_for_resolve(state, dupper, dlower):
 
 def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
                          st: Settings, K=None, x0=None, deadline=None,
-                         Rinv=None):
+                         Rinv=None, soft_weights=None):
     """QP dispatch: single LDP solve for PD H, proximal outer loop otherwise
     (``daqp_solve`` n_prox dispatch, api.c:16-31 + daqp_prox.c)."""
     n = A.shape[1] if A.size else H.shape[0]
@@ -73,7 +73,7 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
         K = n + 1
     dtype = H.dtype
     ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st,
-                               Rinv=Rinv)
+                               Rinv=Rinv, soft_weights=soft_weights)
     bu = jnp.asarray(bupper, dtype)
     bl = jnp.asarray(blower, dtype)
     f_ = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)

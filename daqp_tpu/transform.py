@@ -140,7 +140,8 @@ def factorize_hessian(H: jnp.ndarray, st: Settings):
 def build_ldp(H: Optional[jnp.ndarray], f: Optional[jnp.ndarray],
               A: jnp.ndarray, bupper: jnp.ndarray, blower: jnp.ndarray,
               sense: Optional[jnp.ndarray], ms: int, st: Settings,
-              Rinv: Optional[jnp.ndarray] = None) -> LDPData:
+              Rinv: Optional[jnp.ndarray] = None,
+              soft_weights=None) -> LDPData:
     """Full masked-update pipeline for a fresh setup
     (``daqp_update_ldp`` with all masks, utils.c:14-135).
 
@@ -203,6 +204,21 @@ def build_ldp(H: Optional[jnp.ndarray], f: Optional[jnp.ndarray],
         zero_row & ((bu < -st.zero_tol) | (bl > st.zero_tol))
         & ((sense & IMMUTABLE) == 0) & ((sense & SOFT) == 0))
     sense = jnp.where(zero_row, (sense | IMMUTABLE) & ~ACTIVE, sense)
+
+    if soft_weights is not None:
+        # Per-constraint soft penalties (the reference SOFT_WEIGHTS
+        # rho_ls/rho_us arrays, types.h:168-180) via an exact reduction:
+        # a soft constraint (M_i, d_i) under penalty rho_i is equivalent
+        # to the row scaled by c_i = sqrt(rho_soft / rho_i) under the
+        # uniform rho_soft the solver applies — the existing scaling
+        # bookkeeping rescales duals and tolerances, so nothing else in
+        # the solver changes.  (Slack bounds d_ls/d_us not supported.)
+        w = jnp.asarray(soft_weights, dtype)
+        c = jnp.sqrt(jnp.asarray(st.rho_soft, dtype)
+                     / jnp.maximum(w, 1e-30))
+        c = jnp.where((sense & SOFT) > 0, c, 1.0)
+        M = M * c[:, None]
+        scaling = scaling * c
 
     # d = b * scaling + M v   (daqp_update_d, utils.c:410-455)
     Mv = _mm(M, v)
