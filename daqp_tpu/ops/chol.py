@@ -1,0 +1,180 @@
+"""Batch-parallel Cholesky + triangular inverse, lanes-last.
+
+XLA's cholesky HLO lowers to a blocked, per-matrix-sequential algorithm;
+for (B, n, n) batches of SMALL matrices it is the single most expensive
+op in the batched QP pipeline (measured 38 ms of a 69 ms solve for
+B=1024, n=50 on v5e — more than the whole active-set kernel).  Here the
+batch is the minor (lane) dimension and the factorization runs as n
+sequential steps of (n, B)-wide vector ops — the classic right-looking
+algorithm with the parallelism where the hardware wants it.
+
+Returns Rinv = R^{-1} (upper, H = R'R), i.e. exactly what the QP->LDP
+transform consumes (reference ``daqp_update_Rinv``, utils.c:137-297,
+which also fuses factorization and inversion).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _chol_kernel(n: int, H_ref, R_ref, Hc, Ls, Xs):
+    """Right-looking Cholesky + forward-substitution inverse for one
+    128-lane tile.  All working matrices live in VMEM scratch refs and
+    the j/i loops are UNROLLED (n is static), so every slice is static
+    and shrinks with j.  MEASURED: 34 ms per (1024, 50, 50) batch on v5e
+    vs 38 ms for the XLA expander — Mosaic has a per-step cost floor
+    (~40 us) that ~2n small dependent steps cannot amortize, unlike the
+    active-set kernel whose steps carry ~10x more work.  Accuracy f32-
+    exact (4e-7); kept for documentation and larger-n regimes."""
+    # Mosaic restrictions: ref slices on the second-minor dim must be
+    # 8-aligned -> all partial slicing is on dim 0 (arbitrary offsets
+    # allowed) and column access goes through one-hot contractions; the
+    # one-hots are built from iota comparisons (captured numpy constants
+    # are rejected by pallas_call).  Hc stays symmetric throughout, so
+    # "column j" == "row j".
+    f32 = jnp.float32
+    iota_r = lax.broadcasted_iota(jnp.int32, (n, 1), 0)     # (n, 1)
+    iota_c3 = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
+    Hc[:] = H_ref[:]
+
+    for j in range(n):                       # static unroll
+        row_j = Hc[j:j + 1][0]               # (n, L): col j by symmetry
+        oh = (iota_r == j).astype(f32)
+        piv = jnp.sqrt(jnp.maximum(
+            jnp.sum(row_j * oh, axis=0, keepdims=True), 1e-30))
+        mask = (iota_r >= j).astype(f32)
+        coln = row_j / piv * mask            # (n, L)
+        Ls[j:j + 1] = coln[None]             # row j of L' (= column of L)
+        if j + 1 < n:
+            cj = coln[j + 1:]
+            Hc[j + 1:] = Hc[j + 1:] - cj[:, None, :] * coln[None, :, :]
+
+    for i in range(n):                       # static unroll
+        # L[i, k] = Ls[k, i]: select column i of the row-block Ls[:i]
+        oh3 = (iota_c3 == i).astype(f32)     # (1, n, 1)
+        Lii = jnp.sum(Ls[i:i + 1][0] * oh3[0], axis=0,
+                      keepdims=True)         # (1, L)
+        if i == 0:
+            acc = jnp.zeros_like(Hc[0:1][0])
+        else:
+            li = jnp.sum(Ls[:i] * oh3, axis=1)   # (i, L)
+            acc = jnp.sum(li[:, None, :] * Xs[:i], axis=0)
+        ei = (iota_r == i).astype(f32)       # (n, 1)
+        Xs[i:i + 1] = ((ei - acc) / Lii)[None]
+
+    R_ref[:] = jnp.swapaxes(Xs[:], 0, 1)     # Rinv = (L^{-1})'
+
+
+def batched_invsqrt(H_bnn: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) symmetric S = H^{-1/2} by the coupled
+    Newton-Schulz (Denman-Beavers) iteration — batched GEMMs only.
+
+    The LDP transform needs SOME factor H = R'R, not a triangular one
+    (M = A R^{-1} is consumed by generic matmuls and row-normalized
+    afterwards); with S symmetric, R = S^{-1} satisfies R'R = (S^2)^{-1}
+    = H.  That frees the factorization from sequential substitution
+    entirely.  MEASURED (v5e, B=1024, n=50): full-HIGHEST NS 63 ms —
+    slower than the 38 ms XLA Cholesky expander (batched 50x50 matmuls
+    underutilize the MXU: ~0.5 TFLOP/s effective); mixed bf16/HIGHEST is
+    35 ms but the coupled iteration is NOT self-correcting and bf16 drift
+    destroys accuracy.  Kept as the record of the experiment and for
+    future larger-n use where the GEMMs amortize; the production
+    transform uses the XLA Cholesky.
+    """
+    B, n, _ = H_bnn.shape
+    dtype = H_bnn.dtype
+    hi = lax.Precision.HIGHEST
+    I = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
+    # scale into the NS convergence basin: ||I - H/c|| < 1
+    c = jnp.sum(H_bnn * H_bnn, axis=(1, 2), keepdims=True) ** 0.5
+    Y = H_bnn / c
+    Z = I
+
+    def make_step(prec):
+        def step(_, carry):
+            Y, Z = carry
+            T = 1.5 * I - 0.5 * jnp.einsum('bij,bjk->bik', Z, Y,
+                                           precision=prec)
+            Y = jnp.einsum('bij,bjk->bik', Y, T, precision=prec)
+            Z = jnp.einsum('bij,bjk->bik', T, Z, precision=prec)
+            return Y, Z
+        return step
+
+    # All iterations at HIGHEST: the coupled DB iteration tracks an
+    # invariant (Y Z = Z Y = sqrt-pair of H/c) that bf16 drift breaks —
+    # measured 6e-2 relative error with mixed precision vs 2e-6 here.
+    Y, Z = lax.fori_loop(0, iters, make_step(hi), (Y, Z))
+    # Z -> (H/c)^{-1/2}  =>  H^{-1/2} = Z / sqrt(c)
+    return Z / jnp.sqrt(c)
+
+
+def batched_chol_rinv_pallas(H_bnn: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) Rinv via the Pallas tile kernel.
+    B must be a multiple of 128 (pad the batch otherwise)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = H_bnn.shape
+    LANES = 128
+    assert B % LANES == 0, B
+    Hl = jnp.moveaxis(H_bnn, 0, -1)                  # (n, n, B)
+    grid = (B // LANES,)
+    spec = pl.BlockSpec((n, n, LANES), lambda g: (0, 0, g),
+                        memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((n, n, LANES), Hl.dtype) for _ in range(3)]
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n),
+        grid=grid, in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(Hl.shape, Hl.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(Hl)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def batched_chol_rinv(H_bnn: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) upper-triangular Rinv with H = R'R.
+
+    Lanes-last internally; O(n) sequential steps of (n, B) vector work.
+    No pivoting (inputs are SPD by contract; a non-PD lane produces NaNs
+    that the caller's guards catch).
+    """
+    B, n, _ = H_bnn.shape
+    dtype = H_bnn.dtype
+    Hl = jnp.moveaxis(H_bnn, 0, -1)                  # (n, n, B)
+    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    # --- right-looking Cholesky: L lower with H = L L' ---
+    def chol_step(j, carry):
+        Hc, L = carry
+        d = lax.dynamic_slice(Hc, (j, j, 0), (1, 1, B))[0]     # (1, B)
+        piv = jnp.sqrt(jnp.maximum(d, 1e-30))
+        col = lax.dynamic_slice(Hc, (0, j, 0), (n, 1, B))[:, 0]  # (n, B)
+        col = jnp.where(iota >= j, col / piv, 0.0)
+        Hc = Hc - col[:, None, :] * col[None, :, :]
+        L = lax.dynamic_update_slice(L, col[:, None, :], (0, j, 0))
+        return Hc, L
+
+    L = jnp.zeros_like(Hl)
+    _, L = lax.fori_loop(0, n, chol_step, (Hl, L))
+
+    # --- forward substitution: X = L^{-1} (row at a time) ---
+    eye = jnp.eye(n, dtype=dtype)
+
+    def inv_step(i, X):
+        Li = lax.dynamic_slice(L, (i, 0, 0), (1, n, B))[0]      # (n, B)
+        Lii = lax.dynamic_slice(L, (i, i, 0), (1, 1, B))[0]     # (1, B)
+        below = jnp.where(iota < i, Li, 0.0)                    # L[i, :i]
+        acc = jnp.sum(below[:, None, :] * X, axis=0)            # (n, B)
+        ei = lax.dynamic_slice(eye, (i, 0), (1, n))[0]          # (n,)
+        Xi = (ei[:, None] - acc) / Lii
+        return lax.dynamic_update_slice(X, Xi[None, :, :], (i, 0, 0))
+
+    X = lax.fori_loop(0, n, inv_step, jnp.zeros_like(Hl))       # L^{-1}
+    # Rinv = R^{-1} = (L')^{-1} = (L^{-1})'
+    Rinv = jnp.swapaxes(jnp.moveaxis(X, -1, 0), 1, 2)           # (B, n, n)
+    return Rinv

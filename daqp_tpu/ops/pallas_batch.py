@@ -557,17 +557,18 @@ def polish(s: DenseState, st: Settings) -> DenseState:
     act = s.act_up + s.act_lo
     is_opt = s.status[0] == EXIT_OPTIMAL
     d_W = s.act_up * s.dupper + s.act_lo * s.dlower
-    r = jnp.einsum('ikb,kb->ib', s.M, s.u, precision=_HI) - d_W
+    # lanes-last multiply-reduce contractions: a batch-last einsum would
+    # physically transpose the 40+ MB E buffer every call
+    r = jnp.sum(s.M * s.u[None, :, :], axis=1) - d_W
     r = r * act
-    dlam = jnp.einsum('ijb,jb->ib', s.E, r, precision=_HI)
+    dlam = jnp.sum(s.E * r[None, :, :], axis=1)
     okl = is_opt & jnp.all(jnp.isfinite(dlam), axis=0)
     lam_star = s.lam_star + jnp.where(okl[None, :], dlam * act, 0)
-    u2 = s.u - jnp.einsum('ikb,ib->kb', s.M,
-                          jnp.where(okl[None, :], dlam * act, 0),
-                          precision=_HI)
+    u2 = s.u - jnp.sum(s.M * jnp.where(okl[None, :], dlam * act,
+                                       0)[:, None, :], axis=0)
     u2 = jnp.where(okl[None, :], u2, s.u)
     fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True)
-    mu = jnp.einsum('ikb,kb->ib', s.M, u2, precision=_HI)
+    mu = jnp.sum(s.M * u2[None, :, :], axis=1)
     blocked = (act > 0) | (s.immut > 0)
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
             | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
