@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _chol_kernel(n: int, H_ref, R_ref, Hc, Ls, Xs):
+def _chol_kernel(n: int, H_ref, R_ref, Hc, Ls):
     """Right-looking Cholesky + forward-substitution inverse for one
     128-lane tile.  All working matrices live in VMEM scratch refs and
     the j/i loops are UNROLLED (n is static), so every slice is static
@@ -34,10 +34,23 @@ def _chol_kernel(n: int, H_ref, R_ref, Hc, Ls, Xs):
     # one-hots are built from iota comparisons (captured numpy constants
     # are rejected by pallas_call).  Hc stays symmetric throughout, so
     # "column j" == "row j".
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     f32 = jnp.float32
     iota_r = lax.broadcasted_iota(jnp.int32, (n, 1), 0)     # (n, 1)
     iota_c3 = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
-    Hc[:] = H_ref[:]
+    # input stays in HBM (ANY); DMA the lane slice straight into scratch
+    L_SZ = Hc.shape[-1]
+    g = pl.program_id(0)
+    idx = (slice(None), slice(None),
+           pl.ds(pl.multiple_of(g * L_SZ, L_SZ), L_SZ))
+
+    def load(sem):
+        cp = pltpu.make_async_copy(H_ref.at[idx], Hc, sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(load, pltpu.SemaphoreType.DMA(()))
 
     for j in range(n):                       # static unroll
         row_j = Hc[j:j + 1][0]               # (n, L): col j by symmetry
@@ -51,13 +64,14 @@ def _chol_kernel(n: int, H_ref, R_ref, Hc, Ls, Xs):
             cj = coln[j + 1:]
             Hc[j + 1:] = Hc[j + 1:] - cj[:, None, :] * coln[None, :, :]
 
+    Xs = Hc                                  # Hc is dead: reuse as X
     for i in range(n):                       # static unroll
         # L[i, k] = Ls[k, i]: select column i of the row-block Ls[:i]
         oh3 = (iota_c3 == i).astype(f32)     # (1, n, 1)
         Lii = jnp.sum(Ls[i:i + 1][0] * oh3[0], axis=0,
                       keepdims=True)         # (1, L)
         if i == 0:
-            acc = jnp.zeros_like(Hc[0:1][0])
+            acc = jnp.zeros_like(Ls[0:1][0])
         else:
             li = jnp.sum(Ls[:i] * oh3, axis=1)   # (i, L)
             acc = jnp.sum(li[:, None, :] * Xs[:i], axis=0)
@@ -111,29 +125,47 @@ def batched_invsqrt(H_bnn: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
 
 
 def batched_chol_rinv_pallas(H_bnn: jnp.ndarray,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             lanes: int = 256) -> jnp.ndarray:
     """(B, n, n) SPD -> (B, n, n) Rinv via the Pallas tile kernel.
-    B must be a multiple of 128 (pad the batch otherwise)."""
+    B must be a multiple of ``lanes``.  MEASURED: 128 and 256 lanes both
+    ~33 ms per (1024, 50, 50) batch — the cost is thin-row-block VPU
+    underutilization (~40 GB/s effective on (k, n, L) updates), not
+    per-step overhead, so wider tiles do not help."""
     import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n, _ = H_bnn.shape
-    LANES = 128
+    LANES = min(lanes, B)
     assert B % LANES == 0, B
+    n0 = n
+    pad = (-n) % 8
+    if pad:
+        # DMA tiling needs 8-aligned dims; pad with an identity block
+        # (decoupled: off-diagonal zeros), slice the result back
+        H_bnn = jnp.pad(H_bnn, ((0, 0), (0, pad), (0, pad)))
+        eye_pad = jnp.pad(jnp.zeros((n, n), H_bnn.dtype),
+                          ((0, pad), (0, pad)),
+                          constant_values=0) \
+            + jnp.diag(jnp.concatenate([jnp.zeros((n,), H_bnn.dtype),
+                                        jnp.ones((pad,), H_bnn.dtype)]))
+        H_bnn = H_bnn + eye_pad[None]
+        n = n + pad
     Hl = jnp.moveaxis(H_bnn, 0, -1)                  # (n, n, B)
     grid = (B // LANES,)
     spec = pl.BlockSpec((n, n, LANES), lambda g: (0, 0, g),
                         memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((n, n, LANES), Hl.dtype) for _ in range(3)]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [pltpu.VMEM((n, n, LANES), Hl.dtype) for _ in range(2)]
     out = pl.pallas_call(
         functools.partial(_chol_kernel, n),
-        grid=grid, in_specs=[spec], out_specs=spec,
+        grid=grid, in_specs=[any_spec], out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(Hl.shape, Hl.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(Hl)
-    return jnp.moveaxis(out, -1, 0)
+    return jnp.moveaxis(out, -1, 0)[:, :n0, :n0]
 
 
 def batched_chol_rinv(H_bnn: jnp.ndarray) -> jnp.ndarray:
