@@ -157,7 +157,11 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
 
     B = H.shape[0]
     n = A.shape[-1]
-    with jax.default_matmul_precision('highest'):
+    # 'high' (3-pass bf16, ~f32 accurate) for the decomposition internals
+    # (cholesky/triangular expanders follow the context); the numerically
+    # critical contractions pin Precision.HIGHEST explicitly in
+    # transform.py / the kernel driver regardless.
+    with jax.default_matmul_precision('high'):
         ldpd = jax.vmap(
             functools.partial(transform.build_ldp, ms=ms, st=st))(
                 H, f, A, bupper, blower, sense)
