@@ -169,6 +169,19 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         m = ldpd.M.shape[1]
         s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
                           immut)
+        # equalities / warm starts: bulk-activate sense-ACTIVE rows (a
+        # whole-batch branch: the clean cold-start path never pays the
+        # activation Cholesky)
+        from .types import ACTIVE, LOWER
+        act_bits = (ldpd.sense & ACTIVE) > 0                # (B, m)
+        lo_bits = act_bits & ((ldpd.sense & LOWER) > 0)
+        up_l = jnp.moveaxis(jnp.pad(act_bits & ~lo_bits,
+                                    ((0, 0), (0, (-m) % 8))), 0, -1)
+        lo_l = jnp.moveaxis(jnp.pad(lo_bits,
+                                    ((0, 0), (0, (-m) % 8))), 0, -1)
+        s = jax.lax.cond(jnp.any(act_bits),
+                         lambda s: pb.dense_activate(s, up_l, lo_l, st),
+                         lambda s: s, s)
         s = pb.dense_solve(s, st, n_true=n, interpret=interpret)
 
         u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]               # (B, n)

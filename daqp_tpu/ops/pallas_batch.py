@@ -454,6 +454,34 @@ def _gram(s: DenseState):
     return G + eye * (1.0 - act)[None, :, :]
 
 
+def dense_activate(s: DenseState, up_mask, lo_mask,
+                   st: Settings) -> DenseState:
+    """Bulk-activate a prescribed starting set (equalities and warm
+    starts: the role of ``daqp_activate_constraints``,
+    auxiliary.c:398-478): set the side masks and build the inverse Gram
+    with one batched Cholesky.  A lane whose set is numerically dependent
+    is parked for the driver's exact repair (which fails it loudly as
+    EXIT_CYCLE rather than silently dropping an equality)."""
+    m = s.M.shape[0]
+    dtype = s.E.dtype
+    act_up = up_mask.astype(dtype)
+    act_lo = lo_mask.astype(dtype)
+    s2 = s._replace(act_up=act_up, act_lo=act_lo)
+    G = _gram(s2)
+    Gb = jnp.moveaxis(G, -1, 0)
+    cF = jnp.linalg.cholesky(Gb)
+    ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))
+    cF = jnp.where(ok_lane[:, None, None], cF, jnp.eye(m, dtype=dtype))
+    E = jax.scipy.linalg.cho_solve(
+        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype), Gb.shape))
+    ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
+    act = act_up + act_lo
+    E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
+    lam0 = (act_up - act_lo).astype(dtype)
+    status = jnp.where(ok_lane[None, :], s.status, EXIT_REFACTOR)
+    return s2._replace(E=E, lam=lam0, status=status.astype(jnp.int32))
+
+
 def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     """Bulk cold-start heuristic: activate the constraints violated at the
     unconstrained optimum u = 0 (capped at n_true - 1, most-violated
@@ -595,6 +623,10 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
     nt = s.M.shape[1] if n_true is None else n_true
     if warm:
         s = warm_guess(s, st, nt)
+    # lanes parked by a failed bulk activation get their exact-repair shot
+    # before the first kernel round
+    s = lax.cond(jnp.any(repair_needed(s)),
+                 lambda s: exact_repair(s, st), lambda s: s, s)
 
     def rounds(c):
         r, s = c
@@ -619,7 +651,7 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
         s = polish(s, st)
         r, s = rounds((r, s))
 
-    done_running = s.status == EXIT_RUNNING
+    done_running = (s.status == EXIT_RUNNING) | (s.status == EXIT_REFACTOR)
     return s._replace(status=jnp.where(
         done_running & (s.iterations >= iter_limit),
         EXIT_ITERLIMIT,
