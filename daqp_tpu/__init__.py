@@ -37,4 +37,8 @@ def __getattr__(name):
         from .batch import solve_batch
         globals()[name] = solve_batch
         return solve_batch
+    if name == "isfeasible":
+        from .geometry import isfeasible
+        globals()[name] = isfeasible
+        return isfeasible
     raise AttributeError(name)

@@ -165,14 +165,15 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         ldpd = jax.vmap(
             functools.partial(transform.build_ldp, ms=ms, st=st))(
                 H, f, A, bupper, blower, sense)
+        from .types import ACTIVE, LOWER, SOFT
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
+        soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
         m = ldpd.M.shape[1]
         s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
-                          immut)
+                          immut, soft_b)
         # equalities / warm starts: bulk-activate sense-ACTIVE rows (a
         # whole-batch branch: the clean cold-start path never pays the
         # activation Cholesky)
-        from .types import ACTIVE, LOWER
         act_bits = (ldpd.sense & ACTIVE) > 0                # (B, m)
         lo_bits = act_bits & ((ldpd.sense & LOWER) > 0)
         up_l = jnp.moveaxis(jnp.pad(act_bits & ~lo_bits,
@@ -190,10 +191,13 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         lam = jnp.moveaxis(s.lam_star * act * s.scaling, -1, 0)[:, :m]
         fval = 0.5 * (s.fval[0] - jnp.einsum('bk,bk->b', ldpd.v, ldpd.v))
         exitflag = jnp.where(ldpd.error < 0, ldpd.error, s.status[0])
+        act_m = (s.act_up + s.act_lo)
+        slack = st.rho_soft * jnp.sum(
+            s.soft * act_m * s.lam_star * s.lam_star, axis=0)
         return BatchResult(x=x, lam=lam, fval=fval,
                            exitflag=exitflag.astype(jnp.int32),
                            iterations=s.iterations[0].astype(jnp.int32),
-                           soft_slack=jnp.zeros((B,), x.dtype))
+                           soft_slack=slack.astype(x.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("ms", "bin_ids", "K"))

@@ -425,7 +425,8 @@ def _cycle_guard(state, st, batch_mode=False):
     (``src/daqp.c:66-85``).  In batch mode the repair is deferred to
     ``batch_post_pass`` (see ``_optimal_path``): a tripped guard exits with
     EXIT_CYCLE and the post-pass refactors and resumes the lane."""
-    no_progress = state.fval - state.best_fval < st.progress_tol
+    no_progress = state.fval - state.best_fval \
+        < st.progress_tol * (1.0 + jnp.abs(state.fval))
     cc = jnp.where(no_progress, state.cycle_counter + 1, 0)
     best = jnp.where(no_progress, state.best_fval, state.fval)
     trip = no_progress & (cc > st.cycle_tol)

@@ -287,7 +287,7 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
                        opt_flag, status).astype(jnp.int32)
 
     # cycle guard (daqp.c:66-85; repair deferred to the scheduled pass)
-    no_prog = fval - s.best_fval < st.progress_tol
+    no_prog = fval - s.best_fval < st.progress_tol * (1.0 + jnp.abs(fval))
     cyc = jnp.where(price_path, jnp.where(no_prog, s.cycle + 1, 0), s.cycle)
     best = jnp.where(price_path & ~no_prog, fval, s.best_fval)
     status = jnp.where(price_path & no_prog & (cyc > st.cycle_tol)

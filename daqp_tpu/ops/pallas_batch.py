@@ -59,6 +59,7 @@ class DenseState(NamedTuple):
     dlower: jnp.ndarray   # (m, B)
     scaling: jnp.ndarray  # (m, B)
     immut: jnp.ndarray    # (m, B) f32 0/1
+    soft: jnp.ndarray     # (m, B) f32 0/1
     act_up: jnp.ndarray   # (m, B) f32 0/1
     act_lo: jnp.ndarray   # (m, B) f32 0/1
     E: jnp.ndarray        # (m, m, B)
@@ -86,7 +87,7 @@ def _row_chunks(m: int, target: int = 25):
 
 
 def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
-                 M_ref, du_ref, dl_ref, sc_ref, im_ref,
+                 M_ref, du_ref, dl_ref, sc_ref, im_ref, sf_ref,
                  au_ref, al_ref, E_ref, lam_ref, ls_ref,
                  pd_ref, po_ref, pl_ref, plo_ref,
                  u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
@@ -116,6 +117,8 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
     dl = dl_ref[:]
     sc = sc_ref[:]
     im = im_ref[:]
+    sf = sf_ref[:]
+    rho = f32(st.rho_soft)
 
     # Big buffers (E, M) and the state inputs live UNBLOCKED in HBM; grid-
     # blocked VMEM windows are double-buffered by the pipeline, which blew
@@ -220,7 +223,9 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         # primal + pricing (no E access; gates applied later)
         lam_sel = lam_star * act
         u_new = -coldot(lam_sel)
-        fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True)
+        soft_slack = rho * jnp.sum(sf * act * lam_star * lam_star,
+                                   axis=0, keepdims=True)
+        fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True) + soft_slack
         mu = rowdot(u_new)
         bound = -ptol * sc
         v_up = du - mu
@@ -245,6 +250,7 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         g = rowdot(mj) * act
         keep0 = 1.0 - oh_rm * do_rm0
         g_k = g * keep0
+        add_soft = jnp.sum(add_oh * sf, axis=0, keepdims=True)
 
         # E pass 2: removed column + Schur vector
         e, a_pre = contract2(oh_rm, g_k)
@@ -275,10 +281,13 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                         stt)
 
         price = price0 * (stt == EXIT_RUNNING).astype(f32)
-        stt = jnp.where((price > 0) & (found == 0), EXIT_OPTIMAL, stt)
+        opt_flag = jnp.where(soft_slack > ptol, EXIT_SOFT_OPTIMAL,
+                             EXIT_OPTIMAL)
+        stt = jnp.where((price > 0) & (found == 0), opt_flag, stt)
 
         # cycle guard (daqp.c:66-85; repair deferred to the driver)
-        no_prog = (fv_new - bf < progtol).astype(f32)
+        no_prog = (fv_new - bf < progtol * (1.0 + jnp.abs(fv_new))
+                   ).astype(f32)
         cy = price * (no_prog * (cy + 1.0)) + (1.0 - price) * cy
         bf = jnp.where((price > 0) & (no_prog == 0), fv_new, bf)
         stt = jnp.where((price > 0) & (cy > cyctol)
@@ -292,10 +301,11 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         lam = jnp.where(padd > 0, lam_star * act, lam)
 
         # Schur complement & singularity (factorization.c:7-98)
-        dii = jnp.sum(mj * mj, axis=0, keepdims=True)
+        dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * add_soft
         sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
         k = jnp.sum(act, axis=0, keepdims=True)
-        sing = ((sval < singtol) | (k >= n_true)).astype(f32)
+        ns_act = jnp.sum(act * sf, axis=0, keepdims=True) + add_soft
+        sing = ((sval < singtol) | (k >= n_true + ns_act)).astype(f32)
 
         do_add = retry * (1.0 - bad.astype(f32)) + padd
         ok = do_add * (1.0 - sing)
@@ -369,7 +379,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
     in_state = [s.act_up, s.act_lo, s.E, s.lam, s.lam_star, s.pend,
                 s.pend_oh, s.pend_lam, s.pend_lo, s.u, s.fval,
                 s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
-    const = [s.M, s.dupper, s.dlower, s.scaling, s.immut]
+    const = [s.M, s.dupper, s.dlower, s.scaling, s.immut, s.soft]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
         + [any_spec for _ in in_state]
@@ -407,7 +417,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
 _HI = lax.Precision.HIGHEST
 
 
-def dense_init(M_b, du_b, dl_b, sc_b, immut_b) -> DenseState:
+def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None) -> DenseState:
     """Build lanes-last state from batch-leading LDP data arrays
     ((B, m, n), (B, m), ...).
 
@@ -426,7 +436,11 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b) -> DenseState:
         dl_b = jnp.pad(dl_b, ((0, 0), (0, mp)), constant_values=-big)
         sc_b = jnp.pad(sc_b, ((0, 0), (0, mp)), constant_values=1.0)
         immut_b = jnp.pad(immut_b, ((0, 0), (0, mp)), constant_values=1.0)
+        if soft_b is not None:
+            soft_b = jnp.pad(soft_b, ((0, 0), (0, mp)))
         m, n = m + mp, n + np_
+    if soft_b is None:
+        soft_b = jnp.zeros_like(immut_b)
     T = lambda x: jnp.moveaxis(x, 0, -1)
     z_m = jnp.zeros((m, B), f32)
     z1 = jnp.zeros((1, B), f32)
@@ -434,6 +448,7 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b) -> DenseState:
         M=T(M_b).astype(f32), dupper=T(du_b).astype(f32),
         dlower=T(dl_b).astype(f32), scaling=T(sc_b).astype(f32),
         immut=T(immut_b).astype(f32),
+        soft=T(soft_b).astype(f32),
         act_up=z_m, act_lo=z_m, E=jnp.zeros((m, m, B), f32),
         lam=z_m, lam_star=z_m,
         pend=z1, pend_oh=z_m, pend_lam=z1, pend_lo=z1,
@@ -442,7 +457,7 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b) -> DenseState:
         status=jnp.full((1, B), EXIT_RUNNING, jnp.int32))
 
 
-def _gram(s: DenseState):
+def _gram(s: DenseState, st: Settings):
     """G = (act M)(act M)' on the active block, identity on inactive
     rows/cols; batch-last einsum (rides the MXU)."""
     m = s.M.shape[0]
@@ -451,7 +466,8 @@ def _gram(s: DenseState):
     G = jnp.einsum('ikb,jkb->ijb', Ma, Ma, precision=_HI)
     G = G * (act[:, None, :] * act[None, :, :])
     eye = jnp.eye(m, dtype=G.dtype)[:, :, None]
-    return G + eye * (1.0 - act)[None, :, :]
+    return G + eye * (1.0 - act)[None, :, :] \
+        + eye * (act * s.soft * st.rho_soft)[None, :, :]
 
 
 def dense_activate(s: DenseState, up_mask, lo_mask,
@@ -467,7 +483,7 @@ def dense_activate(s: DenseState, up_mask, lo_mask,
     act_up = up_mask.astype(dtype)
     act_lo = lo_mask.astype(dtype)
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
-    G = _gram(s2)
+    G = _gram(s2, st)
     Gb = jnp.moveaxis(G, -1, 0)
     cF = jnp.linalg.cholesky(Gb)
     ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))
@@ -513,7 +529,7 @@ def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     act_lo = (keep & side_lo).astype(dtype)
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
 
-    G = _gram(s2)
+    G = _gram(s2, st)
     Gb = jnp.moveaxis(G, -1, 0)                          # (B, m, m)
     cF = jnp.linalg.cholesky(Gb)
     ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))     # (B,)
@@ -543,7 +559,7 @@ def exact_repair(s: DenseState, st: Settings) -> DenseState:
     m = s.M.shape[0]
     act = s.act_up + s.act_lo
     actm = act[:, None, :] * act[None, :, :]
-    G = _gram(s)
+    G = _gram(s, st)
     Gb = jnp.moveaxis(G, -1, 0)                  # (B, m, m)
     Eb = jnp.moveaxis(s.E, -1, 0)
 
@@ -583,19 +599,22 @@ def polish(s: DenseState, st: Settings) -> DenseState:
     (auxiliary.c:497-588 + the optimal-path re-check, daqp.c:47-63).
     Runs OUTSIDE the round loop — accuracy work, not progress work."""
     act = s.act_up + s.act_lo
-    is_opt = s.status[0] == EXIT_OPTIMAL
+    is_opt = (s.status[0] == EXIT_OPTIMAL) \
+        | (s.status[0] == EXIT_SOFT_OPTIMAL)
     d_W = s.act_up * s.dupper + s.act_lo * s.dlower
     # lanes-last multiply-reduce contractions: a batch-last einsum would
     # physically transpose the 40+ MB E buffer every call
     r = jnp.sum(s.M * s.u[None, :, :], axis=1) - d_W
-    r = r * act
+    r = (r - st.rho_soft * s.soft * s.lam_star) * act
     dlam = jnp.sum(s.E * r[None, :, :], axis=1)
     okl = is_opt & jnp.all(jnp.isfinite(dlam), axis=0)
     lam_star = s.lam_star + jnp.where(okl[None, :], dlam * act, 0)
     u2 = s.u - jnp.sum(s.M * jnp.where(okl[None, :], dlam * act,
                                        0)[:, None, :], axis=0)
     u2 = jnp.where(okl[None, :], u2, s.u)
-    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True)
+    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True) \
+        + st.rho_soft * jnp.sum(s.soft * act * lam_star * lam_star,
+                                axis=0, keepdims=True)
     mu = jnp.sum(s.M * u2[None, :, :], axis=1)
     blocked = (act > 0) | (s.immut > 0)
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)

@@ -259,6 +259,103 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
                 status=init_status.astype(jnp.int32))
     c = lax.while_loop(lambda c: c.status == EXIT_RUNNING, outer_body, c0)
 
+    # Vertex polish: the LP optimum is a vertex of the active system
+    # M_W x = b_W * scaling; the proximal loop stops within eta*eps of it
+    # (observed 5e-3 at n=500), so solve the active system exactly through
+    # the inverse Gram, with one refinement pass for drift.
+    # LP accuracy cleanup (three stages, each a no-op off the happy path).
+    # The adaptive loop may accept its fixed point while eps (hence the
+    # tolerance eta*eps) is large, and near-dual-degenerate faces leave
+    # the iterate off-vertex with a tiny objective gap (observed 8e-3
+    # primal error at n=200 against the 1e-4 reference gate):
+    #  1) one warm re-solve at small eps — the prox map x <- proj(x-eps f)
+    #     restores a consistent workspace and a feasible near-optimal x;
+    #  2) crossover to a vertex: projected steepest descent within the
+    #     active face to the nearest blocking constraint (activated),
+    #     until n constraints are active — this pins the tiny-dual
+    #     constraints degeneracy leaves inactive (measured: 6 steps take
+    #     the degenerate case from 7.8e-3 to 4e-8);
+    #  3) exact solve of the vertex system through the inverse Gram.
+    fscale = (1.0 + jnp.linalg.norm(c.x)) / (1.0 + jnp.linalg.norm(f_))
+
+    def tighten(eps_f, carry):
+        s, x = carry
+        v2 = f_ * eps_f - x
+        Mv2 = ldpd.M @ v2
+        s2 = _reset_for_resolve(s, bu * ldpd.scaling + Mv2,
+                                bl * ldpd.scaling + Mv2)
+        s2 = ldp_mod.ldp_solve(s2, st)
+        x2 = s2.u - v2
+        ok = s2.status > 0
+        return (lax.cond(ok, lambda _: s2, lambda _: s, None),
+                jnp.where(ok, x2, x))
+
+    s, x_c = lax.cond(c.status == EXIT_OPTIMAL,
+                      lambda cc: tighten(1e-3 * fscale, cc),
+                      lambda cc: cc, (c.state, c.x))
+
+    dtol_x = 1e-9 * (1.0 + jnp.linalg.norm(f_))
+
+    def crossover(i, carry):
+        # one simplex-like move: off-vertex -> projected steepest descent
+        # to the nearest blocker (activated); at a vertex -> dual-sign
+        # check, dropping the most wrong-signed constraint (the greedy
+        # descent path can land on a suboptimal vertex adjacent to the
+        # optimum; the exchange resumes the descent)
+        s, x = carry
+        Kb = s.E.shape[0]
+        mask = jnp.arange(Kb) < s.n_active
+        nu = -(s.E @ jnp.where(mask, s.Mw @ f_, 0))
+        ws_i = jnp.clip(s.WS, 0, s.M.shape[0] - 1)
+        sw_i = s.sense[ws_i]
+        is_lo = (sw_i & LOWER) > 0
+        immut_i = (sw_i & IMMUTABLE) > 0
+        sgn_tol = 1e-8 * (1.0 + jnp.max(jnp.abs(
+            jnp.where(mask, nu, 0))))
+        wrong = mask & ~immut_i & jnp.where(is_lo, nu > sgn_tol,
+                                            nu < -sgn_tol)
+        at_vertex = s.n_active >= n
+        coef = jnp.where(mask, nu, 0)
+        d = -(f_ + s.Mw.T @ coef)       # projected -f within the face
+        go_desc = (~at_vertex) & (jnp.linalg.norm(d) > dtol_x)
+        go_exch = at_vertex & jnp.any(wrong)
+
+        def descend(carry):
+            s, x = carry
+            found, s2, x2 = _gradient_step(s, x + d, x, bu, bl, st)
+            return lax.cond(found, lambda _: (s2, x2),
+                            lambda _: (s, x), None)
+
+        def exchange(carry):
+            s, x = carry
+            score = jnp.where(wrong, jnp.abs(nu), -1.0)
+            rm = jnp.argmax(score).astype(jnp.int32)
+            return ldp_mod.remove_constraint(s, rm, st), x
+
+        run_ok = c.status == EXIT_OPTIMAL
+        return lax.cond(
+            run_ok & go_exch, exchange,
+            lambda cc: lax.cond(run_ok & go_desc, descend,
+                                lambda q: q, cc), (s, x))
+
+    s, x_c = lax.fori_loop(0, 3 * n, crossover, (s, x_c))
+
+    # exact vertex solve via E, one refinement pass against drift
+    Kb = s.E.shape[0]
+    mask = jnp.arange(Kb) < s.n_active
+    ws = jnp.clip(s.WS, 0, s.M.shape[0] - 1)
+    sw = s.sense[ws]
+    bW = jnp.where((sw & LOWER) > 0, bl[ws], bu[ws]) * ldpd.scaling[ws]
+    bW = jnp.where(mask, bW, 0)
+    x_v = x_c
+    for _ in range(2):
+        r = jnp.where(mask, s.Mw @ x_v - bW, 0)
+        x_v = x_v - s.Mw.T @ (s.E @ r)
+    at_vertex = s.n_active == n
+    x_fin = jnp.where((c.status == EXIT_OPTIMAL) & at_vertex, x_v,
+                      jnp.where(c.status == EXIT_OPTIMAL, x_c, c.x))
+    c = c._replace(x=x_fin, state=s)
+
     # Rescale duals by 1/eps (daqp_prox.c:171-173)
     lam = solve_mod.extract_duals(c.state) / jnp.maximum(c.eps, 1e-30)
     fval = f_ @ c.x

@@ -118,6 +118,10 @@ def default_settings_f32() -> Settings:
         progress_tol=1e-7,
         sing_tol=1e-6,
         refactor_tol=1e-5,
+        # rho_soft must sit clearly above sing_tol: a conflicting soft
+        # constraint's Schur pivot equals rho and must not read as
+        # singular (f64 keeps 1e-6 against sing_tol 3.7e-11)
+        rho_soft=1e-4,
     )
 
 

@@ -42,3 +42,16 @@ def test_linprog_cycle_regression():
     res = daqp_tpu.linprog(f, A, bu, bl, ms=0)
     assert int(res.exitflag) == daqp_tpu.EXIT_OPTIMAL
     assert np.allclose(np.asarray(res.x), np.ones(n), atol=1e-5)
+
+
+def test_linprog_large_accuracy():
+    # Large LPs hit near-dual-degenerate faces where the raw proximal
+    # fixed point sits ~1e-2 off the optimal vertex; the cleanup
+    # (tighten -> crossover with dual-sign exchange -> vertex solve)
+    # must land on the exact vertex (reference gate ||x - xref|| <= 1e-4,
+    # benchmark.jl:39).
+    rng = np.random.default_rng(2500)
+    x, f, A, bu, bl, sense = generate_test_lp(200, 1000, 100, rng)
+    res = daqp_tpu.linprog(f, A, bu, bl, sense, ms=100)
+    assert int(res.exitflag) == daqp_tpu.EXIT_OPTIMAL
+    assert np.linalg.norm(np.asarray(res.x) - x) < 1e-8

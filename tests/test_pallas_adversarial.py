@@ -59,3 +59,32 @@ def test_pallas_mixed_batch():
         if int(flags[b]) == 1:
             assert abs(float(A[b][2] @ np.asarray(res.x)[b])
                        - bu[b][2]) < 1e-3
+
+
+def test_pallas_soft_batch():
+    # soft-constraint lanes through the kernel path: conflicting soft
+    # equality vs hard bound -> SOFT_OPTIMAL with the hard bound held
+    B, n = 128, 8
+    rng = np.random.default_rng(19)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + np.eye(n, dtype=np.float32)
+    f = np.zeros((B, n), np.float32)
+    A = np.tile(np.eye(n, dtype=np.float32)[None], (B, 1, 1))
+    A = np.concatenate([A, A[:, :1]], axis=1)          # extra soft row
+    bu = np.concatenate([np.zeros((B, 1)), np.full((B, n - 1), 10.0),
+                         np.full((B, 1), 1e30)],
+                        axis=1).astype(np.float32)     # x1 <= 0 hard
+    bl = np.concatenate([np.full((B, n), -10.0), np.ones((B, 1))],
+                        axis=1).astype(np.float32)     # soft x1 >= 1
+    sense = np.zeros((B, n + 1), np.int32)
+    sense[:, n] = daqp_tpu.SOFT
+    st = _as_settings({"iter_limit": 200}, jnp.float32)
+    res = batch_mod.solve_batch_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0, interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.all(flags == daqp_tpu.EXIT_SOFT_OPTIMAL), \
+        np.unique(flags, return_counts=True)
+    x = np.asarray(res.x)
+    assert np.all(x[:, 0] <= 1e-4), x[:, 0].max()      # hard bound held
+    assert np.all(np.asarray(res.soft_slack) > 0)
