@@ -142,10 +142,11 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
             lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
 
-@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret"))
+@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
+                                             "has_soft"))
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
-                           ms: int = 0, interpret: bool = False
-                           ) -> BatchResult:
+                           ms: int = 0, interpret: bool = False,
+                           has_soft: bool = False) -> BatchResult:
     """Batched strictly-convex QP solve on the Pallas mega-kernel path
     (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
     in 128-lane tiles; numerical repair runs between kernel rounds on the
@@ -183,7 +184,8 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         s = jax.lax.cond(jnp.any(act_bits),
                          lambda s: pb.dense_activate(s, up_l, lo_l, st),
                          lambda s: s, s)
-        s = pb.dense_solve(s, st, n_true=n, interpret=interpret)
+        s = pb.dense_solve(s, st, n_true=n, interpret=interpret,
+                           has_soft=has_soft)
 
         u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]               # (B, n)
         x = jax.vmap(transform.ldp_to_qp_solution)(ldpd, u_b)

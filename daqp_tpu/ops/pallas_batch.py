@@ -87,7 +87,8 @@ def _row_chunks(m: int, target: int = 25):
 
 
 def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
-                 M_ref, du_ref, dl_ref, sc_ref, im_ref, sf_ref,
+                 has_soft: bool,
+                 M_ref, du_ref, dl_ref, sc_ref, imsf_ref,
                  au_ref, al_ref, E_ref, lam_ref, ls_ref,
                  pd_ref, po_ref, pl_ref, plo_ref,
                  u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
@@ -116,8 +117,17 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
     du = du_ref[:]
     dl = dl_ref[:]
     sc = sc_ref[:]
-    im = im_ref[:]
-    sf = sf_ref[:]
+    # immut and soft masks packed as im + 2*soft in one buffer (the extra
+    # blocked window pair pushed VMEM 29 KB over the 16 MB limit); the
+    # soft terms are compiled in only for batches that carry SOFT bits
+    # (they cost ~2x on the clean cold-start path)
+    imsf = imsf_ref[:]
+    if has_soft:
+        sf = jnp.floor(imsf * 0.5 + 0.25)
+        im = imsf - 2.0 * sf
+    else:
+        im = imsf
+        sf = None
     rho = f32(st.rho_soft)
 
     # Big buffers (E, M) and the state inputs live UNBLOCKED in HBM; grid-
@@ -223,8 +233,11 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         # primal + pricing (no E access; gates applied later)
         lam_sel = lam_star * act
         u_new = -coldot(lam_sel)
-        soft_slack = rho * jnp.sum(sf * act * lam_star * lam_star,
-                                   axis=0, keepdims=True)
+        if has_soft:
+            soft_slack = rho * jnp.sum(sf * act * lam_star * lam_star,
+                                       axis=0, keepdims=True)
+        else:
+            soft_slack = 0.0
         fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True) + soft_slack
         mu = rowdot(u_new)
         bound = -ptol * sc
@@ -250,7 +263,8 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         g = rowdot(mj) * act
         keep0 = 1.0 - oh_rm * do_rm0
         g_k = g * keep0
-        add_soft = jnp.sum(add_oh * sf, axis=0, keepdims=True)
+        add_soft = (jnp.sum(add_oh * sf, axis=0, keepdims=True)
+                    if has_soft else 0.0)
 
         # E pass 2: removed column + Schur vector
         e, a_pre = contract2(oh_rm, g_k)
@@ -281,8 +295,11 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                         stt)
 
         price = price0 * (stt == EXIT_RUNNING).astype(f32)
-        opt_flag = jnp.where(soft_slack > ptol, EXIT_SOFT_OPTIMAL,
-                             EXIT_OPTIMAL)
+        if has_soft:
+            opt_flag = jnp.where(soft_slack > ptol, EXIT_SOFT_OPTIMAL,
+                                 EXIT_OPTIMAL)
+        else:
+            opt_flag = EXIT_OPTIMAL
         stt = jnp.where((price > 0) & (found == 0), opt_flag, stt)
 
         # cycle guard (daqp.c:66-85; repair deferred to the driver)
@@ -304,7 +321,8 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * add_soft
         sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
         k = jnp.sum(act, axis=0, keepdims=True)
-        ns_act = jnp.sum(act * sf, axis=0, keepdims=True) + add_soft
+        ns_act = (jnp.sum(act * sf, axis=0, keepdims=True) + add_soft
+                  if has_soft else 0.0)
         sing = ((sval < singtol) | (k >= n_true + ns_act)).astype(f32)
 
         do_add = retry * (1.0 - bad.astype(f32)) + padd
@@ -360,7 +378,8 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
 
 def run_kernel_round(s: DenseState, st: Settings, n_true: int,
                      steps: int = 64,
-                     interpret: bool = False) -> DenseState:
+                     interpret: bool = False,
+                     has_soft: bool = True) -> DenseState:
     """One kernel round: ``steps`` masked iterations per lane, tiled over
     the batch in 128-lane programs."""
     from jax.experimental import pallas as pl
@@ -379,7 +398,8 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
     in_state = [s.act_up, s.act_lo, s.E, s.lam, s.lam_star, s.pend,
                 s.pend_oh, s.pend_lam, s.pend_lo, s.u, s.fval,
                 s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
-    const = [s.M, s.dupper, s.dlower, s.scaling, s.immut, s.soft]
+    const = [s.M, s.dupper, s.dlower, s.scaling,
+             s.immut + 2.0 * s.soft]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
         + [any_spec for _ in in_state]
@@ -392,7 +412,8 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
     n_const = len(const)
     aliases = {n_const + i: i for i in range(len(in_state))}
 
-    kernel = functools.partial(_kernel_body, st, m, n, n_true, steps)
+    kernel = functools.partial(_kernel_body, st, m, n, n_true, steps,
+                               has_soft)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -630,7 +651,7 @@ def polish(s: DenseState, st: Settings) -> DenseState:
 def dense_solve(s: DenseState, st: Settings, n_true: int = None,
                 steps: int = 64,
                 max_rounds: int = 16, interpret: bool = False,
-                warm: bool = False) -> DenseState:
+                warm: bool = False, has_soft: bool = True) -> DenseState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane actually needs it (a real branch at batch level — a
     whole-batch lax.cond, unlike per-lane conds under vmap); refinement

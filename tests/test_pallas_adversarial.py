@@ -81,7 +81,8 @@ def test_pallas_soft_batch():
     st = _as_settings({"iter_limit": 200}, jnp.float32)
     res = batch_mod.solve_batch_pallas_jit(
         jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
-        jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0, interpret=True)
+        jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0, interpret=True,
+        has_soft=True)
     flags = np.asarray(res.exitflag)
     assert np.all(flags == daqp_tpu.EXIT_SOFT_OPTIMAL), \
         np.unique(flags, return_counts=True)
