@@ -38,26 +38,33 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
                is_lp: bool, bin_ids: tuple, break_points,
                is_avi: bool = False, x0=None, deadline=None, K=None,
                Rinv=None, soft_weights=None):
-    if is_avi:
-        from . import avi_solver as avi_mod
-        return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
-                                x0=x0, K=K, deadline=deadline)
-    if bin_ids:
-        from . import bnb
-        return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
-                            bin_ids=bin_ids, deadline=deadline, K=K)
-    if break_points is not None and len(break_points) > 1:
-        from . import hierarchical
-        return hierarchical.hiqp_core(H, f, A, bupper, blower, sense, ms,
-                                      break_points, st, deadline=deadline)
-    if is_lp:
+    # Pin HIGHEST matmul precision for EVERY single-instance dispatch
+    # path: TPU's default bf16 contractions silently corrupt f32 solver
+    # math (observed 1e-1 primal errors) and the AVI/hierarchical/BnB/
+    # prox cores run solver-critical GEMVs without per-call pinning.
+    with jax.default_matmul_precision('highest'):
+        if is_avi:
+            from . import avi_solver as avi_mod
+            return avi_mod.avi_core(H, f, A, bupper, blower, sense, ms, st,
+                                    x0=x0, K=K, deadline=deadline)
+        if bin_ids:
+            from . import bnb
+            return bnb.bnb_core(H, f, A, bupper, blower, sense, ms, st,
+                                bin_ids=bin_ids, deadline=deadline, K=K)
+        if break_points is not None and len(break_points) > 1:
+            from . import hierarchical
+            return hierarchical.hiqp_core(H, f, A, bupper, blower, sense,
+                                          ms, break_points, st,
+                                          deadline=deadline)
+        if is_lp:
+            from . import prox
+            return prox.linprog_core(f, A, bupper, blower, sense, ms, st,
+                                     x0=x0, deadline=deadline, K=K)
         from . import prox
-        return prox.linprog_core(f, A, bupper, blower, sense, ms, st, x0=x0,
-                                 deadline=deadline, K=K)
-    from . import prox
-    return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense, ms, st,
-                                     x0=x0, deadline=deadline, K=K,
-                                     Rinv=Rinv, soft_weights=soft_weights)
+        return prox.solve_convex_or_prox(H, f, A, bupper, blower, sense,
+                                         ms, st, x0=x0, deadline=deadline,
+                                         K=K, Rinv=Rinv,
+                                         soft_weights=soft_weights)
 
 
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,

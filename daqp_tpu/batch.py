@@ -17,6 +17,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import ldp as ldp_mod
 from . import transform
@@ -69,6 +70,13 @@ def solve_batch_jit(H, f, A, bupper, blower, sense, st: Settings,
     Semidefinite H is NOT handled here (use ``api.solve`` per instance or
     the batched prox driver); the Hessians must be PD like the reference's
     plain ``daqp_ldp`` dispatch path (api.c:16-32 with n_prox == 0).
+
+    For batches with SOFT constraints pass ``K = n + max_ns + 1`` (the
+    reference's per-instance allocation, api.c:288-305) — the default
+    K = n + 1 caps the working set below what soft active sets can
+    legally reach (the ``solve_batch`` wrapper computes this for you; an
+    under-allocated K degrades to a pending-add/cycle exit, never a
+    silent slot overwrite).
     """
     n = A.shape[-1]
     if K is None:
@@ -95,8 +103,13 @@ def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
     s = ldp_flat.flat_activate(s, st)
     unc_ok, _ = transform.check_unconstrained(
         ldpd._replace(sense=s.sense), st)
+    # activation failures (inconsistent redundant equality ->
+    # EXIT_OVERDETERMINED_INITIAL) take precedence over the
+    # unconstrained shortcut
     pre = jnp.where(ldpd.error < 0, ldpd.error,
-                    jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING))
+                    jnp.where(s.status != EXIT_RUNNING, s.status,
+                              jnp.where(unc_ok, EXIT_OPTIMAL,
+                                        EXIT_RUNNING)))
     s = s._replace(status=pre.astype(jnp.int32))
     s = ldp_flat.flat_solve(s, st)
 
@@ -142,19 +155,42 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
             lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
 
-@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
-                                             "has_soft"))
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                            ms: int = 0, interpret: bool = False,
-                           has_soft: bool = False) -> BatchResult:
+                           has_soft=None) -> BatchResult:
     """Batched strictly-convex QP solve on the Pallas mega-kernel path
     (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
     in 128-lane tiles; numerical repair runs between kernel rounds on the
-    MXU.  Scope: hard two-sided constraints, cold start (the throughput
-    path).  Falls back to ``solve_batch_flat_jit`` semantics otherwise.
+    MXU.  Scope: hard/soft two-sided constraints, equality/warm bulk
+    activation, cold start (the throughput path).
+
+    ``has_soft`` selects the kernel variant (compile-time: the soft terms
+    cost extra VPU work on every iteration).  ``None`` (default)
+    dispatches automatically from the concrete ``sense`` array; inside an
+    enclosing trace pass it explicitly.  An explicit ``has_soft=False``
+    with soft rows present marks those lanes ``EXIT_UNSUPPORTED`` instead
+    of silently dropping the rows.
     """
+    from .types import SOFT
+    if has_soft is None:
+        try:
+            has_soft = bool(np.any(np.asarray(sense) & SOFT))
+        except jax.errors.TracerArrayConversionError:
+            raise ValueError(
+                "solve_batch_pallas_jit: sense is traced; pass "
+                "has_soft=True/False explicitly when calling under jit")
+    return _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st,
+                                    ms=ms, interpret=interpret,
+                                    has_soft=bool(has_soft))
+
+
+@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
+                                             "has_soft"))
+def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
+                             ms: int = 0, interpret: bool = False,
+                             has_soft: bool = False) -> BatchResult:
     from .ops import pallas_batch as pb
-    from .types import IMMUTABLE
+    from .types import IMMUTABLE, EXIT_UNSUPPORTED
 
     B = H.shape[0]
     n = A.shape[-1]
@@ -170,8 +206,12 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
         soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
         m = ldpd.M.shape[1]
+        # has_soft=False compiles the hard-only kernel: the soft mask must
+        # NOT be packed (the kernel would decode im >= 2 as blocked and
+        # silently drop the row); any lane carrying SOFT bits is flagged
+        # EXIT_UNSUPPORTED below instead.
         s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
-                          immut, soft_b)
+                          immut, soft_b if has_soft else None)
         # equalities / warm starts: bulk-activate sense-ACTIVE rows (a
         # whole-batch branch: the clean cold-start path never pays the
         # activation Cholesky)
@@ -193,6 +233,9 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
         lam = jnp.moveaxis(s.lam_star * act * s.scaling, -1, 0)[:, :m]
         fval = 0.5 * (s.fval[0] - jnp.einsum('bk,bk->b', ldpd.v, ldpd.v))
         exitflag = jnp.where(ldpd.error < 0, ldpd.error, s.status[0])
+        if not has_soft:
+            soft_lane = jnp.any(soft_b > 0, axis=-1)
+            exitflag = jnp.where(soft_lane, EXIT_UNSUPPORTED, exitflag)
         act_m = (s.act_up + s.act_lo)
         slack = st.rho_soft * jnp.sum(
             s.soft * act_m * s.lam_star * s.lam_star, axis=0)
@@ -222,16 +265,27 @@ def solve_batch_miqp_jit(H, f, A, bupper, blower, sense, st: Settings,
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
                 settings: Optional[Settings] = None) -> BatchResult:
     """Convenience wrapper: batched dense strictly-convex QP solve on the
-    flat (slot-table) hot path."""
+    flat (slot-table) hot path.
+
+    The working-set capacity is sized K = n + max_ns + 1 over the batch
+    (the reference allocates n + ns + 1 per instance, api.c:288-305):
+    with soft constraints the active set can legally exceed n + 1."""
     H = jnp.asarray(H)
     B = H.shape[0]
     m = jnp.asarray(bupper).shape[-1]
+    n = jnp.asarray(A).shape[-1]
     dtype = H.dtype
     if sense is None:
         sense = jnp.zeros((B, m), jnp.int32)
+        max_ns = 0
+    else:
+        from .types import SOFT
+        max_ns = int(np.max(np.sum(
+            (np.asarray(sense) & SOFT) > 0, axis=-1), initial=0))
     if settings is None:
         from .api import _as_settings
         settings = _as_settings(None, dtype)
     return solve_batch_flat_jit(H, jnp.asarray(f), jnp.asarray(A),
                                 jnp.asarray(bupper), jnp.asarray(blower),
-                                jnp.asarray(sense), settings, ms=ms)
+                                jnp.asarray(sense), settings, ms=ms,
+                                K=int(n) + max_ns + 1)

@@ -167,6 +167,12 @@ def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
     s_val = dii - g @ alpha
     ns_new = state.ns_active + is_soft.astype(jnp.int32)
     singular = (s_val < st.sing_tol) | (k >= n + ns_new)
+    # Backstop for an under-allocated workspace (K must be n + ns + 1,
+    # api.c:288-305; callers that cannot see ns statically may pass a
+    # smaller K): a full table makes the add a no-op — the constraint
+    # stays inactive and pricing re-selects it until the cycle guard
+    # exits — rather than silently overwriting the last slot.
+    full = k >= state.E.shape[0]
 
     sense = state.sense.at[idx].set(state.sense[idx] | ACTIVE)
     base = state._replace(
@@ -186,7 +192,9 @@ def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
         return s._replace(E=s.E + jnp.outer(w, w) / s_val,
                           sing=jnp.zeros((), bool))
 
-    return lax.cond(singular, sing_branch, ok_branch, base)
+    return lax.cond(full, lambda s: state,
+                    lambda s: lax.cond(singular, sing_branch, ok_branch, s),
+                    base)
 
 
 def remove_constraint(state: LDPState, rm_pos, st: Settings) -> LDPState:

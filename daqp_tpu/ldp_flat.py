@@ -148,7 +148,13 @@ def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
     k = jnp.sum(s.used).astype(jnp.int32)
     softmask = s.used & ((s.sense[s.sid] & SOFT) > 0)
     ns_act = jnp.sum(softmask).astype(jnp.int32) + is_soft.astype(jnp.int32)
-    singular = (sval < st.sing_tol) | (k >= n + ns_act)
+    # (k >= K): full slot table.  With >= 2 active soft constraints the
+    # rank cap n + ns_act can exceed the allocated capacity K (the
+    # reference allocates K = n + ns + 1, api.c:288-305; callers that
+    # cannot know ns statically may under-allocate), and an unguarded add
+    # would overwrite slot argmin(used) = 0.  A full table is treated as a
+    # singular add (pending -> repair ladder), never a silent overwrite.
+    singular = (sval < st.sing_tol) | (k >= n + ns_act) | (k >= K)
 
     slot = jnp.argmin(s.used).astype(jnp.int32)   # first free slot
     w = jnp.where(s.used, a, 0).at[slot].set(jnp.asarray(-1.0, dtype))
@@ -436,9 +442,17 @@ def flat_polish(s: FlatState, st: Settings) -> FlatState:
 
 def flat_activate(s: FlatState, st: Settings) -> FlatState:
     """Activate sense-ACTIVE constraints (warm/equality start,
-    ``daqp_activate_constraints``, auxiliary.c:398-478).  Dependent
-    entries are dropped (pending is cleared), mirroring the
-    consistent-redundant-equality path."""
+    ``daqp_activate_constraints``, auxiliary.c:398-478).
+
+    A linearly dependent activation is dropped — with its ACTIVE bit
+    CLEARED so pricing can re-enforce it later (the reference's
+    DAQP_SET_INACTIVE, auxiliary.c:446-469) — unless the row is
+    IMMUTABLE (a redundant equality), in which case its right-hand side
+    is checked for consistency against the active set through the null
+    vector of the row Gramian: an inconsistent redundant equality makes
+    the problem infeasible and exits EXIT_OVERDETERMINED_INITIAL
+    (auxiliary.c:423-459)."""
+    from .types import EXIT_OVERDETERMINED_INITIAL
     m = s.M.shape[0]
 
     def body(i, s):
@@ -449,8 +463,28 @@ def flat_activate(s: FlatState, st: Settings) -> FlatState:
         one = jnp.asarray(1.0, s.E.dtype)
         s = _try_add(s, st, want, jnp.asarray(i, jnp.int32),
                      jnp.where(is_lower, -one, one), s.M[i], is_lower)
-        # a dependent activation is dropped rather than kept pending
-        return s._replace(pend=jnp.zeros((), bool))
+        dep = s.pend    # _try_add parked the add: linearly dependent row
+        # null-vector coefficients: M_i = sum_j ap_j Mw_j on used slots,
+        # so consistency requires d_i = sum_j ap_j d_Wj
+        gp = jnp.where(s.used, _mv(s.Mw, s.M[i]), 0)
+        ap = _mv(s.E, gp)
+        d_W = jnp.where((s.sense[s.sid] & LOWER) > 0,
+                        s.dlower[s.sid], s.dupper[s.sid])
+        d_W = jnp.where(s.used, d_W, 0)
+        d_i = jnp.where(is_lower, s.dlower[i], s.dupper[i])
+        term = ap * d_W
+        resid = d_i - jnp.sum(term)
+        scale = 1.0 + jnp.abs(d_i) + jnp.sum(jnp.abs(term))
+        is_imm = (s.sense[i] & IMMUTABLE) > 0
+        incons = dep & is_imm & (jnp.abs(resid) > st.primal_tol * scale)
+        status = jnp.where(incons, EXIT_OVERDETERMINED_INITIAL,
+                           s.status).astype(jnp.int32)
+        # the dropped constraint re-enters pricing (ACTIVE cleared)
+        sense = s.sense.at[jnp.where(dep, i, m)].set(
+            (s.sense[jnp.clip(i, 0, m - 1)] & ~ACTIVE).astype(jnp.int32),
+            mode='drop')
+        return s._replace(pend=jnp.zeros((), bool), sense=sense,
+                          status=status)
 
     return lax.fori_loop(0, m, body, s)
 

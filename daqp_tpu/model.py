@@ -33,23 +33,27 @@ from . import warmstart
 from .types import (BINARY, Settings, Result, EXIT_RUNNING)
 
 
-@jax.jit
-def _cold_solve_from_ldp(ldpd, st: Settings):
+@functools.partial(jax.jit, static_argnames=("K",))
+def _cold_solve_from_ldp(ldpd, st: Settings, K=None):
     """Plain-QP cold solve from a prebuilt LDP (state returned for warm
-    restarts)."""
-    n = ldpd.M.shape[1]
-    state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
-                               ldpd.scaling, K=n + 1)
-    act_flag, state = ldp_mod.activate_constraints(state, st)
-    unc_ok, _ = transform.check_unconstrained(
-        ldpd._replace(sense=state.sense), st)
-    from .types import EXIT_OPTIMAL
-    pre = jnp.where(ldpd.error < 0, ldpd.error,
-                    jnp.where(act_flag < 0, act_flag,
-                              jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING)))
-    state = state._replace(status=pre.astype(jnp.int32))
-    state = ldp_mod.ldp_solve(state, st)
-    return _extract(ldpd, state)
+    restarts).  ``K`` is the working-set capacity n + ns + 1
+    (api.c:288-305); the Model caller computes it from concrete sense."""
+    with jax.default_matmul_precision('highest'):
+        n = ldpd.M.shape[1]
+        state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower,
+                                   ldpd.sense, ldpd.scaling,
+                                   K=n + 1 if K is None else K)
+        act_flag, state = ldp_mod.activate_constraints(state, st)
+        unc_ok, _ = transform.check_unconstrained(
+            ldpd._replace(sense=state.sense), st)
+        from .types import EXIT_OPTIMAL
+        pre = jnp.where(
+            ldpd.error < 0, ldpd.error,
+            jnp.where(act_flag < 0, act_flag,
+                      jnp.where(unc_ok, EXIT_OPTIMAL, EXIT_RUNNING)))
+        state = state._replace(status=pre.astype(jnp.int32))
+        state = ldp_mod.ldp_solve(state, st)
+        return _extract(ldpd, state)
 
 
 @jax.jit
@@ -57,15 +61,16 @@ def _warm_resolve(ldpd, state, st: Settings):
     """Warm re-solve after a v/d-only update: the working set, inverse Gram
     and sense persist; only the bounds change (utils.c:410-455 semantics —
     ``reuse_ind`` invalidation maps to recomputing the CSP)."""
-    state = state._replace(
-        dupper=ldpd.dupper, dlower=ldpd.dlower,
-        status=jnp.asarray(EXIT_RUNNING, jnp.int32),
-        iterations=jnp.zeros((), jnp.int32),
-        tried_repair=jnp.zeros((), bool),
-        cycle_counter=jnp.zeros((), jnp.int32),
-        best_fval=jnp.asarray(-1.0, state.fval.dtype))
-    state = ldp_mod.ldp_solve(state, st, reset=False)
-    return _extract(ldpd, state)
+    with jax.default_matmul_precision('highest'):
+        state = state._replace(
+            dupper=ldpd.dupper, dlower=ldpd.dlower,
+            status=jnp.asarray(EXIT_RUNNING, jnp.int32),
+            iterations=jnp.zeros((), jnp.int32),
+            tried_repair=jnp.zeros((), bool),
+            cycle_counter=jnp.zeros((), jnp.int32),
+            best_fval=jnp.asarray(-1.0, state.fval.dtype))
+        state = ldp_mod.ldp_solve(state, st, reset=False)
+        return _extract(ldpd, state)
 
 
 def _extract(ldpd, state):
@@ -155,7 +160,10 @@ class Model:
                             primal_start=self._x0)
             return res
         if self._state is None:
-            out = _cold_solve_from_ldp(self._ldpd, self._st)
+            from .types import SOFT
+            n = self._A.shape[1] if self._A.size else len(self._bupper)
+            K = int(n + np.sum((self._sense & SOFT) > 0) + 1)
+            out = _cold_solve_from_ldp(self._ldpd, self._st, K=K)
         else:
             out = _warm_resolve(self._ldpd, self._state, self._st)
         out = jax.block_until_ready(out)

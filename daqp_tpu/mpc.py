@@ -48,27 +48,31 @@ def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
     """
     n = A.shape[-1] if A.size else H.shape[0]
     st0 = st
-    ldpd0 = transform.build_ldp(H, f_seq[0], A, bupper_seq[0],
-                                blower_seq[0], None, ms, st0)
-    state0 = ldp_mod.init_state(ldpd0.M, ldpd0.dupper, ldpd0.dlower,
-                                ldpd0.sense, ldpd0.scaling, K=n + 1)
+    # HIGHEST matmul precision: solver-critical contractions in the scan
+    # body must not run at TPU's bf16 default (see CLAUDE.md invariant).
+    with jax.default_matmul_precision('highest'):
+        ldpd0 = transform.build_ldp(H, f_seq[0], A, bupper_seq[0],
+                                    blower_seq[0], None, ms, st0)
+        state0 = ldp_mod.init_state(ldpd0.M, ldpd0.dupper, ldpd0.dlower,
+                                    ldpd0.sense, ldpd0.scaling, K=n + 1)
 
-    def step(state, inp):
-        f_t, bu_t, bl_t = inp
-        ldpd = transform.update_vd(ldpd0, f_t, bu_t, bl_t)
-        state = state._replace(
-            dupper=ldpd.dupper, dlower=ldpd.dlower,
-            status=jnp.asarray(EXIT_RUNNING, jnp.int32),
-            iterations=jnp.zeros((), jnp.int32),
-            tried_repair=jnp.zeros((), bool),
-            cycle_counter=jnp.zeros((), jnp.int32),
-            best_fval=jnp.asarray(-1.0, state.fval.dtype))
-        state = ldp_mod.ldp_solve(state, st0, reset=False)
-        x = transform.ldp_to_qp_solution(ldpd, state.u)
-        fval = 0.5 * (state.fval - ldpd.v @ ldpd.v)
-        out = (x, fval, state.status, jnp.maximum(state.iterations, 1))
-        return state, out
+        def step(state, inp):
+            f_t, bu_t, bl_t = inp
+            ldpd = transform.update_vd(ldpd0, f_t, bu_t, bl_t)
+            state = state._replace(
+                dupper=ldpd.dupper, dlower=ldpd.dlower,
+                status=jnp.asarray(EXIT_RUNNING, jnp.int32),
+                iterations=jnp.zeros((), jnp.int32),
+                tried_repair=jnp.zeros((), bool),
+                cycle_counter=jnp.zeros((), jnp.int32),
+                best_fval=jnp.asarray(-1.0, state.fval.dtype))
+            state = ldp_mod.ldp_solve(state, st0, reset=False)
+            x = transform.ldp_to_qp_solution(ldpd, state.u)
+            fval = 0.5 * (state.fval - ldpd.v @ ldpd.v)
+            out = (x, fval, state.status,
+                   jnp.maximum(state.iterations, 1))
+            return state, out
 
-    _, (xs, fvals, flags, iters) = lax.scan(
-        step, state0, (f_seq, bupper_seq, blower_seq))
-    return MPCStep(x=xs, fval=fvals, exitflag=flags, iterations=iters)
+        _, (xs, fvals, flags, iters) = lax.scan(
+            step, state0, (f_seq, bupper_seq, blower_seq))
+        return MPCStep(x=xs, fval=fvals, exitflag=flags, iterations=iters)

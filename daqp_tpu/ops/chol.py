@@ -168,6 +168,169 @@ def batched_chol_rinv_pallas(H_bnn: jnp.ndarray,
     return jnp.moveaxis(out, -1, 0)[:, :n0, :n0]
 
 
+def _tile_chol_kernel(n: int, tiny: float, H_ref, X_ref, Hc):
+    """In-place Cholesky + triangular inversion for SUB*128 lanes, laid out
+    so every matrix element is a NATIVE (SUB, 128) tile.
+
+    Layout (n, n, SUB, 128): dims 0/1 are *major* (untiled) so every
+    slice/step below is whole-tile work and every broadcast is a major-dim
+    broadcast — no sublane broadcasts, no layout shuffles.  This is the
+    fix for the round-1 kernel's 40 GB/s effective VMEM bandwidth: the
+    (n, n, L) lanes-last layout made each rank-1 update a (k, 1, L) ->
+    (k, n, L) SUBLANE broadcast, which Mosaic lowers to shuffles.
+
+    Phase 1: right-looking in-place Cholesky, L overwrites the lower
+    triangle, the strictly-upper triangle is zeroed as it dies.
+    Phase 2: in-place row-wise forward substitution X = L^{-1} (row i
+    consumes L[i, :i] *before* overwriting it, and X rows < i already
+    computed in place).  The caller transposes majors to get
+    Rinv = (L^{-1})' (H = R'R with R = L').
+    Reference semantics: ``daqp_update_Rinv`` (utils.c:137-297), which
+    also fuses factorization and inversion.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    SUB = Hc.shape[2]
+    idx = (slice(None), slice(None),
+           pl.ds(pl.multiple_of(g * SUB, SUB), SUB), slice(None))
+
+    def load(sem):
+        cp = pltpu.make_async_copy(H_ref.at[idx], Hc, sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(load, pltpu.SemaphoreType.DMA(()))
+
+    one = jnp.asarray(1.0, Hc.dtype)
+    eps = jnp.asarray(tiny, Hc.dtype)
+    # --- phase 1: in-place Cholesky (static unroll, shrinking slices) ---
+    for j in range(n):
+        piv = jnp.sqrt(jnp.maximum(Hc[j, j], eps))
+        Hc[j, j] = piv
+        if j + 1 < n:
+            col = Hc[j + 1:, j] / piv[None]          # (k, SUB, 128)
+            Hc[j + 1:, j] = col
+            # trailing symmetric Schur update: (k,1,S,128)*(1,k,S,128)
+            Hc[j + 1:, j + 1:] = Hc[j + 1:, j + 1:] \
+                - col[:, None] * col[None, :]
+            Hc[j, j + 1:] = jnp.zeros_like(col)      # upper dies -> 0
+    # --- phase 2: in-place X = L^{-1} (row-wise, top-down) ---
+    for i in range(n):
+        inv = one / Hc[i, i]
+        if i:
+            acc = jnp.sum(Hc[i, :i][:, None] * Hc[:i, :i], axis=0)
+            Hc[i, :i] = -inv[None] * acc
+        Hc[i, i] = inv
+
+    def store(sem):
+        cp = pltpu.make_async_copy(Hc, X_ref.at[idx], sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(store, pltpu.SemaphoreType.DMA(()))
+
+
+def batched_chol_rinv_tile(H_bnn: jnp.ndarray, tiny: float = 1e-30,
+                           interpret: bool = False) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) upper-triangular Rinv with H = R'R via
+    the tile-layout kernel (see ``_tile_chol_kernel``).  B must be a
+    multiple of 128.  A non-PD lane produces a clamped-pivot factor whose
+    inverse diagonal is huge — callers detect it from diag(Rinv) (the
+    pivot-ratio check of utils.c:253-283) and re-regularize."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = H_bnn.shape
+    assert B % 128 == 0, B
+    G = B // 128
+    dtype = H_bnn.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    SUB = 8
+    while SUB > 1 and ((G % SUB) or (n * n * SUB * 128 * itemsize
+                                     > 14 * 2 ** 20)):
+        SUB //= 2
+    assert G % SUB == 0, (B, SUB)
+    Hl = jnp.transpose(H_bnn.reshape(G, 128, n, n), (2, 3, 0, 1))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        functools.partial(_tile_chol_kernel, n, tiny),
+        grid=(G // SUB,),
+        in_specs=[any_spec], out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n, G, 128), dtype),
+        scratch_shapes=[pltpu.VMEM((n, n, SUB, 128), dtype)],
+        interpret=interpret,
+    )(Hl)
+    # X[i, j, g, l] = L^{-1}[i, j] for lane g*128+l; Rinv = X' per lane
+    return jnp.transpose(out, (2, 3, 1, 0)).reshape(B, n, n)
+
+
+def batched_rinv_regularized(H_bnn: jnp.ndarray, st, interpret: bool = False):
+    """Batched dense factorization with the reference's full-shift
+    retry-doubling regularization (``daqp_update_Rinv``, utils.c:253-283)
+    applied per lane.
+
+    Returns ``(Rinv, ok, reg_mask, eps_used)``:
+      * ``ok``       (B,) bool — factorization healthy (possibly after
+                      regularization); a False lane is nonconvex.
+      * ``reg_mask`` (B,) bool — lane needed an H + eps*I shift (its Rinv
+                      factors the *shifted* Hessian; full reference
+                      semantics route such lanes through the proximal
+                      outer loop — batched callers surface this per lane).
+      * ``eps_used`` (B,) effective shift.
+    """
+    B, n, _ = H_bnn.shape
+    dtype = H_bnn.dtype
+    zero_tol = jnp.asarray(st.zero_tol, dtype)
+    Hs = 0.5 * (H_bnn + jnp.swapaxes(H_bnn, 1, 2))
+    diag = jnp.diagonal(Hs, axis1=1, axis2=2)            # (B, n)
+    hessian_scale = jnp.max(jnp.abs(diag), axis=1)       # (B,)
+    eps0 = jnp.maximum(jnp.asarray(st.eps_prox, dtype),
+                       jnp.sqrt(zero_tol) * hessian_scale)
+    eps0 = jnp.where(st.eps_prox > 0, eps0,
+                     jnp.asarray(st.eps_prox, dtype))
+    eye = jnp.eye(n, dtype=dtype)
+
+    def attempt(Hb):
+        Rinv = batched_chol_rinv_tile(Hb, interpret=interpret)
+        rd = jnp.diagonal(Rinv, axis1=1, axis2=2)
+        piv = 1.0 / jnp.maximum(rd * rd, 1e-38)          # pivots of R'R
+        finite = jnp.all(jnp.isfinite(Rinv), axis=(1, 2))
+        ok = finite & (jnp.min(piv, axis=1)
+                       > jnp.sqrt(zero_tol) * jnp.max(piv, axis=1))
+        return Rinv, ok
+
+    R0, ok0 = attempt(Hs)
+
+    def regularize(args):
+        R0, ok0 = args
+
+        def cond(c):
+            eps, tries, _, ok, _ = c
+            return jnp.any(~ok) & (tries < 16)
+
+        def body(c):
+            eps, tries, R, ok, eps_used = c
+            Hshift = Hs + (eps * (~ok))[:, None, None] * eye
+            R1, ok1 = attempt(Hshift)
+            R = jnp.where(ok[:, None, None], R, R1)
+            eps_used = jnp.where(~ok & ok1, eps, eps_used)
+            return eps * 2.0, tries + 1, R, ok | ok1, eps_used
+
+        _, _, R, ok, eps_used = lax.while_loop(
+            cond, body, (eps0, jnp.zeros((), jnp.int32), R0, ok0,
+                         jnp.zeros((B,), dtype)))
+        return R, ok, eps_used.astype(dtype)
+
+    R, ok, eps_used = lax.cond(
+        jnp.all(ok0),
+        lambda args: (args[0], args[1], jnp.zeros((B,), dtype)),
+        regularize, (R0, ok0))
+    return R, ok, (~ok0) & ok, eps_used
+
+
 def batched_chol_rinv(H_bnn: jnp.ndarray) -> jnp.ndarray:
     """(B, n, n) SPD -> (B, n, n) upper-triangular Rinv with H = R'R.
 

@@ -320,9 +320,17 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         # Schur complement & singularity (factorization.c:7-98)
         dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * add_soft
         sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
-        k = jnp.sum(act, axis=0, keepdims=True)
-        ns_act = (jnp.sum(act * sf, axis=0, keepdims=True) + add_soft
-                  if has_soft else 0.0)
+        # post-removal counts: ``act`` is the top-of-iteration mask, so on
+        # the pending-retry path (add after a blocking removal) the rank
+        # cap must not count the just-removed row (ldp_flat counts
+        # ``used`` after the masked removal)
+        k = jnp.sum(act, axis=0, keepdims=True) - do_rm
+        if has_soft:
+            rm_soft = do_rm * jnp.sum(oh_rm * sf, axis=0, keepdims=True)
+            ns_act = (jnp.sum(act * sf, axis=0, keepdims=True) - rm_soft
+                      + add_soft)
+        else:
+            ns_act = 0.0
         sing = ((sval < singtol) | (k >= n_true + ns_act)).astype(f32)
 
         do_add = retry * (1.0 - bad.astype(f32)) + padd
@@ -679,7 +687,7 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
         def body(c):
             r, s = c
             s = run_kernel_round(s, st, nt, steps=steps,
-                                 interpret=interpret)
+                                 interpret=interpret, has_soft=has_soft)
             s = lax.cond(jnp.any(repair_needed(s)),
                          lambda s: exact_repair(s, st), lambda s: s, s)
             return r + 1, s

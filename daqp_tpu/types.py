@@ -42,6 +42,12 @@ EXIT_ITERLIMIT = -4
 EXIT_NONCONVEX = -5
 EXIT_OVERDETERMINED_INITIAL = -6
 EXIT_TIMELIMIT = -7
+# TPU extension (no reference analogue, constants.h:37-45 ends at -7):
+# the lane was routed to a compiled kernel variant that does not support
+# its sense bits (e.g. SOFT rows through the hard-only Pallas kernel).
+# Returned instead of a silently wrong answer; re-solve on a supporting
+# path (solve_batch_flat_jit or has_soft=True).
+EXIT_UNSUPPORTED = -9
 # Internal sentinel: still running (never returned to the user).
 EXIT_RUNNING = 99
 
@@ -60,6 +66,7 @@ FLAG_TO_STATUS = {
     EXIT_NONCONVEX: "nonconvex",
     EXIT_OVERDETERMINED_INITIAL: "overdetermined_initial_working_set",
     EXIT_TIMELIMIT: "time_limit",
+    EXIT_UNSUPPORTED: "unsupported_sense_for_kernel",
 }
 
 # ---------------------------------------------------------------------------
