@@ -22,7 +22,7 @@ import numpy as np
 from . import ldp as ldp_mod
 from . import transform
 from . import core as solve_mod
-from .types import Settings, EXIT_OPTIMAL, EXIT_RUNNING
+from .types import Settings, DAQP_INF, EXIT_OPTIMAL, EXIT_RUNNING
 
 
 class BatchResult(NamedTuple):
@@ -121,19 +121,11 @@ def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
                        soft_slack=s.soft_slack)
 
 
-@functools.partial(jax.jit, static_argnames=("ms", "K", "lane_chunk"))
-def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
-                         ms: int = 0, K: Optional[int] = None,
-                         lane_chunk: int = 512) -> BatchResult:
-    """Jitted batched strictly-convex QP solve on the flat hot path.
-
-    The batch is processed in vmapped chunks of ``lane_chunk`` lanes via
-    ``lax.map``.  Two reasons: (a) lockstep waste — a chunk ends when its
-    own slowest lane converges, not the whole batch's; (b) a v5e
-    miscompilation was observed for this program at batch >= ~1024 lanes
-    (bitwise-correct trajectories at B<=768, systematically corrupt state
-    at B=1024, same HLO) — chunked shapes stay in the well-compiled
-    regime.
+def _flat_batch_core(H, f, A, bupper, blower, sense, st: Settings,
+                     ms: int = 0, K: Optional[int] = None,
+                     lane_chunk: int = 512) -> BatchResult:
+    """Traceable core of the flat batched solve (called directly by the
+    sharded path inside ``shard_map``; jitted by ``solve_batch_flat_jit``).
     """
     n = A.shape[-1]
     if K is None:
@@ -153,6 +145,27 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
             for x in (H, f, A, bupper, blower, sense)))
         return jax.tree_util.tree_map(
             lambda x: x.reshape((B,) + x.shape[2:]), parts)
+
+
+@functools.partial(jax.jit, static_argnames=("ms", "K", "lane_chunk"))
+def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
+                         ms: int = 0, K: Optional[int] = None,
+                         lane_chunk: int = 512) -> BatchResult:
+    """Jitted batched strictly-convex QP solve on the flat hot path.
+
+    The batch is processed in vmapped chunks of ``lane_chunk`` lanes via
+    ``lax.map``.  Two reasons: (a) lockstep waste — a chunk ends when its
+    own slowest lane converges, not the whole batch's; (b) a v5e
+    miscompilation was observed for this program at batch >= ~1024 lanes
+    (bitwise-correct trajectories at B<=768, systematically corrupt state
+    at B=1024, same HLO) — chunked shapes stay in the well-compiled
+    regime.
+
+    For batches with SOFT constraints pass ``K = n + max_ns + 1`` (see
+    ``solve_batch_jit``); the ``solve_batch`` wrapper computes it.
+    """
+    return _flat_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
+                            K=K, lane_chunk=lane_chunk)
 
 
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
@@ -189,19 +202,76 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
 def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
                              ms: int = 0, interpret: bool = False,
                              has_soft: bool = False) -> BatchResult:
+    return _pallas_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
+                              interpret=interpret, has_soft=has_soft)
+
+
+def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
+                       ms: int = 0, interpret: bool = False,
+                       has_soft: bool = False) -> BatchResult:
+    """Traceable core of the Pallas-kernel batched solve (called directly
+    by the sharded path inside ``shard_map``)."""
     from .ops import pallas_batch as pb
     from .types import IMMUTABLE, EXIT_UNSUPPORTED
 
     B = H.shape[0]
     n = A.shape[-1]
+    lane_pad = (-B) % pb.LANES
+    if lane_pad:
+        # pad to a whole 128-lane tile with trivial instances (H = I,
+        # zero A rows, loose bounds): they go optimal at u = 0 in the
+        # first pricing pass and are sliced off below
+        mg = A.shape[1]
+        mm = bupper.shape[-1]
+
+        def padded(x, fill):
+            pad_block = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                         (lane_pad,) + x.shape[1:])
+            return jnp.concatenate([x, pad_block], axis=0)
+
+        H = padded(H, jnp.eye(n))
+        f = padded(f, jnp.zeros((n,)))
+        A = padded(A, jnp.zeros((mg, n)))
+        bupper = padded(bupper, jnp.ones((mm,)))
+        blower = padded(blower, -jnp.ones((mm,)))
+        sense = padded(sense, jnp.zeros((mm,), jnp.int32))
+        out = _pallas_batch_core(H, f, A, bupper, blower, sense, st,
+                                 ms=ms, interpret=interpret,
+                                 has_soft=has_soft)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
     # 'high' (3-pass bf16, ~f32 accurate) for the decomposition internals
     # (cholesky/triangular expanders follow the context); the numerically
     # critical contractions pin Precision.HIGHEST explicitly in
     # transform.py / the kernel driver regardless.
     with jax.default_matmul_precision('high'):
-        ldpd = jax.vmap(
-            functools.partial(transform.build_ldp, ms=ms, st=st))(
-                H, f, A, bupper, blower, sense)
+        # Batched factorization on the tile-layout Pallas kernel (exact
+        # arithmetic, no MXU): replaces the XLA cholesky+triangular_solve
+        # expanders, the round-1 throughput wall (38 of 69 ms per
+        # 1024-lane batch; see ops/chol.py).  Semantics: dense full-shift
+        # retry-doubling regularization per lane (utils.c:253-283); a
+        # still-failing lane is flagged EXIT_NONCONVEX.  The diagonal-H
+        # semi-proximal fast path is NOT taken here (batch path requires
+        # PD H; dense factorization of a PD diagonal H is identical).
+        use_tile = (jax.default_backend() == 'tpu') and not interpret \
+            and H.dtype == jnp.float32 and (H.shape[0] % 128 == 0)
+        if use_tile:
+            from .ops import chol as chol_ops
+            from .types import EXIT_NONCONVEX
+            Rinv_b, okl, regl, eps_l = chol_ops.batched_rinv_regularized(
+                H, st)
+            ldpd = jax.vmap(
+                lambda H_, f_, A_, bu_, bl_, se_, R_: transform.build_ldp(
+                    H_, f_, A_, bu_, bl_, se_, ms, st, Rinv=R_))(
+                H, f, A, bupper, blower, sense, Rinv_b)
+            ldpd = ldpd._replace(
+                error=jnp.where(okl, ldpd.error,
+                                EXIT_NONCONVEX).astype(jnp.int32),
+                n_prox=jnp.where(regl, n, 0).astype(jnp.int32),
+                eps_used=eps_l.astype(ldpd.eps_used.dtype))
+        else:
+            ldpd = jax.vmap(
+                functools.partial(transform.build_ldp, ms=ms, st=st))(
+                    H, f, A, bupper, blower, sense)
         from .types import ACTIVE, LOWER, SOFT
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
         soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
@@ -260,6 +330,111 @@ def solve_batch_miqp_jit(H, f, A, bupper, blower, sense, st: Settings,
 
     with jax.default_matmul_precision('highest'):
         return jax.vmap(one)(H, f, A, bupper, blower, sense)
+
+
+def kkt_residuals(H, f, A, bupper, blower, sense, x, lam, ms: int = 0):
+    """Per-lane f64 KKT check of a batched solve (host-side NumPy).
+
+    Returns ``(stationarity, violation)``:
+      * stationarity — relative ||H x + f + A' lam||_inf (the dual
+        residual the reference's tests assert, core_tests.jl:210);
+      * violation   — worst relative primal violation over HARD rows
+        (soft rows are allowed to violate by contract).
+    """
+    H = np.asarray(H, float)
+    f = np.asarray(f, float)
+    A = np.asarray(A, float)
+    bu = np.asarray(bupper, float)
+    bl = np.asarray(blower, float)
+    x = np.asarray(x, float)
+    lam = np.asarray(lam, float)
+    B, n = x.shape
+    m = bu.shape[-1]
+    sense = (np.zeros((B, m), np.int32) if sense is None
+             else np.asarray(sense))
+
+    grad = np.einsum('bij,bj->bi', H, x) + f
+    if ms:
+        grad[:, :ms] += lam[:, :ms]
+    if A.shape[1]:
+        grad += np.einsum('bri,br->bi', A, lam[:, ms:])
+    denom = (np.abs(H).sum(-1).max(-1) * np.maximum(np.abs(x).max(-1), 1)
+             + np.abs(f).max(-1) + 1.0)
+    stat = np.abs(grad).max(-1) / denom
+
+    vals = np.concatenate(
+        [x[:, :ms], np.einsum('brj,bj->br', A, x)], axis=1) \
+        if ms else np.einsum('brj,bj->br', A, x)
+    bscale = 1.0 + np.maximum(np.abs(np.where(bu >= DAQP_INF, 0, bu)),
+                              np.abs(np.where(bl <= -DAQP_INF, 0, bl)))
+    viol = np.maximum(vals - bu, bl - vals) / bscale
+    from .types import SOFT
+    hard = (sense & SOFT) == 0
+    viol = np.where(hard, viol, -np.inf).max(-1)
+    return stat, viol
+
+
+def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
+                     ms: int = 0, settings: Optional[dict] = None,
+                     kkt_tol: float = 1e-4) -> BatchResult:
+    """f32 outlier backstop: re-solve the lanes whose exit flag is
+    non-optimal or whose f64 KKT residual exceeds ``kkt_tol`` through the
+    f64 NumPy oracle (the loop-based executable spec with full reference
+    semantics).  Exit flags identify exactly the lanes that need
+    escalation; on well-conditioned batches this is a no-op.
+
+    Lanes carrying BINARY bits are left untouched (the oracle has no BnB).
+    Returns a new ``BatchResult`` with the repaired lanes substituted.
+    """
+    from oracle import daqp_numpy as oracle
+    from .types import (BINARY, EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL)
+
+    flags = np.asarray(res.exitflag)
+    x = np.asarray(res.x, float)
+    lam = np.asarray(res.lam, float)
+    B = flags.shape[0]
+    m = np.asarray(bupper).shape[-1]
+    sense_arr = (np.zeros((B, m), np.int32) if sense is None
+                 else np.asarray(sense))
+
+    stat, viol = kkt_residuals(H, f, A, bupper, blower, sense_arr, x, lam,
+                               ms=ms)
+    bad = (~np.isin(flags, (EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL))
+           | (stat > kkt_tol) | (viol > kkt_tol))
+    bad &= ~np.any(sense_arr & BINARY, axis=-1)
+    if not bad.any():
+        return res
+
+    st = dict(settings) if isinstance(settings, dict) else {}
+    if settings is not None and not isinstance(settings, dict):
+        st = settings._asdict()
+    # f64 oracle settings: reference defaults, not the f32 relaxations
+    for k in ('primal_tol', 'dual_tol', 'zero_tol', 'pivot_tol',
+              'progress_tol', 'sing_tol'):
+        st.pop(k, None)
+
+    Hn = np.asarray(H, float)
+    fn = np.asarray(f, float)
+    An = np.asarray(A, float)
+    bun = np.asarray(bupper, float)
+    bln = np.asarray(blower, float)
+    xs, lams = np.array(x), np.array(lam)
+    fvals = np.array(np.asarray(res.fval, float))
+    flags2 = np.array(flags)
+    for b in np.where(bad)[0]:
+        out = oracle.quadprog(Hn[b], fn[b], An[b], bun[b], bln[b],
+                              sense=np.array(sense_arr[b]), ms=ms,
+                              settings=st)
+        if out['exitflag'] in (EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL):
+            xs[b] = out['x']
+            lams[b] = out['lam']
+            fvals[b] = out['fval']
+        flags2[b] = out['exitflag']
+    dtype = res.x.dtype
+    return res._replace(
+        x=jnp.asarray(xs, dtype), lam=jnp.asarray(lams, dtype),
+        fval=jnp.asarray(fvals, dtype),
+        exitflag=jnp.asarray(flags2, jnp.int32))
 
 
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,

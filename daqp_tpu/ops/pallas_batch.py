@@ -408,7 +408,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
                 s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
     const = [s.M, s.dupper, s.dlower, s.scaling,
              s.immut + 2.0 * s.soft]
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
         + [any_spec for _ in in_state]
     out_specs = tuple(any_spec if a is s.E else spec(a.shape)

@@ -45,23 +45,55 @@ class ShardedStats(NamedTuple):
 
 
 def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
-                        mesh: Mesh, ms: int = 0, repair_rounds: int = 2):
+                        mesh: Mesh, ms: int = 0, repair_rounds: int = 2,
+                        tier: str = "flat", lane_chunk: int = 512,
+                        has_soft=None, interpret: bool = False):
     """Batch-sharded QP solve over a mesh; returns (BatchResult, stats).
 
     The batch dimension B must be divisible by the mesh size. Results come
     back sharded (device-local lanes stay on their device); the stats tuple
     is a cross-device ``psum``/``pmax`` reduction.
+
+    ``tier`` selects the per-device solver (the multi-chip axis composes
+    with every single-chip tier, not just the slowest one):
+      * ``"flat"``   (default) — the branch-free slot-table solver,
+        lane-chunked (``batch._flat_batch_core``);
+      * ``"pallas"`` — the VMEM mega-kernel (``batch._pallas_batch_core``;
+        per-device shard must be a multiple of 128 lanes; pass
+        ``interpret=True`` off-TPU);
+      * ``"naive"``  — the ordered-working-set reference-shaped solver
+        (kept for differential testing).
     """
     axis = mesh.axis_names[0]
+    n = np.asarray(A).shape[-1]
+    if tier == "pallas" and has_soft is None:
+        from ..types import SOFT
+        has_soft = bool(np.any(np.asarray(sense) & SOFT))
+    if tier == "flat":
+        from ..types import SOFT
+        max_ns = int(np.max(np.sum((np.asarray(sense) & SOFT) > 0,
+                                   axis=-1), initial=0))
+        K = n + max_ns + 1
+    else:
+        K = n + 1
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()))
     def shard_solve(H, f, A, bu, bl, sense):
-        res = jax.vmap(functools.partial(
-            batch_mod._solve_one, ms=ms, st=st, K=A.shape[-1] + 1,
-            repair_rounds=repair_rounds))(H, f, A, bu, bl, sense)
+        if tier == "flat":
+            res = batch_mod._flat_batch_core(
+                H, f, A, bu, bl, sense, st, ms=ms, K=K,
+                lane_chunk=lane_chunk)
+        elif tier == "pallas":
+            res = batch_mod._pallas_batch_core(
+                H, f, A, bu, bl, sense, st, ms=ms,
+                interpret=interpret, has_soft=bool(has_soft))
+        else:
+            res = jax.vmap(functools.partial(
+                batch_mod._solve_one, ms=ms, st=st, K=K,
+                repair_rounds=repair_rounds))(H, f, A, bu, bl, sense)
         stats = ShardedStats(
             total_iterations=jax.lax.psum(
                 jnp.sum(res.iterations), axis),

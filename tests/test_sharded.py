@@ -34,6 +34,33 @@ def test_solve_batch_sharded(mesh):
     assert err.max() < 1e-6
 
 
+def test_solve_batch_sharded_fast_tiers(mesh):
+    # the sharded path must compose with the FAST per-device solvers
+    # (round-1 weakness: it wrapped only the naive tier); all tiers must
+    # agree with the constructed optima and with each other
+    B = 16
+    d = generate_test_qp_batch(B, 10, 30, 0, 6, 1e2, rng=77)
+    args = tuple(jnp.asarray(d[k]) for k in
+                 ('H', 'f', 'A', 'bupper', 'blower', 'sense'))
+    st = _as_settings(None, jnp.float64)
+    res_f, stats_f = solve_batch_sharded(*args, st, mesh, ms=0,
+                                         tier="flat", lane_chunk=2)
+    assert int(stats_f.n_optimal) == B
+    err = np.linalg.norm(np.asarray(res_f.x) - d['x'], axis=1)
+    assert err.max() < 1e-6
+
+    res_n, _ = solve_batch_sharded(*args, st, mesh, ms=0, tier="naive")
+    assert np.allclose(np.asarray(res_f.x), np.asarray(res_n.x),
+                       atol=1e-8)
+
+    res_p, stats_p = solve_batch_sharded(*args, st, mesh, ms=0,
+                                         tier="pallas", interpret=True)
+    assert int(stats_p.n_optimal) == B
+    # pallas state is f32 internally; compare at the f32 gate
+    err_p = np.linalg.norm(np.asarray(res_p.x) - d['x'], axis=1)
+    assert err_p.max() < 2e-3
+
+
 def test_solve_miqp_sharded_matches_single(mesh):
     rng = np.random.default_rng(37)
     n, m, ms, nb = 12, 30, 6, 4
