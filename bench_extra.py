@@ -1,0 +1,163 @@
+"""Benchmarks for BASELINE configs 3-5 on the real chip (config 2 is the
+driver-run headline in bench.py; config 1 latency is the warm path here).
+
+  3. condensed-MPC scenario batch: horizon 20, shared (H, A), per-step
+     v/d-only updates with warm-started active sets (the update-mask MPC
+     contract, docs/docs/c.md:60-73), vmapped over scenarios;
+  4. proximal path: batch of semidefinite-H QPs through the outer
+     proximal loop (daqp_prox.c regimes, batched by vmap);
+  5. batched MIQP branch-and-bound (solve_batch_miqp_jit); the
+     cross-device incumbent-bound exchange is exercised on the virtual
+     mesh by __graft_entry__.dryrun_multichip and test_sharded.
+
+Prints one JSON line per config.  Usage: python bench_extra.py [3|4|5].
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(xs):
+    return [np.asarray(x) for x in xs]
+
+
+def bench_mpc(jnp, st):
+    from daqp_tpu import mpc as mpc_mod
+    from tests.gen import generate_test_qp
+
+    S, T, n, m = 512, 20, 50, 100
+    rng = np.random.default_rng(7)
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 40, 1e2, rng,
+                                                 dtype=np.float32)
+    drift_f = 0.02 * rng.standard_normal((S, T, n)).astype(np.float32)
+    drift_b = 0.02 * rng.standard_normal((S, T, m)).astype(np.float32)
+    f_seq = np.cumsum(drift_f, axis=1) + f
+    bu_seq = np.cumsum(np.abs(drift_b), axis=1) + bu
+    bl_seq = bl - np.cumsum(np.abs(drift_b), axis=1)
+
+    import jax
+    import functools
+    run = jax.jit(jax.vmap(
+        lambda fs, bus, bls: mpc_mod.solve_mpc_scan(
+            jnp.asarray(H), jnp.asarray(A), fs, bus, bls, st, ms=0)))
+    args = (jnp.asarray(f_seq), jnp.asarray(bu_seq), jnp.asarray(bl_seq))
+    out = run(*args)
+    _sync([out.exitflag])
+    t0 = time.perf_counter()
+    outs = [run(jnp.asarray(f_seq + 1e-4 * i), args[1], args[2])
+            for i in range(4)]
+    flags = np.concatenate([np.asarray(o.exitflag) for o in outs], 0)
+    t1 = time.perf_counter()
+    total = 4 * S * T
+    iters = np.asarray(outs[0].iterations)
+    return {
+        "metric": "config3 warm MPC scenario batch (horizon 20)",
+        "value": round(total / (t1 - t0), 1), "unit": "QP steps/s",
+        "scenarios": S, "horizon": T,
+        "optimal_rate": float(np.mean(flags == 1)),
+        "mean_warm_iters": round(float(iters[:, 1:].mean()), 2),
+        "wall_s": round(t1 - t0, 4),
+    }
+
+
+def bench_prox(jnp, st):
+    import jax
+    from daqp_tpu import prox as prox_mod
+
+    B, n, m, rank = 256, 50, 100, 30
+    rng = np.random.default_rng(11)
+    Q = rng.standard_normal((B, n, rank)).astype(np.float32)
+    H = np.einsum('bir,bjr->bij', Q, Q)          # rank-deficient PSD
+    f = rng.standard_normal((B, n)).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (5 + 5 * rng.random((B, m))).astype(np.float32)
+    bl = -(5 + 5 * rng.random((B, m))).astype(np.float32)
+    sense = np.zeros((B, m), np.int32)
+
+    def one(H, f, A, bu, bl, sense):
+        out = prox_mod.solve_convex_or_prox(H, f, A, bu, bl, sense, 0, st)
+        return out.exitflag, out.iterations
+
+    with jax.default_matmul_precision('highest'):
+        run = jax.jit(jax.vmap(one))
+    args = tuple(jnp.asarray(v) for v in (H, f, A, bu, bl, sense))
+    flags, _ = run(*args)
+    _sync([flags])
+    t0 = time.perf_counter()
+    outs = [run(args[0], args[1] + 1e-4 * i, *args[2:]) for i in range(4)]
+    flags = np.concatenate([np.asarray(o[0]) for o in outs])
+    t1 = time.perf_counter()
+    total = 4 * B
+    return {
+        "metric": "config4 semidefinite-H proximal batch",
+        "value": round(total / (t1 - t0), 1), "unit": "solves/s",
+        "batch": B, "rank": rank,
+        "optimal_rate": float(np.mean(flags > 0)),
+        "wall_s": round(t1 - t0, 4),
+    }
+
+
+def bench_miqp(jnp, st):
+    import jax
+    from daqp_tpu import batch as batch_mod
+
+    B, n, m, nb = 256, 20, 40, 6
+    rng = np.random.default_rng(13)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(n,
+                                                      dtype=np.float32)
+    f = (10 * rng.standard_normal((B, n))).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (20 * rng.random((B, m))).astype(np.float32)
+    bl = (-20 * rng.random((B, m))).astype(np.float32)
+    bu[:, :nb] = 1.0
+    bl[:, :nb] = 0.0
+    A[:, :nb] = 0.0
+    A[:, np.arange(nb), np.arange(nb)] = 1.0
+    sense = np.zeros((B, m), np.int32)
+    sense[:, :nb] = 16                            # BINARY
+    bin_ids = tuple(range(nb))
+
+    args = tuple(jnp.asarray(v) for v in (H, f, A, bu, bl, sense))
+    run = lambda *a: batch_mod.solve_batch_miqp_jit(*a, st=st, ms=0,
+                                                    bin_ids=bin_ids)
+    out = run(*args)
+    _sync([out.exitflag])
+    t0 = time.perf_counter()
+    outs = [run(args[0], args[1] + 1e-4 * i, *args[2:])
+            for i in range(4)]
+    flags = np.concatenate([np.asarray(o.exitflag) for o in outs])
+    nodes = np.concatenate([np.asarray(o.nodes) for o in outs])
+    t1 = time.perf_counter()
+    total = 4 * B
+    return {
+        "metric": "config5 batched MIQP branch-and-bound",
+        "value": round(total / (t1 - t0), 1), "unit": "MIQP solves/s",
+        "batch": B, "binaries": nb,
+        "optimal_rate": float(np.mean(flags == 1)),
+        "mean_nodes": round(float(nodes.mean()), 1),
+        "wall_s": round(t1 - t0, 4),
+    }
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    sys.path.insert(0, '.')
+    from daqp_tpu.api import _as_settings
+
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    runs = {"3": bench_mpc, "4": bench_prox, "5": bench_miqp}
+    for key, fn in runs.items():
+        if which not in ("all", key):
+            continue
+        print(json.dumps(fn(jnp, st)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,8 +131,24 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
                 if float(st.time_limit) > 0 else None)
     # Working-set capacity n + ns + 1 (reference allocation api.c:288-305)
     ns = int(np.sum((sense_arr & 8) > 0))
-    sw = (None if soft_weights is None
-          else jnp.asarray(soft_weights, dtype))
+    from .types import SoftWeights
+    if soft_weights is None:
+        sw = None
+    elif isinstance(soft_weights, SoftWeights):
+        sw = SoftWeights(*(jnp.asarray(v, dtype) for v in soft_weights))
+    elif isinstance(soft_weights, dict):
+        # SOFT_WEIGHTS slack data (types.h:168-180): omitted fields take
+        # the reference defaults d = 0, rho = rho_soft (api.c:355-360)
+        zm = np.zeros(m)
+        rm_ = np.full(m, float(st.rho_soft))
+        sw = SoftWeights(
+            d_ls=jnp.asarray(soft_weights.get('d_ls', zm), dtype),
+            d_us=jnp.asarray(soft_weights.get('d_us', zm), dtype),
+            rho_ls=jnp.asarray(soft_weights.get('rho_ls', rm_), dtype),
+            rho_us=jnp.asarray(soft_weights.get('rho_us', rm_), dtype))
+    else:
+        # plain per-constraint penalty weights (exact row-rescaling path)
+        sw = jnp.asarray(soft_weights, dtype)
     out = _solve_jit(Hj, fj, jnp.asarray(A, dtype),
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,

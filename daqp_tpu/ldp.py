@@ -51,7 +51,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, Settings, DAQP_INF,
+from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, SLACK_FIXED,
+                    Settings, SoftWeights, DAQP_INF,
                     EXIT_CYCLE, EXIT_INFEASIBLE, EXIT_ITERLIMIT,
                     EXIT_OPTIMAL, EXIT_RUNNING, EXIT_SOFT_OPTIMAL)
 
@@ -89,10 +90,17 @@ class LDPState(NamedTuple):
     best_fval: jnp.ndarray     # ()
     status: jnp.ndarray        # () int32 (EXIT_RUNNING while iterating)
     in_bnb: jnp.ndarray        # () bool  cycling exits instead of repairing
+    # Optional per-constraint soft-slack data (reference SOFT_WEIGHTS
+    # build, types.h:168-180); None (static) compiles the plain-soft
+    # variants, exactly like the reference's compile-time flag.  When
+    # set, the SLACK_FIXED sense bit tracks slacks pinned at their
+    # bounds and the SOFT_WEIGHTS variants of add / CSP / blocking-
+    # removal / refinement are traced instead.
+    sw: SoftWeights = None     # arrays are scaling-NORMALIZED (utils.c:99)
 
 
 def init_state(M, dupper, dlower, sense, scaling=None, K=None,
-               dtype=None) -> LDPState:
+               dtype=None, sw: SoftWeights = None) -> LDPState:
     """Fresh workspace for an LDP with capacity K = n + ns + 1
     (reference allocation ``src/api.c:288-305``)."""
     M = jnp.asarray(M, dtype=dtype)
@@ -122,6 +130,7 @@ def init_state(M, dupper, dlower, sense, scaling=None, K=None,
         tried_repair=jnp.zeros((), bool), best_fval=z - 1.0,
         status=jnp.full((), EXIT_RUNNING, jnp.int32),
         in_bnb=jnp.zeros((), bool),
+        sw=sw,
     )
 
 
@@ -161,11 +170,31 @@ def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
     mask = _mask1(K, k)
     mi = state.M[idx]
     is_soft = (state.sense[idx] & SOFT) > 0
-    dii = mi @ mi + jnp.where(is_soft, jnp.asarray(st.rho_soft, mi.dtype), 0)
+    if state.sw is not None:
+        # SOFT_WEIGHTS slack state machine (auxiliary.c:30-36): a slack
+        # at its bound is FIXED (the row behaves hard); past its bound it
+        # is FREE and contributes its per-side rho to the Gram diagonal
+        # (factorization.c:31-40).
+        is_lo = (state.sense[idx] & LOWER) > 0
+        lam_v = jnp.asarray(lam_val, mi.dtype)
+        slack_free = jnp.where(is_lo, lam_v <= -state.sw.d_ls[idx],
+                               lam_v >= state.sw.d_us[idx])
+        rho_side = jnp.where(is_lo, state.sw.rho_ls[idx],
+                             state.sw.rho_us[idx])
+        contributes = is_soft & slack_free
+        dii = mi @ mi + jnp.where(contributes, rho_side, 0)
+        sense_idx = jnp.where(slack_free,
+                              state.sense[idx] & ~SLACK_FIXED,
+                              state.sense[idx] | SLACK_FIXED)
+    else:
+        contributes = is_soft
+        dii = mi @ mi + jnp.where(is_soft,
+                                  jnp.asarray(st.rho_soft, mi.dtype), 0)
+        sense_idx = state.sense[idx]
     g = jnp.where(mask, state.Mw @ mi, 0)
     alpha = state.E @ g
     s_val = dii - g @ alpha
-    ns_new = state.ns_active + is_soft.astype(jnp.int32)
+    ns_new = state.ns_active + contributes.astype(jnp.int32)
     singular = (s_val < st.sing_tol) | (k >= n + ns_new)
     # Backstop for an under-allocated workspace (K must be n + ns + 1,
     # api.c:288-305; callers that cannot see ns statically may pass a
@@ -174,7 +203,7 @@ def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
     # exits — rather than silently overwriting the last slot.
     full = k >= state.E.shape[0]
 
-    sense = state.sense.at[idx].set(state.sense[idx] | ACTIVE)
+    sense = state.sense.at[idx].set(sense_idx | ACTIVE)
     base = state._replace(
         WS=state.WS.at[k].set(idx.astype(jnp.int32)),
         lam=state.lam.at[k].set(jnp.asarray(lam_val, state.lam.dtype)),
@@ -210,7 +239,11 @@ def remove_constraint(state: LDPState, rm_pos, st: Settings) -> LDPState:
     k = state.n_active
     idx = state.WS[rm_pos]
     was_sing = state.sing
-    rm_soft = ((state.sense[idx] & SOFT) > 0).astype(jnp.int32)
+    rm_soft_b = (state.sense[idx] & SOFT) > 0
+    if state.sw is not None:
+        # only FREE soft slacks contributed to the Gram diagonal / count
+        rm_soft_b = rm_soft_b & ((state.sense[idx] & SLACK_FIXED) == 0)
+    rm_soft = rm_soft_b.astype(jnp.int32)
     sense = state.sense.at[idx].set(state.sense[idx] & ~ACTIVE)
 
     k_ns = k - was_sing.astype(jnp.int32)  # entries covered by E
@@ -238,8 +271,11 @@ def remove_constraint(state: LDPState, rm_pos, st: Settings) -> LDPState:
         pos = s.n_active - 1
         idx2 = s.WS[pos]
         lam2 = s.lam[pos]
-        soft2 = ((s.sense[idx2] & SOFT) > 0).astype(jnp.int32)
-        s = s._replace(n_active=pos, ns_active=s.ns_active - soft2)
+        soft2_b = (s.sense[idx2] & SOFT) > 0
+        if s.sw is not None:
+            soft2_b = soft2_b & ((s.sense[idx2] & SLACK_FIXED) == 0)
+        s = s._replace(n_active=pos,
+                       ns_active=s.ns_active - soft2_b.astype(jnp.int32))
         return add_constraint(s, idx2, lam2, st)
 
     return lax.cond(readd, do_readd, lambda s: s, state2)
@@ -275,6 +311,15 @@ def compute_csp(state: LDPState) -> LDPState:
     sw = state.sense[state.WS]
     d = jnp.where((sw & LOWER) > 0, state.dlower[state.WS],
                   state.dupper[state.WS])
+    if state.sw is not None:
+        # free soft slacks shift the CSP right-hand side by their bound
+        # contribution (auxiliary.c:313-332, SOFT_WEIGHTS branch)
+        ws = state.WS
+        free_soft = ((sw & SOFT) > 0) & ((sw & SLACK_FIXED) == 0)
+        corr = jnp.where((sw & LOWER) > 0,
+                         state.sw.rho_ls[ws] * state.sw.d_ls[ws],
+                         -state.sw.rho_us[ws] * state.sw.d_us[ws])
+        d = d + jnp.where(free_soft, corr, 0)
     d = jnp.where(mask, d, 0)
     return state._replace(lam_star=-(state.E @ d))
 
@@ -282,28 +327,79 @@ def compute_csp(state: LDPState) -> LDPState:
 def remove_blocking(state: LDPState, st: Settings
                     ) -> Tuple[jnp.ndarray, LDPState]:
     """Exact min-ratio line search over dual-infeasible active constraints;
-    removes the blocker (``daqp_remove_blocking``, auxiliary.c:276-311)."""
+    removes the blocker (``daqp_remove_blocking``, auxiliary.c:276-311;
+    SOFT_WEIGHTS variant auxiliary.c:199-274 when slack data is present)."""
     K = state.E.shape[0]
     mask = _mask1(K, state.n_active)
     sw = state.sense[state.WS]
     immut = (sw & IMMUTABLE) > 0
     is_lower = (sw & LOWER) > 0
     direction = jnp.where(state.sing, state.sing_dir, state.lam_star)
-    infeas = jnp.where(is_lower, direction > st.dual_tol,
-                       direction < -st.dual_tol)
-    elig = mask & ~immut & infeas
     delta = jnp.where(state.sing, state.sing_dir, state.lam_star - state.lam)
-    cand = -state.lam / delta
+
+    if state.sw is None:
+        infeas = jnp.where(is_lower, direction > st.dual_tol,
+                           direction < -st.dual_tol)
+        elig = mask & ~immut & infeas
+        cand = -state.lam / delta
+        cand = jnp.where(elig & jnp.isfinite(cand), cand, _BIG)
+        rm_pos = jnp.argmin(cand).astype(jnp.int32)
+        found = cand[rm_pos] < _BIG
+
+        def do_remove(s):
+            alpha = cand[rm_pos]
+            lam_new = jnp.where(mask, s.lam + alpha * delta, s.lam)
+            return remove_constraint(s._replace(lam=lam_new), rm_pos, st)
+
+        return found, lax.cond(found, do_remove, lambda s: s, state)
+
+    # --- SOFT_WEIGHTS variant (auxiliary.c:199-274): the line-search
+    # variable is the SLACK dual lam + d (per side), the blocking point is
+    # the slack-bound transition, the step overshoots by 0.1% so the
+    # constraint re-enters with the flipped FIXED/FREE state, and a soft
+    # blocker whose dual has not fully deactivated is immediately
+    # re-added (the SLACK_FIXED <-> FREE transition). ---
+    ws = state.WS
+    d_ls_w = state.sw.d_ls[ws]
+    d_us_w = state.sw.d_us[ws]
+    free = (sw & SLACK_FIXED) == 0
+    p = delta
+    ls_star = direction
+    skip_lo_free = (p < st.dual_tol) | (ls_star <= -d_ls_w + st.dual_tol)
+    skip_lo_fix = ((ls_star <= st.dual_tol)
+                   & (ls_star + st.dual_tol >= -d_ls_w) & ~state.sing)
+    skip_up_free = (p > -st.dual_tol) | (ls_star >= d_us_w)
+    skip_up_fix = ((ls_star >= -st.dual_tol)
+                   & (ls_star <= st.dual_tol + d_us_w) & ~state.sing)
+    skip = jnp.where(is_lower,
+                     jnp.where(free, skip_lo_free, skip_lo_fix),
+                     jnp.where(free, skip_up_free, skip_up_fix))
+    lam_slack = state.lam + jnp.where(
+        is_lower,
+        jnp.where(free, d_ls_w, jnp.where(p < 0, d_ls_w, 0.0)),
+        -jnp.where(free, d_us_w, jnp.where(p > 0, d_us_w, 0.0)))
+    elig = mask & ~immut & ~skip
+    cand = jnp.maximum(-lam_slack / p, 0.0)
     cand = jnp.where(elig & jnp.isfinite(cand), cand, _BIG)
     rm_pos = jnp.argmin(cand).astype(jnp.int32)
     found = cand[rm_pos] < _BIG
 
-    def do_remove(s):
-        alpha = cand[rm_pos]
+    def do_remove_sw(s):
+        # step just past the slack-bound transition (auxiliary.c:254)
+        alpha = cand[rm_pos] * 1.001
         lam_new = jnp.where(mask, s.lam + alpha * delta, s.lam)
-        return remove_constraint(s._replace(lam=lam_new), rm_pos, st)
+        rm_id = s.WS[rm_pos]
+        ls_rm = lam_new[rm_pos]
+        was_lower = (s.sense[rm_id] & LOWER) > 0
+        was_soft = (s.sense[rm_id] & SOFT) > 0
+        s = remove_constraint(s._replace(lam=lam_new), rm_pos, st)
+        crossed_out = jnp.where(was_lower, ls_rm > 0, ls_rm < 0)
+        readd = was_soft & ~s.sing & ~crossed_out
+        return lax.cond(readd,
+                        lambda s: add_constraint(s, rm_id, ls_rm, st),
+                        lambda s: s, s)
 
-    return found, lax.cond(found, do_remove, lambda s: s, state)
+    return found, lax.cond(found, do_remove_sw, lambda s: s, state)
 
 
 def compute_primal_and_fval(state: LDPState, st: Settings) -> LDPState:
@@ -313,8 +409,17 @@ def compute_primal_and_fval(state: LDPState, st: Settings) -> LDPState:
     mask = _mask1(K, state.n_active)
     ls = jnp.where(mask, state.lam_star, 0)
     u = -(state.Mw.T @ ls)
-    soft = mask & ((state.sense[state.WS] & SOFT) > 0)
-    soft_slack = st.rho_soft * jnp.sum(jnp.where(soft, state.lam_star ** 2, 0))
+    sw_bits = state.sense[state.WS]
+    soft = mask & ((sw_bits & SOFT) > 0)
+    if state.sw is not None:
+        rho_w = jnp.where((sw_bits & LOWER) > 0,
+                          state.sw.rho_ls[state.WS],
+                          state.sw.rho_us[state.WS])
+        soft_slack = jnp.sum(
+            jnp.where(soft, rho_w * state.lam_star ** 2, 0))
+    else:
+        soft_slack = st.rho_soft * jnp.sum(
+            jnp.where(soft, state.lam_star ** 2, 0))
     fval = soft_slack + u @ u
     return state._replace(u=u, fval=fval, soft_slack=soft_slack)
 
@@ -357,7 +462,19 @@ def refine_active(state: LDPState, st: Settings) -> LDPState:
                   state.dupper[state.WS])
     r = state.Mw @ state.u - d
     soft = (sw & SOFT) > 0
-    r = r - jnp.where(soft, st.rho_soft * state.lam_star, 0)
+    if state.sw is not None:
+        # free soft slacks: diagonal reciprocal-weight + slack-bound term
+        # in the refinement residual (auxiliary.c:522-533)
+        ws = state.WS
+        free_soft = soft & ((sw & SLACK_FIXED) == 0)
+        rho_w = jnp.where((sw & LOWER) > 0, state.sw.rho_ls[ws],
+                          state.sw.rho_us[ws])
+        d_slack = jnp.where((sw & LOWER) > 0, state.sw.d_ls[ws],
+                            -state.sw.d_us[ws])
+        r = r - jnp.where(free_soft,
+                          rho_w * (state.lam_star + d_slack), 0)
+    else:
+        r = r - jnp.where(soft, st.rho_soft * state.lam_star, 0)
     r = jnp.where(mask, r, 0)
     dlam = state.E @ r
     lam_star = state.lam_star + jnp.where(mask, dlam, 0)
@@ -599,8 +716,20 @@ def activate_constraints(state: LDPState, st: Settings, m_limit=None,
         def try_add(carry):
             flag, s = carry
             is_lower = (s.sense[i] & LOWER) > 0
-            s = add_constraint(s, jnp.asarray(i, jnp.int32),
-                               jnp.where(is_lower, -1.0, 1.0), st)
+            if s.sw is not None:
+                # initial multiplier consistent with the pre-set slack
+                # state (auxiliary.c:403-416): free -> past the slack
+                # bound, fixed -> strictly inside it
+                free0 = (s.sense[i] & SLACK_FIXED) == 0
+                lam0 = jnp.where(
+                    is_lower,
+                    jnp.where(free0, -(s.sw.d_ls[i] + 1.0),
+                              -0.9 * s.sw.d_ls[i]),
+                    jnp.where(free0, s.sw.d_us[i] + 1.0,
+                              0.9 * s.sw.d_us[i]))
+            else:
+                lam0 = jnp.where(is_lower, -1.0, 1.0)
+            s = add_constraint(s, jnp.asarray(i, jnp.int32), lam0, st)
 
             def on_sing(carry):
                 flag, s = carry

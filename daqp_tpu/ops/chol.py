@@ -307,6 +307,165 @@ def _tile_chol_kernel_loop(n: int, tiny: float, H_ref, X_ref, Hc):
     pl.run_scoped(store, pltpu.SemaphoreType.DMA(()))
 
 
+def _chol_kernel_dense(n: int, nch: int, tiny: float, H_ref, X_ref, Hc):
+    """Dense-mask lanes-last Cholesky + in-place triangular inversion:
+    the formulation that finally beats the XLA expander.
+
+    Exactly the idiom of the (fast) active-set kernel
+    (``pallas_batch._kernel_body``): state (n, n, L) lanes-last in VMEM
+    scratch, a ``fori_loop`` whose body has only STATIC shapes, one-hot
+    masks for every j-dependent selection, and row-chunked
+    read-modify-write passes.  Each step does 3 full passes over the
+    (n, n, L) buffer (~3x the arithmetic of shrinking slices) — the
+    winning trade, because the alternatives are far worse:
+      * fully-unrolled shrinking slices: ~100 distinct-shape statement
+        groups, a per-statement cost floor -> 34 ms / 1024 lanes and a
+        380 s Mosaic compile (``_tile_chol_kernel``);
+      * fori_loop + dynamic slices on untiled dims: compile time explodes
+        with n (n=8: 86 s, n=16: >300 s) (``_tile_chol_kernel_loop``);
+      * XLA cholesky + triangular_solve expanders: 38-40 ms.
+
+    Phase 1 step j: extract column j by one-hot contraction, form the
+    scaled Cholesky column, then one fused RMW pass applies the Schur
+    rank-one downdate AND writes column j (the column-j write masks out
+    the downdate there, and the masked column is zero at row <= j so the
+    downdate never touches written columns).
+    Phase 2 step i: extract row i (one-hot over the major dim), masked
+    accumulate acc[c] = sum_k L[i, k<i] X[k, c], write row i of
+    X = L^{-1} in place.  Upper-triangle garbage is masked dead by the
+    k<i row mask — X rows are written full-width with explicit zeros.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    L_SZ = Hc.shape[-1]
+    CH = n // nch
+    idx = (slice(None), slice(None),
+           pl.ds(pl.multiple_of(g * L_SZ, L_SZ), L_SZ))
+
+    def load(sem):
+        cp = pltpu.make_async_copy(H_ref.at[idx], Hc, sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(load, pltpu.SemaphoreType.DMA(()))
+
+    f = Hc.dtype
+    one = jnp.asarray(1.0, f)
+    eps = jnp.asarray(tiny, f)
+    iota_r = lax.broadcasted_iota(jnp.int32, (n, 1), 0)      # (n, 1)
+    iota_c = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)   # (1, n, 1)
+
+    def chol_step(j, _):
+        ohc = (iota_c == j).astype(f)                        # (1, n, 1)
+        # extract column j (one-hot contraction over the sublane dim)
+        cols = []
+        for c in range(nch):
+            r0 = c * CH
+            cols.append(jnp.sum(Hc[r0:r0 + CH] * ohc, axis=1))
+        col = jnp.concatenate(cols, axis=0)                  # (n, L)
+        d = jnp.sum(col * (iota_r == j).astype(f), axis=0,
+                    keepdims=True)                           # (1, L)
+        piv = jnp.sqrt(jnp.maximum(d, eps))
+        colL = jnp.where(iota_r > j, col / piv, 0.0)         # (n, L)
+        Lcol = colL + (iota_r == j).astype(f) * piv          # (n, L)
+        # fused RMW: Schur downdate everywhere except column j, which
+        # receives the finished Cholesky column
+        for c in range(nch):
+            r0 = c * CH
+            blk = Hc[r0:r0 + CH]
+            blk = (blk - colL[r0:r0 + CH][:, None, :] * colL[None, :, :]) \
+                * (1.0 - ohc) + ohc * Lcol[r0:r0 + CH][:, None, :]
+            Hc[r0:r0 + CH] = blk
+        return 0
+
+    lax.fori_loop(0, n, chol_step, 0)
+
+    def inv_step(i, _):
+        ohr2 = (iota_r == i).astype(f)                       # (n, 1)
+        # extract row i (one-hot contraction over the major dim)
+        rows = []
+        for c in range(nch):
+            r0 = c * CH
+            rows.append(jnp.sum(Hc[r0:r0 + CH]
+                                * ohr2[r0:r0 + CH][:, None, :], axis=0))
+        Lrow = sum(rows)                                     # (n, L)
+        dii = jnp.sum(Lrow * (iota_c == i).astype(f)[0], axis=0,
+                      keepdims=True)                         # (1, L)
+        inv = one / dii
+        Lm = jnp.where(iota_c[0] < i, Lrow, 0.0)             # cols < i
+        acc = jnp.zeros_like(Lrow)
+        for c in range(nch):
+            r0 = c * CH
+            # rows k in [r0, r0+CH): weight L[i, k], masked dead at
+            # k >= i by Lm; garbage above the diagonal of X rows is
+            # multiplied by zero weights
+            acc = acc + jnp.sum(Hc[r0:r0 + CH]
+                                * Lm[r0:r0 + CH][:, None, :], axis=0)
+        row_new = jnp.where(iota_c[0] == i, inv, -inv * acc)
+        row_new = jnp.where(iota_c[0] > i, 0.0, row_new)     # (n, L)
+        for c in range(nch):
+            r0 = c * CH
+            m = ohr2[r0:r0 + CH][:, None, :]
+            Hc[r0:r0 + CH] = Hc[r0:r0 + CH] * (1.0 - m) \
+                + m * row_new[None, :, :]
+        return 0
+
+    lax.fori_loop(0, n, inv_step, 0)
+
+    def store(sem):
+        cp = pltpu.make_async_copy(Hc, X_ref.at[idx], sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(store, pltpu.SemaphoreType.DMA(()))
+
+
+def batched_chol_rinv_dense(H_bnn: jnp.ndarray, tiny: float = 1e-30,
+                            interpret: bool = False,
+                            lanes: int = 512) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) upper-triangular Rinv with H = R'R via
+    the dense-mask lanes-last kernel (``_chol_kernel_dense``).  B must be
+    a multiple of ``lanes`` (or equal a smaller multiple of 128)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = H_bnn.shape
+    dtype = H_bnn.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    n0 = n
+    pad = (-n) % 8
+    if pad:
+        # DMA slices need 8-aligned dims: pad with a decoupled identity
+        # block (chol/inverse of blkdiag(H, I) = blkdiag(chol(H), I))
+        eye_pad = jnp.zeros((n + pad, n + pad), dtype).at[
+            jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+        H_bnn = jnp.pad(H_bnn, ((0, 0), (0, pad), (0, pad))) + eye_pad
+        n = n + pad
+    L_SZ = min(lanes, B)
+    while L_SZ > 128 and (B % L_SZ or n * n * L_SZ * itemsize
+                          > 13 * 2 ** 20):
+        L_SZ //= 2
+    assert B % L_SZ == 0, (B, L_SZ)
+    nch = 1
+    while (n % nch) or (n // nch) * n * L_SZ * itemsize > 2 ** 21:
+        nch += 1
+    Hl = jnp.moveaxis(H_bnn, 0, -1)                  # (n, n, B)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel_dense, n, nch, tiny),
+        grid=(B // L_SZ,),
+        in_specs=[any_spec], out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n, B), dtype),
+        scratch_shapes=[pltpu.VMEM((n, n, L_SZ), dtype)],
+        interpret=interpret,
+    )(Hl)
+    # out[i, j, b] = L^{-1}[i, j] = Rinv[j, i]
+    return jnp.moveaxis(out, -1, 0).transpose(0, 2, 1)[:, :n0, :n0]
+
+
 def batched_chol_rinv_tile(H_bnn: jnp.ndarray, tiny: float = 1e-30,
                            interpret: bool = False,
                            unroll: bool = False) -> jnp.ndarray:

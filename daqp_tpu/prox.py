@@ -72,8 +72,12 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
     if K is None:
         K = n + 1
     dtype = H.dtype
-    ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st,
-                               Rinv=Rinv, soft_weights=soft_weights)
+    from .types import SoftWeights, SOFT
+    sw_struct = soft_weights if isinstance(soft_weights, SoftWeights) \
+        else None
+    ldpd = transform.build_ldp(
+        H, f, A, bupper, blower, sense, ms, st, Rinv=Rinv,
+        soft_weights=None if sw_struct is not None else soft_weights)
     bu = jnp.asarray(bupper, dtype)
     bl = jnp.asarray(blower, dtype)
     f_ = jnp.zeros((n,), dtype) if f is None else jnp.asarray(f, dtype)
@@ -83,8 +87,27 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
     eta = _auto_eta(st).astype(dtype)
     mask = ldpd.prox_mask
 
+    sw_n = None
+    if sw_struct is not None:
+        # normalize the slack data into the row-scaled dual formulation
+        # (utils.c:99-110) and zero it on hard rows
+        soft_m = (ldpd.sense & SOFT) > 0
+        sc = ldpd.scaling
+        z = jnp.zeros_like(sc)
+        sw_n = SoftWeights(
+            d_ls=jnp.where(soft_m, jnp.asarray(sw_struct.d_ls, dtype) / sc,
+                           z),
+            d_us=jnp.where(soft_m, jnp.asarray(sw_struct.d_us, dtype) / sc,
+                           z),
+            rho_ls=jnp.where(soft_m,
+                             jnp.asarray(sw_struct.rho_ls, dtype) * sc * sc,
+                             z),
+            rho_us=jnp.where(soft_m,
+                             jnp.asarray(sw_struct.rho_us, dtype) * sc * sc,
+                             z))
+
     state = ldp_mod.init_state(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
-                               ldpd.scaling, K=K)
+                               ldpd.scaling, K=K, sw=sw_n)
     act_flag, state = ldp_mod.activate_constraints(state, st)
 
     # Unconstrained shortcut only for plain PD QPs (utils.c:533).

@@ -132,6 +132,22 @@ def default_settings_f32() -> Settings:
     )
 
 
+class SoftWeights(NamedTuple):
+    """Per-constraint soft-slack data (the reference's SOFT_WEIGHTS build,
+    types.h:168-180): the softened objective is
+
+        min 0.5 x'Hx + f'x + 0.5 su'su + 0.5 sl'sl
+
+    with constraints  blower - rho_ls*sl <= Ax <= bupper + rho_us*su  and
+    slack bounds  sl >= d_ls, su >= d_us.  The given bounds are assumed to
+    already include the d_ls/d_us contribution (slacks start active at
+    their bounds).  All arrays are length m; hard rows ignore them."""
+    d_ls: jnp.ndarray
+    d_us: jnp.ndarray
+    rho_ls: jnp.ndarray
+    rho_us: jnp.ndarray
+
+
 class Problem(NamedTuple):
     """A dense QP instance (types.h:14-50).
 
