@@ -64,9 +64,18 @@ def main():
     err = np.linalg.norm(x0 - d['x'][:B], axis=1)
     ok = float(np.mean((flags0 == 1) & (err < 2e-3)))
 
+    # One device-side stack + ONE host transfer as the true sync: the
+    # stacked array depends on every batch, and the chip executes
+    # enqueued programs in order, so fetching it proves all solves are
+    # done.  Fetching each result separately would serialize ~32 ms of
+    # tunnel round-trip PER BATCH into the wall (measured: a trivial
+    # jitted call syncs at 32 ms when fetched, 3.9 ms when pipelined) —
+    # that is transfer latency, not solver throughput.
+    stack = jax.jit(lambda *fs: jnp.stack(fs))
+    _ = np.asarray(stack(*[solve(b).exitflag for b in batches]))  # warm
     t0 = time.perf_counter()
     rs = [solve(b) for b in batches]
-    flags = np.concatenate([np.asarray(r.exitflag) for r in rs])  # true sync
+    flags = np.asarray(stack(*[r.exitflag for r in rs])).reshape(-1)
     t1 = time.perf_counter()
     total = NB * B
     solves_per_sec = total / (t1 - t0)
