@@ -29,8 +29,8 @@ def bench_mpc(jnp, st):
 
     S, T, n, m = 512, 20, 50, 100
     rng = np.random.default_rng(7)
-    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 40, 1e2, rng,
-                                                 dtype=np.float32)
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 40, 1e2, rng)
+    H, f, A, bu, bl = (v.astype(np.float32) for v in (H, f, A, bu, bl))
     drift_f = 0.02 * rng.standard_normal((S, T, n)).astype(np.float32)
     drift_b = 0.02 * rng.standard_normal((S, T, m)).astype(np.float32)
     f_seq = np.cumsum(drift_f, axis=1) + f

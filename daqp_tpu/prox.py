@@ -51,6 +51,8 @@ class _Carry(NamedTuple):
     center_relaxed: jnp.ndarray
     total_iter: jnp.ndarray
     status: jnp.ndarray     # outer status; EXIT_RUNNING while iterating
+    best_diff: jnp.ndarray  # () smallest ||x - xold||_inf seen so far
+    stall_ct: jnp.ndarray   # () int32 consecutive non-improving outers
 
 
 def _reset_for_resolve(state, dupper, dlower):
@@ -130,6 +132,20 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
         max_diff = jnp.max(jnp.abs(x - c.x))
         converged = max_diff < tol_stat
 
+        # Arithmetic-floor stagnation: in low precision (f32 on TPU, where
+        # the retry-doubling shift makes eps large and tol_stat = eta/eps
+        # unreachably small) the outer iteration contracts geometrically to
+        # the rounding floor of the inner solver and then oscillates there.
+        # Exact-arithmetic proximal-point iterates contract monotonically,
+        # so several consecutive optimal inner solves with no improvement
+        # in ||x - xold||_inf certify the fixed point to within arithmetic
+        # accuracy; doubtful lanes are caught by the f64 KKT backstop.
+        improved = max_diff < 0.9 * c.best_diff
+        best_next = jnp.minimum(max_diff, c.best_diff)
+        stall_next = jnp.where(improved, 0, c.stall_ct + 1)
+        stagnated = (~inner_failed) & (stall_next >= 8)
+        converged = converged | stagnated
+
         # Over-relaxation when the active set froze (daqp_prox.c:146-154)
         relax = (~all_pd) & (s.iterations == 1) & (~converged)
         x_next = jnp.where(relax, c.x + 1.5 * (x - c.x), x)
@@ -145,7 +161,9 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
                            EXIT_ITERLIMIT, status)
         return _Carry(state=s, v=v, x=x_next, xold=c.x, eps=eps,
                       center_relaxed=center_next, total_iter=total,
-                      status=status.astype(jnp.int32))
+                      status=status.astype(jnp.int32),
+                      best_diff=best_next.astype(c.best_diff.dtype),
+                      stall_ct=stall_next.astype(jnp.int32))
 
     def outer_cond(c: _Carry):
         return c.status == EXIT_RUNNING
@@ -158,12 +176,17 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
     c0 = _Carry(state=state, v=ldpd.v, x=z, xold=z,
                 eps=eps, center_relaxed=jnp.zeros((), bool),
                 total_iter=jnp.zeros((), jnp.int32),
-                status=init_status.astype(jnp.int32))
+                status=init_status.astype(jnp.int32),
+                best_diff=jnp.asarray(jnp.inf, dtype),
+                stall_ct=jnp.zeros((), jnp.int32))
     c = lax.while_loop(outer_cond, outer_body, c0)
 
     x = jnp.where(unc_ok, x_unc, c.x)
     lam = solve_mod.extract_duals(c.state)
-    fval = 0.5 * x @ (H @ x) + f_ @ x
+    # Reference fval convention: 0.5*(||u||^2 + soft_slack - ||v||^2)
+    # (api.c:457-461 shifts work->fval, which includes the soft penalty,
+    # auxiliary.c:79-86) == true objective + 0.5*soft_slack.
+    fval = 0.5 * x @ (H @ x) + f_ @ x + 0.5 * c.state.soft_slack
     return solve_mod.SolveOut(
         x=x, lam=lam, fval=fval, exitflag=c.status,
         iterations=jnp.maximum(c.total_iter, 1).astype(jnp.int32),
@@ -270,7 +293,8 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
                            EXIT_ITERLIMIT, status)
         return _Carry(state=s, v=v, x=x, xold=c.x, eps=eps,
                       center_relaxed=jnp.zeros((), bool), total_iter=total,
-                      status=status.astype(jnp.int32))
+                      status=status.astype(jnp.int32),
+                      best_diff=c.best_diff, stall_ct=c.stall_ct)
 
     z = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     init_status = jnp.where(ldpd.error < 0, ldpd.error,
@@ -279,7 +303,9 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
                 eps=jnp.ones((), dtype),
                 center_relaxed=jnp.zeros((), bool),
                 total_iter=jnp.zeros((), jnp.int32),
-                status=init_status.astype(jnp.int32))
+                status=init_status.astype(jnp.int32),
+                best_diff=jnp.asarray(jnp.inf, dtype),
+                stall_ct=jnp.zeros((), jnp.int32))
     c = lax.while_loop(lambda c: c.status == EXIT_RUNNING, outer_body, c0)
 
     # Vertex polish: the LP optimum is a vertex of the active system

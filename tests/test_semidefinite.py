@@ -59,3 +59,46 @@ def test_semidefinite_objective_value():
     res = daqp_tpu.quadprog(H, f, A, bu, bl, ms=0)
     assert int(res.exitflag) == daqp_tpu.EXIT_OPTIMAL
     assert np.allclose(np.asarray(res.x), [0.5, 3.0], atol=1e-5), res.x
+
+
+def test_semidefinite_f32_stagnation_acceptance():
+    # In f32 the retry-doubling shift makes eps large (~5e-2 here) and the
+    # reference fixed-point test eta/eps sits below the f32 noise floor;
+    # the stagnation criterion must still certify the fixed point instead
+    # of burning the iteration budget (observed: all lanes EXIT_ITERLIMIT
+    # before the fix).
+    import jax
+    import jax.numpy as jnp
+    from daqp_tpu import prox as prox_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n, m, rank = 4, 30, 60, 18
+    rng = np.random.default_rng(17)
+    Q = rng.standard_normal((B, n, rank)).astype(np.float32)
+    H = np.einsum('bir,bjr->bij', Q, Q)
+    f = rng.standard_normal((B, n)).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (5 + 5 * rng.random((B, m))).astype(np.float32)
+    bl = -(5 + 5 * rng.random((B, m))).astype(np.float32)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+
+    def one(H, f, A, bu, bl, sense):
+        out = prox_mod.solve_convex_or_prox(H, f, A, bu, bl, sense, 0, st)
+        return out.exitflag, out.x
+
+    with jax.default_matmul_precision('highest'):
+        flags, x = jax.jit(jax.vmap(one))(
+            *[jnp.asarray(v) for v in (H, f, A, bu, bl, sense)])
+    flags = np.asarray(flags)
+    assert np.all(flags == daqp_tpu.EXIT_OPTIMAL), flags
+    # compare against the f64 solve per lane
+    for b in range(B):
+        ref = daqp_tpu.quadprog(H[b].astype(np.float64),
+                                f[b].astype(np.float64),
+                                A[b].astype(np.float64),
+                                bu[b].astype(np.float64),
+                                bl[b].astype(np.float64), ms=0)
+        err = np.linalg.norm(np.asarray(x[b], np.float64)
+                             - np.asarray(ref.x))
+        assert err < 5e-2, (b, err)
