@@ -11,9 +11,11 @@ nothing crosses ICI during the solve), and collectives only for
     frontier waves — the only value whose exchange changes solver behavior,
     reference src/bnb.c:29-31,62).
 
-Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
-the same code then spans hosts with batch shards placed host-locally and
-the statistics collectives riding ICI within a slice and DCN across hosts.
+Multi-host: ``parallel.distributed.initialize()`` joins the process group
+and ``distributed.global_mesh()`` spans all hosts' devices; the same code
+then runs with batch shards placed host-locally and the statistics
+collectives riding ICI within a slice and DCN across hosts (proven by the
+2-process CPU test ``tests/test_multihost.py``).
 """
 from __future__ import annotations
 
@@ -47,7 +49,7 @@ class ShardedStats(NamedTuple):
 def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
                         mesh: Mesh, ms: int = 0, repair_rounds: int = 2,
                         tier: str = "flat", lane_chunk: int = 512,
-                        has_soft=None, interpret: bool = False):
+                        has_soft=None, interpret: bool = False, K=None):
     """Batch-sharded QP solve over a mesh; returns (BatchResult, stats).
 
     The batch dimension B must be divisible by the mesh size. Results come
@@ -65,17 +67,23 @@ def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
         (kept for differential testing).
     """
     axis = mesh.axis_names[0]
-    n = np.asarray(A).shape[-1]
+    n = A.shape[-1]
+    # Host-side sense inspection only works when the array is addressable;
+    # in a multi-host run pass has_soft / K explicitly for soft batches.
+    inspectable = (not isinstance(sense, jax.Array)
+                   or sense.is_fully_addressable)
     if tier == "pallas" and has_soft is None:
         from ..types import SOFT
-        has_soft = bool(np.any(np.asarray(sense) & SOFT))
-    if tier == "flat":
-        from ..types import SOFT
-        max_ns = int(np.max(np.sum((np.asarray(sense) & SOFT) > 0,
-                                   axis=-1), initial=0))
-        K = n + max_ns + 1
-    else:
-        K = n + 1
+        has_soft = bool(np.any(np.asarray(sense) & SOFT)) if inspectable \
+            else False
+    if K is None:
+        if tier == "flat" and inspectable:
+            from ..types import SOFT
+            max_ns = int(np.max(np.sum((np.asarray(sense) & SOFT) > 0,
+                                       axis=-1), initial=0))
+            K = n + max_ns + 1
+        else:
+            K = n + 1
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
