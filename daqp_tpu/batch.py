@@ -272,6 +272,20 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
             ldpd = jax.vmap(
                 functools.partial(transform.build_ldp, ms=ms, st=st))(
                     H, f, A, bupper, blower, sense)
+        # Difficulty-sorted tiling: a 128-lane tile runs until its slowest
+        # lane converges, so a random lane→tile assignment makes every
+        # tile pay ~the global max iteration count (median 97 / max 141 on
+        # BASELINE config 2 ⇒ ~30% wasted lane-steps).  Sorting lanes by a
+        # cheap difficulty proxy — the violated-constraint count at the
+        # unconstrained optimum u = 0, which tracks the number of
+        # active-set changes the solver must make — groups
+        # similar-iteration lanes into the same tile; with the kernel's
+        # step-level early exit each tile then stops at ITS OWN max.
+        # Outputs are unsorted before returning.
+        nviol = jnp.sum((ldpd.dupper < 0) | (ldpd.dlower > 0), axis=-1)
+        order = jnp.argsort(nviol)
+        unsort = jnp.argsort(order)
+        ldpd = jax.tree_util.tree_map(lambda a: a[order], ldpd)
         from .types import ACTIVE, LOWER, SOFT
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
         soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
@@ -309,10 +323,11 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         act_m = (s.act_up + s.act_lo)
         slack = st.rho_soft * jnp.sum(
             s.soft * act_m * s.lam_star * s.lam_star, axis=0)
-        return BatchResult(x=x, lam=lam, fval=fval,
-                           exitflag=exitflag.astype(jnp.int32),
-                           iterations=s.iterations[0].astype(jnp.int32),
-                           soft_slack=slack.astype(x.dtype))
+        res = BatchResult(x=x, lam=lam, fval=fval,
+                          exitflag=exitflag.astype(jnp.int32),
+                          iterations=s.iterations[0].astype(jnp.int32),
+                          soft_slack=slack.astype(x.dtype))
+        return jax.tree_util.tree_map(lambda a: a[unsort], res)
 
 
 @functools.partial(jax.jit, static_argnames=("ms", "bin_ids", "K"))

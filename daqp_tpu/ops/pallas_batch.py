@@ -78,7 +78,7 @@ class DenseState(NamedTuple):
     status: jnp.ndarray   # (1, B) int32
 
 
-def _row_chunks(m: int, target: int = 25):
+def _row_chunks(m: int, target: int = 13):
     """Static row-chunk boundaries for E passes (VMEM temp control)."""
     rc = target
     while m % rc != 0:
@@ -87,7 +87,7 @@ def _row_chunks(m: int, target: int = 25):
 
 
 def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
-                 has_soft: bool,
+                 has_soft: bool, always_copy: bool,
                  M_ref, du_ref, dl_ref, sc_ref, imsf_ref,
                  au_ref, al_ref, E_ref, lam_ref, ls_ref,
                  pd_ref, po_ref, pl_ref, plo_ref,
@@ -95,40 +95,23 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                  au_o, al_o, E_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
                  u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
                  E_s, M_s):
-    """``steps`` masked dual active-set iterations for one 128-lane tile.
+    """Up to ``steps`` masked dual active-set iterations for one 128-lane
+    tile.
 
     E lives in its (aliased) output ref and is read/updated in static row
     chunks — whole-array (m, m, L) temporaries would blow the ~16 MB VMEM
     budget (observed 27 MB scoped-stack OOM with the naive formulation).
-    """
-    f32 = jnp.float32
-    BIG = f32(DAQP_INF)
-    dtol = f32(st.dual_tol)
-    ptol = f32(st.primal_tol)
-    pivtol = f32(st.pivot_tol)
-    singtol = f32(st.sing_tol)
-    progtol = f32(st.progress_tol)
-    cyctol = f32(st.cycle_tol)
-    chunks = _row_chunks(m)
 
+    Lockstep-tail control (the ~30%% waste of round 1): the step loop is a
+    ``lax.while_loop`` that exits as soon as EVERY lane of the tile is
+    terminal, and a tile that arrives fully terminal skips the big E/M DMA
+    and the loop entirely (small aliased state still passes through its
+    output windows so the pipeline writes back unchanged values).  A
+    converged tile therefore costs ~KBs of DMA per round instead of 64
+    full iterations + 8 MB of traffic.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    du = du_ref[:]
-    dl = dl_ref[:]
-    sc = sc_ref[:]
-    # immut and soft masks packed as im + 2*soft in one buffer (the extra
-    # blocked window pair pushed VMEM 29 KB over the 16 MB limit); the
-    # soft terms are compiled in only for batches that carry SOFT bits
-    # (they cost ~2x on the clean cold-start path)
-    imsf = imsf_ref[:]
-    if has_soft:
-        sf = jnp.floor(imsf * 0.5 + 0.25)
-        im = imsf - 2.0 * sf
-    else:
-        im = imsf
-        sf = None
-    rho = f32(st.rho_soft)
 
     # Big buffers (E, M) and the state inputs live UNBLOCKED in HBM; grid-
     # blocked VMEM windows are double-buffered by the pipeline, which blew
@@ -146,26 +129,89 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
     out_refs = [au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
                 u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o]
 
-    def load_state(sems):
-        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
-                                        sems.at[0]),
-                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
-                                        sems.at[1])]
+    def load_small(sems):
+        # small aliased state always passes through its output windows (the
+        # pipeline writes the windows back to the aliased HBM buffers, so
+        # they must hold valid values even when the tile skips the solve)
+        copies = []
         for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
             nd = len(src_r.shape)
             idx = lane_idx3 if nd == 3 else lane_idx2
             copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
-                                                sems.at[i + 2]))
+                                                sems.at[i]))
         for cp in copies:
             cp.start()
         for cp in copies:
             cp.wait()
 
-    pl.run_scoped(load_state,
-                  pltpu.SemaphoreType.DMA((len(in_refs) + 2,)))
-    M = M_s[:]            # (m, n, L)
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
 
     iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)   # (m, 1)
+    # without input_output_aliases (interpret mode) a skipped tile would
+    # leave the E output buffer undefined — always take the copy path then
+    # (the step loop still exits immediately when nothing runs)
+    tile_live = jnp.any(stt_o[:] == EXIT_RUNNING) | always_copy
+
+    @pl.when(tile_live)
+    def solve_tile():
+        def load_big(sems):
+            copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                            sems.at[0]),
+                      pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                            sems.at[1])]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((2,)))
+        _solve_tile_live(st, m, n, n_true, steps, has_soft, iota_m,
+                         du_ref, dl_ref, sc_ref, imsf_ref,
+                         au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, M_s)
+
+        def store_E(sem):
+            cp = pltpu.make_async_copy(E_s, E_o.at[lane_idx3], sem)
+            cp.start()
+            cp.wait()
+
+        pl.run_scoped(store_E, pltpu.SemaphoreType.DMA(()))
+
+
+def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
+                     has_soft: bool, iota_m,
+                     du_ref, dl_ref, sc_ref, imsf_ref,
+                     au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
+                     u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                     E_s, M_s):
+    """The live-tile solve loop (state already staged into VMEM)."""
+    f32 = jnp.float32
+    BIG = f32(DAQP_INF)
+    dtol = f32(st.dual_tol)
+    ptol = f32(st.primal_tol)
+    pivtol = f32(st.pivot_tol)
+    singtol = f32(st.sing_tol)
+    progtol = f32(st.progress_tol)
+    cyctol = f32(st.cycle_tol)
+    chunks = _row_chunks(m)
+
+    du = du_ref[:]
+    dl = dl_ref[:]
+    sc = sc_ref[:]
+    # immut and soft masks packed as im + 2*soft in one buffer (the extra
+    # blocked window pair pushed VMEM 29 KB over the 16 MB limit); the
+    # soft terms are compiled in only for batches that carry SOFT bits
+    # (they cost ~2x on the clean cold-start path)
+    imsf = imsf_ref[:]
+    if has_soft:
+        sf = jnp.floor(imsf * 0.5 + 0.25)
+        im = imsf - 2.0 * sf
+    else:
+        im = imsf
+        sf = None
+    rho = f32(st.rho_soft)
+    M = M_s[:]            # (m, n, L)
 
     def contract2(x1, x2):
         # two contractions through one row-chunked pass over E:
@@ -353,12 +399,23 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
         return (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp,
                 it, stt)
 
-    carry = (au_o[:], al_o[:], lam_o[:], ls_o[:],
+    carry = (jnp.zeros((), jnp.int32),
+             au_o[:], al_o[:], lam_o[:], ls_o[:],
              pd_o[:], po_o[:], pl_o[:], plo_o[:], u_o[:],
              fv_o[:], bf_o[:], cy_o[:], rp_o[:], it_o[:],
              stt_o[:])
-    carry = lax.fori_loop(0, steps, body, carry)
-    (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
+
+    # step-level early exit: stop as soon as every lane of the tile is
+    # terminal instead of burning the full ``steps`` quota (the lockstep
+    # tail); converged lanes inside a still-live tile are masked by ``run``
+    def loop_cond(c):
+        return (c[0] < steps) & jnp.any(c[-1] == EXIT_RUNNING)
+
+    def loop_body(c):
+        return (c[0] + 1,) + body(c[0], c[1:])
+
+    carry = lax.while_loop(loop_cond, loop_body, carry)
+    (_, au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
      stt) = carry
     au_o[:] = au
     al_o[:] = al
@@ -375,13 +432,6 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
     rp_o[:] = rp
     it_o[:] = it
     stt_o[:] = stt
-
-    def store_E(sem):
-        cp = pltpu.make_async_copy(E_s, E_o.at[lane_idx3], sem)
-        cp.start()
-        cp.wait()
-
-    pl.run_scoped(store_E, pltpu.SemaphoreType.DMA(()))
 
 
 def run_kernel_round(s: DenseState, st: Settings, n_true: int,
@@ -421,7 +471,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
     aliases = {n_const + i: i for i in range(len(in_state))}
 
     kernel = functools.partial(_kernel_body, st, m, n, n_true, steps,
-                               has_soft)
+                               has_soft, bool(interpret))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -431,6 +481,10 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
         input_output_aliases={} if interpret else aliases,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        # the XLA scoped-vmem default (16 MB) is below v5e's physical
+        # VMEM; the skip-converged-tiles restructure sits at 16.12 MB
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
     )(*const, *in_state)
     return s._replace(act_up=outs[0], act_lo=outs[1], E=outs[2],
                       lam=outs[3], lam_star=outs[4], pend=outs[5],
