@@ -38,16 +38,23 @@ st = _as_settings(None, jnp.float32)
 sense0 = jnp.zeros((B, m), jnp.int32)
 
 
+_stack = None
+
+
 def timeit(fn, args_list, label, reps=3):
-    for a in args_list:
-        r = fn(*a)
-    jax.block_until_ready(r)
+    # ONE device-side stack + ONE host fetch as the sync (per-output
+    # fetches serialize ~32 ms of tunnel round-trip per batch into the
+    # wall — see bench.py / CLAUDE.md)
+    global _stack
+    if _stack is None:
+        _stack = jax.jit(lambda *fs: jnp.stack(fs))
+    first = lambda o: jax.tree_util.tree_leaves(o)[0]
+    _ = np.asarray(_stack(*[first(fn(*a)) for a in args_list]))  # warm
     best = 1e9
-    for _ in range(reps):
+    for _i in range(reps):
         t0 = time.perf_counter()
         outs = [fn(*a) for a in args_list]
-        for o in outs:
-            np.asarray(jax.tree_util.tree_leaves(o)[0])
+        np.asarray(_stack(*[first(o) for o in outs]))
         dt = (time.perf_counter() - t0) / len(args_list)
         best = min(best, dt)
     print(f"{label:44s} {best*1e3:8.2f} ms/batch", flush=True)
