@@ -215,6 +215,17 @@ def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
             inner_failed, s.status,
             jnp.where((c.status == EXIT_RUNNING) & (k >= st.iter_limit),
                       EXIT_ITERLIMIT, c.status))
+        if deadline is not None:
+            # Outer-loop wall-clock bound: in the stable phase the inner
+            # solver does 1 iteration per outer pass and never reaches its
+            # own every-32-iterations check, so a stuck DR loop must be
+            # cut here (reference checks time in daqp_ldp only because its
+            # AVI outer loop shares the same iteration counter).
+            from .utils.timers import now_callback
+            from .types import EXIT_TIMELIMIT
+            t = now_callback()
+            status = jnp.where((status == EXIT_RUNNING) & (t > deadline),
+                               EXIT_TIMELIMIT, status)
         return c._replace(state=s, tot_iter=tot, outer_k=k,
                           status=status.astype(jnp.int32))
 

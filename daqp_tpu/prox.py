@@ -55,6 +55,20 @@ class _Carry(NamedTuple):
     stall_ct: jnp.ndarray   # () int32 consecutive non-improving outers
 
 
+def _outer_deadline(status, deadline):
+    """Wall-clock bound for the proximal OUTER loop: a 1-iteration inner
+    solve per outer pass never reaches the inner solver's
+    every-32-iterations check, so the outer loop checks once per pass
+    (compiled out when no time limit is set)."""
+    if deadline is None:
+        return status
+    from .utils.timers import now_callback
+    from .types import EXIT_TIMELIMIT
+    t = now_callback()
+    return jnp.where((status == EXIT_RUNNING) & (t > deadline),
+                     EXIT_TIMELIMIT, status)
+
+
 def _reset_for_resolve(state, dupper, dlower):
     return state._replace(
         dupper=dupper, dlower=dlower,
@@ -159,6 +173,7 @@ def solve_convex_or_prox(H, f, A, bupper, blower, sense, ms: int,
         status = jnp.where((status == EXIT_RUNNING)
                            & (total >= st.iter_limit),
                            EXIT_ITERLIMIT, status)
+        status = _outer_deadline(status, deadline)
         return _Carry(state=s, v=v, x=x_next, xold=c.x, eps=eps,
                       center_relaxed=center_next, total_iter=total,
                       status=status.astype(jnp.int32),
@@ -291,6 +306,7 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
         status = jnp.where((status == EXIT_RUNNING)
                            & (total >= st.iter_limit),
                            EXIT_ITERLIMIT, status)
+        status = _outer_deadline(status, deadline)
         return _Carry(state=s, v=v, x=x, xold=c.x, eps=eps,
                       center_relaxed=jnp.zeros((), bool), total_iter=total,
                       status=status.astype(jnp.int32),
@@ -345,13 +361,13 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
 
     dtol_x = 1e-9 * (1.0 + jnp.linalg.norm(f_))
 
-    def crossover(i, carry):
+    def crossover(carry):
         # one simplex-like move: off-vertex -> projected steepest descent
         # to the nearest blocker (activated); at a vertex -> dual-sign
         # check, dropping the most wrong-signed constraint (the greedy
         # descent path can land on a suboptimal vertex adjacent to the
         # optimum; the exchange resumes the descent)
-        s, x = carry
+        i, _, s, x = carry
         Kb = s.E.shape[0]
         mask = jnp.arange(Kb) < s.n_active
         nu = -(s.E @ jnp.where(mask, s.Mw @ f_, 0))
@@ -381,13 +397,18 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
             rm = jnp.argmax(score).astype(jnp.int32)
             return ldp_mod.remove_constraint(s, rm, st), x
 
-        run_ok = c.status == EXIT_OPTIMAL
-        return lax.cond(
-            run_ok & go_exch, exchange,
-            lambda cc: lax.cond(run_ok & go_desc, descend,
-                                lambda q: q, cc), (s, x))
+        s, x = lax.cond(
+            go_exch, exchange,
+            lambda cc: lax.cond(go_desc, descend, lambda q: q, cc), (s, x))
+        # early exit: a trivial LP hits a vertex with clean dual signs in
+        # 0-2 moves — the 3n bound is only the degenerate worst case, and
+        # paying it unconditionally costs 1,500 E-GEMV iterations per
+        # solve at n=500
+        return i + 1, ~(go_desc | go_exch), s, x
 
-    s, x_c = lax.fori_loop(0, 3 * n, crossover, (s, x_c))
+    _, _, s, x_c = lax.while_loop(
+        lambda cc: (cc[0] < 3 * n) & ~cc[1], crossover,
+        (jnp.zeros((), jnp.int32), c.status != EXIT_OPTIMAL, s, x_c))
 
     # exact vertex solve via E, one refinement pass against drift
     Kb = s.E.shape[0]

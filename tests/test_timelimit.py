@@ -23,6 +23,38 @@ def test_time_limit_generous():
     assert np.linalg.norm(np.asarray(res.x) - x) < 1e-4
 
 
+def test_time_limit_avi_outer():
+    # The AVI DR outer loop must check the wall clock itself: in the
+    # stable phase each inner solve does 1 iteration and never reaches the
+    # inner every-32-iterations check.
+    rng = np.random.default_rng(5)
+    n, m = 50, 150
+    Hn = rng.standard_normal((n, n))
+    H = Hn @ Hn.T + 0.5 * np.eye(n) + 0.3 * (Hn - Hn.T)  # asymmetric PD part
+    f = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    bu = 2 + 2 * rng.random(m)
+    bl = -(2 + 2 * rng.random(m))
+    res = daqp_tpu.avi(H, f, A, bu, bl, settings={"time_limit": 1e-9})
+    assert int(res.exitflag) in (daqp_tpu.EXIT_TIMELIMIT,), int(res.exitflag)
+
+
+def test_time_limit_prox_outer():
+    # Semidefinite H forces the proximal outer loop; its per-pass deadline
+    # check must fire even when every inner solve is short.
+    rng = np.random.default_rng(6)
+    n, m, rank = 40, 80, 20
+    Q = rng.standard_normal((n, rank))
+    H = Q @ Q.T
+    f = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    bu = 5 + 5 * rng.random(m)
+    bl = -(5 + 5 * rng.random(m))
+    res = daqp_tpu.quadprog(H, f, A, bu, bl, None, ms=0,
+                            settings={"time_limit": 1e-9})
+    assert int(res.exitflag) == daqp_tpu.EXIT_TIMELIMIT, int(res.exitflag)
+
+
 def test_time_limit_bnb_tree_level():
     # core_tests.jl:514-534: node relaxations can each finish before the
     # inner periodic check; the tree-level check must still enforce it.
