@@ -426,8 +426,24 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
                       jnp.where(c.status == EXIT_OPTIMAL, x_c, c.x))
     c = c._replace(x=x_fin, state=s)
 
-    # Rescale duals by 1/eps (daqp_prox.c:171-173)
-    lam = solve_mod.extract_duals(c.state) / jnp.maximum(c.eps, 1e-30)
+    # LP duals from the FINAL working set: the crossover / vertex stages
+    # change the active set without recomputing lam_star (whose values are
+    # also eps-scaled inner-projection duals), so stale extraction gave
+    # duals violating stationarity — caught by the LP differential oracle.
+    # At the optimum f + Mw' nu = 0 on the active block defines
+    # nu = -E (Mw f) directly; scatter with the row scaling exactly like
+    # extract_duals.  Non-optimal exits keep the eps-rescaled inner duals
+    # (daqp_prox.c:171-173).
+    mC = c.state.M.shape[0]
+    KC = c.state.E.shape[0]
+    maskC = jnp.arange(KC) < c.state.n_active
+    nu = -(c.state.E @ jnp.where(maskC, c.state.Mw @ f_, 0))
+    wsC = jnp.clip(c.state.WS, 0, mC - 1)
+    valsC = jnp.where(maskC, nu, 0) * c.state.scaling[wsC]
+    idxC = jnp.where(maskC, c.state.WS, mC)
+    lam_vertex = jnp.zeros((mC,), dtype).at[idxC].set(valsC, mode='drop')
+    lam_prox = solve_mod.extract_duals(c.state) / jnp.maximum(c.eps, 1e-30)
+    lam = jnp.where(c.status == EXIT_OPTIMAL, lam_vertex, lam_prox)
     fval = f_ @ c.x
     return solve_mod.SolveOut(
         x=c.x, lam=lam, fval=fval, exitflag=c.status,
