@@ -568,11 +568,18 @@ def dense_activate(s: DenseState, up_mask, lo_mask,
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
     G = _gram(s2, st)
     Gb = jnp.moveaxis(G, -1, 0)
-    cF = jnp.linalg.cholesky(Gb)
-    ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))
-    cF = jnp.where(ok_lane[:, None, None], cF, jnp.eye(m, dtype=dtype))
-    E = jax.scipy.linalg.cho_solve(
-        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype), Gb.shape))
+    # HIGHEST for the activation factorization: the ambient 'high' context
+    # (3-pass bf16 expanders) leaves ~5e-3 primal error on equality-heavy
+    # f32 lanes on the real chip (caught by scripts/tpu_smoke.py); this
+    # runs once at setup, not in the hot loop
+    with jax.default_matmul_precision('highest'):
+        cF = jnp.linalg.cholesky(Gb)
+        ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))
+        cF = jnp.where(ok_lane[:, None, None], cF,
+                       jnp.eye(m, dtype=dtype))
+        E = jax.scipy.linalg.cho_solve(
+            (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype),
+                                         Gb.shape))
     ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
     act = act_up + act_lo
     E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
@@ -614,11 +621,14 @@ def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
 
     G = _gram(s2, st)
     Gb = jnp.moveaxis(G, -1, 0)                          # (B, m, m)
-    cF = jnp.linalg.cholesky(Gb)
-    ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))     # (B,)
-    cF = jnp.where(ok_lane[:, None, None], cF, jnp.eye(m, dtype=dtype))
-    E = jax.scipy.linalg.cho_solve(
-        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype), Gb.shape))
+    with jax.default_matmul_precision('highest'):
+        cF = jnp.linalg.cholesky(Gb)
+        ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))  # (B,)
+        cF = jnp.where(ok_lane[:, None, None], cF,
+                       jnp.eye(m, dtype=dtype))
+        E = jax.scipy.linalg.cho_solve(
+            (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype),
+                                         Gb.shape))
     ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
     act = act_up + act_lo
     E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
@@ -649,11 +659,12 @@ def exact_repair(s: DenseState, st: Settings) -> DenseState:
     parked = s.status[0] == EXIT_REFACTOR
     cyc = (s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0)
     need = parked | cyc
-    cF = jnp.linalg.cholesky(Gb)
-    cF = jnp.where(jnp.isfinite(cF), cF, jnp.eye(m, dtype=cF.dtype))
-    E_exact = jax.scipy.linalg.cho_solve(
-        (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=cF.dtype),
-                                     Gb.shape))
+    with jax.default_matmul_precision('highest'):
+        cF = jnp.linalg.cholesky(Gb)
+        cF = jnp.where(jnp.isfinite(cF), cF, jnp.eye(m, dtype=cF.dtype))
+        E_exact = jax.scipy.linalg.cho_solve(
+            (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=cF.dtype),
+                                         Gb.shape))
     exact_ok = jnp.all(jnp.isfinite(E_exact), axis=(1, 2))
     fix = need & exact_ok
     Eb = jnp.where(fix[:, None, None], E_exact, Eb)

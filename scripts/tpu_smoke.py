@@ -1,0 +1,162 @@
+"""Real-chip smoke gate for the Pallas kernel VARIANTS.
+
+bench.py exercises only the hard cold-start kernel; the equality/warm bulk
+activation (``dense_activate``) and the ``has_soft=True`` compile variant
+previously ran only in interpret mode on CPU — and interpret mode skips
+``input_output_aliases``, so the aliased-buffer behavior was exactly the
+part not covered.  This script runs the adversarial mixed batch, the soft
+batch, and a warm-activation batch through the REAL kernel and checks
+per-lane results against the f64 single-instance solver.
+
+Run manually on the chip:  python scripts/tpu_smoke.py
+Exit code 0 = all gates pass.  (Not part of the CPU pytest suite — it
+needs the TPU; keep it in sync with tests/test_pallas_adversarial.py.)
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import daqp_tpu
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from tests.gen import generate_test_qp_batch
+
+    assert jax.default_backend() != 'cpu', "run on the TPU"
+    failures = []
+
+    # --- mixed adversarial batch (infeasible/equality/degenerate lanes) --
+    B, n, m = 128, 10, 24
+    d = generate_test_qp_batch(B, n, m, 0, 6, 1e2, rng=11, dtype=np.float32)
+    bu, bl, sense, A = (d['bupper'].copy(), d['blower'].copy(),
+                        d['sense'].copy(), d['A'].copy())
+    for b in range(10):
+        A[b][1] = A[b][0]
+        bu[b][0], bl[b][0] = -1.0, -30.0
+        bu[b][1], bl[b][1] = 30.0, 1.0
+    for b in range(10, 20):
+        mid = 0.5 * (bu[b][2] + bl[b][2])
+        bu[b][2] = bl[b][2] = mid
+    for b in range(20, 30):
+        A[b][3] = A[b][4]
+        bu[b][3] = bu[b][4]
+        bl[b][3] = bl[b][4]
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    res = batch_mod.solve_batch_pallas_jit(
+        jnp.asarray(d['H']), jnp.asarray(d['f']), jnp.asarray(A),
+        jnp.asarray(bu), jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    if not np.all(flags[:10] == daqp_tpu.EXIT_INFEASIBLE):
+        failures.append(f"mixed: infeasible lanes {flags[:10]}")
+    # per-lane gate: distance to the f64 optimum, OR a clean f64 KKT
+    # certificate — an equality forced to a midpoint can leave a
+    # low-curvature direction where the f32 solution is KKT-consistent
+    # (stat ~1e-5) yet ~5e-3 from the f64 point on BOTH solver tiers;
+    # that is instance conditioning, not a kernel defect
+    stat, viol = batch_mod.kkt_residuals(
+        d['H'], d['f'], A, bu, bl, sense, xs, np.asarray(res.lam), ms=0)
+    for b in range(10, 30):
+        ref = daqp_tpu.quadprog(d['H'][b].astype(np.float64),
+                                d['f'][b].astype(np.float64),
+                                A[b].astype(np.float64),
+                                bu[b].astype(np.float64),
+                                bl[b].astype(np.float64), ms=0)
+        if int(flags[b]) != int(ref.exitflag):
+            failures.append(f"mixed lane {b}: {flags[b]} vs "
+                            f"{int(ref.exitflag)}")
+        elif int(ref.exitflag) == 1 and \
+                np.linalg.norm(xs[b] - np.asarray(ref.x)) > 2e-3 and \
+                (stat[b] > 1e-4 or viol[b] > 1e-4):
+            failures.append(f"mixed lane {b}: err "
+                            f"{np.linalg.norm(xs[b] - np.asarray(ref.x))}"
+                            f" stat {stat[b]:.2g} viol {viol[b]:.2g}")
+    if not np.all(flags[30:] == daqp_tpu.EXIT_OPTIMAL):
+        failures.append("mixed: clean lanes not optimal")
+    err = np.linalg.norm(xs[30:] - d['x'][30:], axis=1)
+    if err.max() >= 2e-3:
+        failures.append(f"mixed: clean-lane err {err.max()}")
+    print("mixed batch:", "FAIL" if failures else "ok", flush=True)
+
+    # --- soft variant (has_soft=True kernel compile) --------------------
+    nf0 = len(failures)
+    B, n = 128, 8
+    rng = np.random.default_rng(19)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + np.eye(n, dtype=np.float32)
+    f = np.zeros((B, n), np.float32)
+    A = np.tile(np.eye(n, dtype=np.float32)[None], (B, 1, 1))
+    A = np.concatenate([A, A[:, :1]], axis=1)
+    bu = np.concatenate([np.zeros((B, 1)), np.full((B, n - 1), 10.0),
+                         np.full((B, 1), 1e30)], axis=1).astype(np.float32)
+    bl = np.concatenate([np.full((B, n), -10.0), np.ones((B, 1))],
+                        axis=1).astype(np.float32)
+    sense = np.zeros((B, n + 1), np.int32)
+    sense[:, n] = daqp_tpu.SOFT
+    res = batch_mod.solve_batch_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    if not np.all(flags == daqp_tpu.EXIT_SOFT_OPTIMAL):
+        failures.append(f"soft: flags {np.unique(flags)}")
+    if np.any(xs[:, 0] > 1e-3):
+        failures.append("soft: hard bound x1<=0 violated")
+    print("soft batch:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
+    # --- warm/equality bulk activation (dense_activate path) ------------
+    nf0 = len(failures)
+    B, n, m = 128, 10, 24
+    d = generate_test_qp_batch(B, n, m, 0, 6, 1e2, rng=23,
+                               dtype=np.float32)
+    bu, bl = d['bupper'].copy(), d['blower'].copy()
+    sense = d['sense'].copy()
+    for b in range(B):                      # two equality rows per lane
+        for r in (0, 1):
+            mid = 0.5 * (bu[b][r] + bl[b][r])
+            bu[b][r] = bl[b][r] = mid
+    res = batch_mod.solve_batch_pallas_jit(
+        jnp.asarray(d['H']), jnp.asarray(d['f']), jnp.asarray(d['A']),
+        jnp.asarray(bu), jnp.asarray(bl), jnp.asarray(sense), st=st, ms=0)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    stat, viol = batch_mod.kkt_residuals(
+        d['H'], d['f'], d['A'], bu, bl, sense, xs, np.asarray(res.lam),
+        ms=0)
+    nbad = 0
+    for b in range(B):
+        ref = daqp_tpu.quadprog(d['H'][b].astype(np.float64),
+                                d['f'][b].astype(np.float64),
+                                d['A'][b].astype(np.float64),
+                                bu[b].astype(np.float64),
+                                bl[b].astype(np.float64), ms=0)
+        if int(flags[b]) != int(ref.exitflag):
+            nbad += 1
+        elif int(ref.exitflag) == 1 and \
+                np.linalg.norm(xs[b] - np.asarray(ref.x)) > 2e-3 and \
+                (stat[b] > 1e-4 or viol[b] > 1e-4):
+            nbad += 1
+    if nbad:
+        failures.append(f"warm-activation: {nbad}/{B} lanes mismatch")
+    print("warm-activation batch:", "FAIL" if len(failures) > nf0
+          else "ok", flush=True)
+
+    if failures:
+        print("TPU_SMOKE_FAIL")
+        for msg in failures:
+            print(" -", msg)
+        return 1
+    print("TPU_SMOKE_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
