@@ -157,8 +157,8 @@ def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
     singular = (sval < st.sing_tol) | (k >= n + ns_act) | (k >= K)
 
     slot = jnp.argmin(s.used).astype(jnp.int32)   # first free slot
-    w = jnp.where(s.used, a, 0).at[slot].set(jnp.asarray(-1.0, dtype))
-    E_ok = s.E + jnp.outer(w, w) / sval
+    oh_slot = (jnp.arange(K) == slot).astype(dtype)
+    w = jnp.where(s.used, a, 0) * (1.0 - oh_slot) - oh_slot
 
     ok = do_add & ~singular
     make_pend = do_add & singular
@@ -168,9 +168,15 @@ def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
     sense = s.sense.at[jnp.where(do_add, add_id, s.M.shape[0])].set(
         sense_bits.astype(jnp.int32), mode='drop')
 
+    # f32 mask algebra / one-hot updates, NOT bool scatters or
+    # scalar-bool selects over (K, K): v5e mis-lowers small-bool dynamic
+    # scatters (writes silently dropped) and bool broadcast ops in fused
+    # loop bodies at batch >= 1024 — minimal repro + characterization in
+    # scripts/repro_v5e_bool_scatter.py
+    sval_safe = jnp.where(sval != 0, sval, jnp.asarray(1.0, dtype))
     return s._replace(
-        E=jnp.where(ok, E_ok, s.E),
-        used=s.used.at[slot].set(ok | s.used[slot]),
+        E=s.E + (ok.astype(dtype) / sval_safe) * jnp.outer(w, w),
+        used=s.used | ((jnp.arange(K) == slot) & ok),
         sid=jnp.where(ok, s.sid.at[slot].set(add_id), s.sid),
         lam=jnp.where(ok, s.lam.at[slot].set(add_lam), s.lam),
         Mw=jnp.where(ok, s.Mw.at[slot].set(add_row), s.Mw),
@@ -234,11 +240,20 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     pend_lam1 = s.pend_lam + jnp.where(s.pend, alpha * pend_sign, 0)
     e = s.E[:, rm_slot]
     err = e[rm_slot]
-    E_rm = s.E - jnp.outer(e, e) / jnp.where(err != 0, err, 1.0)
-    zero_rm = (jnp.arange(K) != rm_slot)
-    E_rm = E_rm * (zero_rm[:, None] & zero_rm[None, :])
-    E1 = jnp.where(do_remove, E_rm, s.E)
-    used1 = s.used.at[rm_slot].set(s.used[rm_slot] & ~do_remove)
+    # f32 mask algebra, NOT i1 outer masks / scalar-bool selects over
+    # (K, K): v5e mis-lowers small-bool broadcast ops inside fused loop
+    # bodies at batch >= 1024 — E rows silently zeroed, measured as
+    # ||G E - I|| drifting to O(1) within 48 iterations while the same
+    # state chunked at 512 stays at 3e-6 (scripts/repro_v5e_bool_scatter.py
+    # documents the op family)
+    rm_f = do_remove.astype(dtype)
+    zr_f = (jnp.arange(K) != rm_slot).astype(dtype)
+    E_down = jnp.outer(e, e) / jnp.where(err != 0, err, 1.0)
+    keep_f = 1.0 - (1.0 - zr_f[:, None] * zr_f[None, :]) * rm_f
+    E1 = (s.E - rm_f * E_down) * keep_f
+    # one-hot, not .at[rm_slot].set: bool scatters miscompile at B >= 1024
+    # on v5e (scripts/repro_v5e_bool_scatter.py)
+    used1 = s.used & ~((jnp.arange(K) == rm_slot) & do_remove)
     lam1 = lam1.at[rm_slot].set(jnp.where(do_remove, 0, lam1[rm_slot]))
     rm_id = s.sid[rm_slot]
     sense1 = s.sense.at[jnp.where(do_remove, rm_id, m)].set(
