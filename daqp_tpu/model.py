@@ -177,34 +177,81 @@ class Model:
 
     # -- update -----------------------------------------------------------
     def update(self, H=None, f=None, A=None, bupper=None, blower=None,
-               sense=None):
+               sense=None, break_points=None):
         """Masked update (``daqp_update_ldp``, utils.c:14-135): pass only
-        what changed.  f/bupper/blower alone keep the factorization and the
-        warm working set; H/A/sense rebuild and cold-start."""
-        structural = any(v is not None and np.size(v) > 0
-                         for v in (H, A)) or sense is not None
+        what changed.  Each mask reuses everything upstream of it:
+
+          * f / bupper / blower — recompute v and d only; factorization,
+            M, and the warm working set persist (UPDATE_v | UPDATE_d);
+          * sense — swap the sense bits (with auto-equality / zero-row
+            bits re-derived) and reset the working set for re-activation;
+            NO refactorization, no M/v/d rebuild (UPDATE_sense,
+            utils.c:31-39);
+          * A — rebuild M/d reusing the existing Rinv factorization
+            (UPDATE_M, utils.c:72-76: daqp_update_M with the cached
+            R^{-1});
+          * break_points — swap the hierarchy levels in place
+            (UPDATE_hierarchy, utils.c:115-118);
+          * H — full re-setup (UPDATE_Rinv refactors, and everything
+            downstream is derived from it)."""
+        h_changed = H is not None and np.size(H) > 0
+        a_changed = A is not None and np.size(A) > 0
         if f is not None:
             self._f = np.asarray(f)
         if bupper is not None:
             self._bupper = np.atleast_1d(np.asarray(bupper, float))
         if blower is not None:
             self._blower = np.atleast_1d(np.asarray(blower, float))
-        if H is not None and np.size(H) > 0:
+        if h_changed:
             self._H = np.asarray(H)
-        if A is not None and np.size(A) > 0:
+        if a_changed:
             self._A = np.atleast_2d(np.asarray(A))
+        was_binary = bool(self._bin_ids)
         if sense is not None:
             self._sense = np.array(sense, np.int32)
             self._bin_ids = tuple(
                 int(i) for i in np.where(self._sense & BINARY)[0])
+        if break_points is not None:
+            new_bp = tuple(int(b) for b in break_points)
+            bp_mode_change = (len(new_bp) > 1) != (
+                self._break_points is not None
+                and len(self._break_points) > 1)
+            self._break_points = new_bp
+        else:
+            bp_mode_change = False
 
-        if structural or self._special:
+        if (h_changed or self._special or bp_mode_change
+                or (sense is not None
+                    and (bool(self._bin_ids) or was_binary))):
             return self.setup(self._H, self._f, self._A, self._bupper,
                               self._blower, self._sense, ms=self._ms,
                               break_points=self._break_points,
                               is_avi=self._is_avi, dtype=self._dtype)
-        # v/d-only refresh (mask UPDATE_v | UPDATE_d)
+
         dt = self._dtype
+        if a_changed:
+            # UPDATE_M: rebuild M and d against the CACHED factorization
+            # (build_ldp's prefactored path skips the Cholesky)
+            self._ldpd = transform.build_ldp(
+                jnp.asarray(self._H, dt),
+                None if self._f is None else jnp.asarray(self._f, dt),
+                jnp.asarray(self._A, dt), jnp.asarray(self._bupper, dt),
+                jnp.asarray(self._blower, dt), jnp.asarray(self._sense),
+                self._ms, self._st, Rinv=self._ldpd.Rinv)
+            self._state = None              # geometry changed: cold start
+            return self
+        if sense is not None:
+            # UPDATE_sense: swap bits, reset the working set (the
+            # reference's reset + re-activate, utils.c:119-133); the next
+            # solve() cold-starts from the kept M/Rinv/v/d
+            self._ldpd = transform.update_sense(
+                self._ldpd, jnp.asarray(self._sense),
+                jnp.asarray(self._bupper, dt),
+                jnp.asarray(self._blower, dt), self._st)
+            self._state = None
+            if f is None and bupper is None and blower is None:
+                return self
+        # v/d-only refresh (mask UPDATE_v | UPDATE_d)
         self._ldpd = transform.update_vd(
             self._ldpd,
             None if self._f is None else jnp.asarray(self._f, dt),

@@ -245,6 +245,38 @@ def update_vd(ldp: LDPData, f: jnp.ndarray, bupper: jnp.ndarray,
     return ldp._replace(v=v, dupper=dupper, dlower=dlower)
 
 
+def update_sense(ldp: LDPData, sense, bupper, blower,
+                 st: Settings) -> LDPData:
+    """Sense-only update (mask DAQP_UPDATE_sense, utils.c:31-39): the new
+    user sense replaces the old one with the transform's derived bits
+    re-applied — auto-equality (bu == bl, utils.c:457-478) and zero-row
+    IMMUTABLE (recovered from the normalized M rows: every nonzero row
+    has unit norm, a zero row stayed zero) — with NO refactorization and
+    no M/v/d recomputation.  The caller resets the working set (the
+    reference's reset + daqp_activate_constraints, utils.c:119-133)."""
+    dtype = ldp.M.dtype
+    sense = jnp.asarray(sense, jnp.int32)
+    bu = jnp.asarray(bupper, dtype)
+    bl = jnp.asarray(blower, dtype)
+    mutable = (sense & IMMUTABLE) == 0
+    diff = bu - bl
+    trivially_infeasible = jnp.any(mutable & (diff < -st.primal_tol))
+    is_eq = mutable & (diff < st.zero_tol) & ((sense & SOFT) == 0)
+    sense = jnp.where(is_eq, sense | (ACTIVE | IMMUTABLE), sense)
+    zero_row = jnp.sum(ldp.M * ldp.M, axis=1) < 0.5
+    zero_row_infeasible = jnp.any(
+        zero_row & ((bu < -st.zero_tol) | (bl > st.zero_tol))
+        & ((sense & IMMUTABLE) == 0) & ((sense & SOFT) == 0))
+    sense = jnp.where(zero_row, (sense | IMMUTABLE) & ~ACTIVE, sense)
+    # re-derive the bound-infeasibility error under the NEW sense (a
+    # previously hard violated row may now be SOFT/IMMUTABLE); only a
+    # factorization error is sticky (sense cannot fix a nonconvex H)
+    err = jnp.where(ldp.error == EXIT_NONCONVEX, ldp.error,
+                    jnp.where(trivially_infeasible | zero_row_infeasible,
+                              EXIT_INFEASIBLE, 0)).astype(jnp.int32)
+    return ldp._replace(sense=sense.astype(jnp.int32), error=err)
+
+
 def update_d_from_v(ldp: LDPData, v: jnp.ndarray, bupper, blower) -> LDPData:
     """Set a caller-provided v (proximal outer loops) and refresh d."""
     Mv = _mm(ldp.M, v)
