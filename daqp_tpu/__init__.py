@@ -12,7 +12,8 @@ from .types import (Settings, Problem, Result, default_settings_f32,
                     EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL, EXIT_INFEASIBLE,
                     EXIT_CYCLE, EXIT_UNBOUNDED, EXIT_ITERLIMIT,
                     EXIT_NONCONVEX, EXIT_OVERDETERMINED_INITIAL,
-                    EXIT_TIMELIMIT, FLAG_TO_STATUS)
+                    EXIT_TIMELIMIT, FLAG_TO_STATUS,
+                    PRICING_DANTZIG, PRICING_BLAND)
 
 __version__ = "0.1.0"
 

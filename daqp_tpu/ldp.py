@@ -437,8 +437,16 @@ def add_infeasible(state: LDPState, st: Settings
     up_ok = (viol_up < bound) & ~blocked
     lo_ok = (viol_lo < bound) & ~blocked & ~up_ok
     cand = jnp.where(up_ok, viol_up, jnp.where(lo_ok, viol_lo, _BIG))
-    j = jnp.argmin(cand).astype(jnp.int32)
-    found = cand[j] < 0
+    # Bland's rule (lowest violated index, the anti-cycling option of the
+    # reference's executable spec) keys the argmin by index instead of by
+    # violation magnitude; a traced select, so no recompile on switch
+    viol_any = up_ok | lo_ok
+    bland_key = jnp.where(viol_any,
+                          jnp.arange(cand.shape[0], dtype=cand.dtype),
+                          _BIG)
+    key = jnp.where(jnp.asarray(st.pricing) == 1, bland_key, cand)
+    j = jnp.argmin(key).astype(jnp.int32)
+    found = viol_any[j]
     isupper = up_ok[j]
 
     def do_add(s):

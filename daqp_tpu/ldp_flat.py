@@ -297,8 +297,13 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     up_ok = (viol_up < bound) & ~blocked
     lo_ok = (viol_lo < bound) & ~blocked & ~up_ok
     candv = jnp.where(up_ok, viol_up, jnp.where(lo_ok, viol_lo, BIG))
-    j = jnp.argmin(candv).astype(jnp.int32)
-    found_viol = candv[j] < 0
+    # Dantzig (most violated) or Bland (lowest violated index) pricing
+    viol_any = up_ok | lo_ok
+    bland_key = jnp.where(viol_any,
+                          jnp.arange(m, dtype=candv.dtype), BIG)
+    pkey = jnp.where(jnp.asarray(st.pricing) == 1, bland_key, candv)
+    j = jnp.argmin(pkey).astype(jnp.int32)
+    found_viol = viol_any[j]
 
     # optimal: nothing violated on the priced path (repair/refinement is a
     # scheduled batched pass in flat_solve, not an in-loop branch)

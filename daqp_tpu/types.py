@@ -85,7 +85,7 @@ UPDATE_ALL = (UPDATE_Rinv | UPDATE_M | UPDATE_v | UPDATE_d | UPDATE_sense
 
 
 class Settings(NamedTuple):
-    """Solver settings: 16 scalar fields, defaults from constants.h:15-29.
+    """Solver settings: scalar fields, defaults from constants.h:15-29.
 
     All fields are carried as traced scalars inside jitted solves, so a
     compiled solver is reusable across settings values (only shapes trigger
@@ -107,6 +107,15 @@ class Settings(NamedTuple):
     sing_tol: float = 3.7e-11
     refactor_tol: float = 1e-9
     time_limit: float = 0.0
+    # pricing rule: PRICING_DANTZIG (most violated, the reference C core's
+    # only rule) or PRICING_BLAND (lowest index — the anti-cycling option
+    # the reference's executable spec offers, daqp_julia.jl).  Traced
+    # scalar: switching rules does not recompile.
+    pricing: int = 0
+
+
+PRICING_DANTZIG = 0
+PRICING_BLAND = 1
 
 
 def default_settings_f32() -> Settings:

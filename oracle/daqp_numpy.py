@@ -263,15 +263,17 @@ class Workspace:
         self.fval = self.soft_slack + float(self.u @ self.u)
 
     def add_infeasible(self):
-        """Dantzig pricing: add most-violated inactive constraint.
-
-        (daqp_add_infeasible, auxiliary.c:88-166.) Returns True if added.
-        """
+        """Pricing: add a violated inactive constraint — Dantzig (most
+        violated, the C core's rule, daqp_add_infeasible,
+        auxiliary.c:88-166) or Bland (lowest violated index, the
+        anti-cycling option of the reference's executable spec,
+        daqp_julia.jl).  Returns True if added."""
         mu = self.M @ self.u
         ep = -self.primal_tol * self.scaling
         viol_up = self.dupper - mu           # < 0 => upper violated
         viol_lo = mu - self.dlower           # < 0 => lower violated
         blocked = (self.sense & (ACTIVE | IMMUTABLE)) > 0
+        bland = self.s('pricing', 0) == 1
         best, add_idx, isupper = 0.0, -1, False
         for j in range(self.m):
             if blocked[j]:
@@ -280,6 +282,8 @@ class Workspace:
                 best, add_idx, isupper = viol_up[j], j, True
             elif viol_lo[j] < best and viol_lo[j] < ep[j]:
                 best, add_idx, isupper = viol_lo[j], j, False
+            if bland and add_idx == j:
+                break                        # first violated index wins
         if add_idx < 0:
             return False
         if isupper:

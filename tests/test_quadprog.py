@@ -101,3 +101,40 @@ def test_equality_constraints():
     res = daqp_tpu.quadprog(H, f, A, bu2, bl2, sense, ms=0)
     assert int(res.exitflag) == daqp_tpu.EXIT_OPTIMAL
     assert np.abs(A[:2] @ np.asarray(res.x) - Ax[:2]).max() < 1e-8
+
+
+def test_bland_pricing():
+    # The Bland (lowest-violated-index) option of the reference's
+    # executable spec: same optimum as Dantzig, possibly different
+    # iteration counts; a traced setting (no recompile on switch).
+    rng = np.random.default_rng(117)
+    for _ in range(4):
+        x, H, f, A, bu, bl, sense = generate_test_qp(10, 30, 0, 6, 1e2,
+                                                     rng)
+        rd = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=0,
+                               settings={"pricing":
+                                         daqp_tpu.PRICING_DANTZIG})
+        rb = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=0,
+                               settings={"pricing":
+                                         daqp_tpu.PRICING_BLAND})
+        assert int(rd.exitflag) == int(rb.exitflag) == 1
+        assert np.linalg.norm(np.asarray(rd.x) - np.asarray(rb.x)) < 1e-7
+
+    # oracle spec offers the same switch
+    from oracle import daqp_numpy
+    r_np = daqp_numpy.quadprog(H, f, A, bu, bl, sense, ms=0,
+                               settings={"pricing": 1})
+    assert r_np['exitflag'] == 1
+    assert np.linalg.norm(np.asarray(r_np['x']) - x) < 1e-6
+
+    # batched flat path accepts it too
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    st = _as_settings({"pricing": daqp_tpu.PRICING_BLAND}, jnp.float64)
+    res = batch_mod.solve_batch_flat_jit(
+        jnp.asarray(H)[None], jnp.asarray(f)[None], jnp.asarray(A)[None],
+        jnp.asarray(bu)[None], jnp.asarray(bl)[None],
+        jnp.asarray(sense)[None], st, ms=0)
+    assert int(res.exitflag[0]) == 1
+    assert np.linalg.norm(np.asarray(res.x[0]) - x) < 1e-6
