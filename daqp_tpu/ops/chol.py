@@ -262,6 +262,15 @@ def _tile_chol_kernel_loop(n: int, tiny: float, H_ref, X_ref, Hc):
     eps = jnp.asarray(tiny, Hc.dtype)
     row4 = lax.broadcasted_iota(jnp.int32, (n, 1, 1, 1), 0)
     col4 = lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1)
+    # CH=8 is a measured PRODUCTION optimum, not a guess: CH=16 (with a
+    # 26 MB scoped-vmem raise to fit its larger chunk temporaries) is
+    # 11% faster in a standalone micro-bench (7.35 vs 8.28 ms/1024) but
+    # drops the FULL pipeline from 41.6k to 24-25k solves/s — the bigger
+    # VMEM stack interacts with the whole module's scheduling.  Chunk-
+    # skipping (pl.when on sub-pivot chunks / lax.cond on reduce chunks)
+    # is traffic-neutral in practice: measured no standalone gain and the
+    # same full-pipeline regression.  Benchmark bench.py, not the kernel
+    # alone, before touching this.
     CH = 8                                   # row chunk for RMW passes
     nch = -(-n // CH)
 

@@ -257,6 +257,9 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
 
         act = au + al                                     # (m, L) 0/1
         d_W = (au * du + al * dl)                         # (m, L)
+        # (measured: gating these 2 M passes behind lax.cond(any(pd>0))
+        # SLOWED the whole pipeline 41.6k -> 29.4k solves/s — a cond in
+        # the Mosaic hot loop costs far more than the passes it skips)
         g_p = rowdot(coldot(po)) * act                    # pending Gram col
         # E pass 1: CSP + pending null direction
         lam_star_neg, a_p = contract2(d_W, g_p)
