@@ -39,6 +39,15 @@ deployment targets:
     utils.c:410-455 semantics) / ``<name>_settings`` / ``<name>_reset`` /
     ``<name>_init``.  No dependencies beyond libm.
 
+    Scope note (parity): LP / proximal solves are NOT embedded — by
+    design, matching the reference exactly: its codegen renders a
+    ``prox_mask`` array into the workspace (codegen.c:141,194,210) but
+    ``daqp_prox.c`` is never in the compiled file list
+    (interfaces/daqp-julia/src/api.jl:393-404 ships daqp.c + auxiliary.c
+    + factorization.c + optional bnb.c/hierarchical.c), and the compiled
+    core never reads prox_mask — so the reference's embedded surface is
+    the same strictly convex QP + BnB + hierarchical set rendered here.
+
   * :func:`export_aot` — ahead-of-time lowering of the jitted TPU solver
     for fixed dimensions to serialized StableHLO (the TPU-native analogue
     of freezing the workspace: load and execute later without retracing).
