@@ -725,14 +725,21 @@ def polish(s: DenseState, st: Settings) -> DenseState:
 
 
 def dense_solve(s: DenseState, st: Settings, n_true: int = None,
-                steps: int = 64,
+                steps: int = 192,
                 max_rounds: int = 16, interpret: bool = False,
                 warm: bool = False, has_soft: bool = True) -> DenseState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane actually needs it (a real branch at batch level — a
     whole-batch lax.cond, unlike per-lane conds under vmap); refinement
     polish runs after convergence, with up to two bounded re-open cycles
-    for lanes whose refined iterate still shows a violation."""
+    for lanes whose refined iterate still shows a violation.
+
+    ``steps`` default measured on v5e at the BASELINE config-2 shape
+    with per-call batch 256: 64 -> 49.5k, 128 -> 49.2k, 192 -> 50.5k,
+    256 -> 49.8k solves/s — with the in-kernel early exit, overshooting
+    a tile's need is nearly free while extra rounds cost driver passes
+    (a parked EXIT_REFACTOR lane does wait out the round before its
+    repair, a latency-only effect)."""
     iter_limit = jnp.minimum(
         jnp.asarray(st.iter_limit, jnp.float32),
         jnp.asarray(steps * max_rounds, jnp.float32))
