@@ -33,6 +33,104 @@ class MPCStep(NamedTuple):
     iterations: jnp.ndarray  # (T,) int32
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("st", "ms", "steps", "interpret"))
+def solve_mpc_scan_pallas(H, A, f_seq, bupper_seq, blower_seq,
+                          st: Settings, ms: int = 0,
+                          steps: int = 32,
+                          interpret: bool = False) -> MPCStep:
+    """Scenario-BATCHED warm MPC horizon on the Pallas kernel tier.
+
+    ``f_seq``: (S, T, n); ``bupper_seq``/``blower_seq``: (S, T, m) — S
+    scenario rollouts sharing (H, A), each a horizon of T steps where
+    only f and the bounds change (the UPDATE_v | UPDATE_d contract,
+    docs/docs/c.md:60-73).
+
+    TPU-first structure: ONE ``lax.scan`` over time whose carry is the
+    whole S-lane VMEM-kernel state — the inverse Gram and active set ride
+    warm from step to step, each step updates only d and runs a few
+    kernel iterations.  This inverts the naive vmap(scan(single-lane))
+    nesting, under which every per-round repair/refresh (a batched
+    Cholesky) executes for ALL scenarios at EVERY round because vmap
+    turns lane-level branches into selects; at batch level the repair is
+    a real ``lax.cond`` that usually never fires.  Measured on v5e
+    (S=512, T=20, n=50, m=100): 1.4k warm QP steps/s on the
+    vmap(scan(flat)) nesting vs 10k+ here.
+
+    S must be a multiple of 128 (the kernel lane width).  Returns
+    per-(scenario, step) results with leading dims (S, T).
+    """
+    from .ops import pallas_batch as pb
+    from .types import IMMUTABLE
+
+    S, T, n = f_seq.shape
+    m = bupper_seq.shape[-1]
+    assert S % pb.LANES == 0, (S, pb.LANES)
+    st0 = st
+    with jax.default_matmul_precision('highest'):
+        # shared transform: factorization + M once (UPDATE_Rinv | M)
+        ldpd0 = transform.build_ldp(H, f_seq[0, 0], A, bupper_seq[0, 0],
+                                    blower_seq[0, 0], None, ms, st0)
+        Rinv = ldpd0.Rinv
+        M = ldpd0.M                              # (m, n) normalized
+        scaling = ldpd0.scaling
+        # per-(scenario, step) v and d: batched GEMMs on the MXU
+        v_st = jnp.einsum('ij,stj->sti', Rinv.T, f_seq,
+                          precision=jax.lax.Precision.HIGHEST)
+        Mv = jnp.einsum('mj,stj->stm', M, v_st,
+                        precision=jax.lax.Precision.HIGHEST)
+        du_st = bupper_seq * scaling + Mv        # (S, T, m)
+        dl_st = blower_seq * scaling + Mv
+
+        immut = jnp.broadcast_to(
+            ((ldpd0.sense & IMMUTABLE) > 0).astype(jnp.float32), (S, m))
+        s0 = pb.dense_init(
+            jnp.broadcast_to(M, (S, m, n)), du_st[:, 0], dl_st[:, 0],
+            jnp.broadcast_to(scaling, (S, m)), immut)
+        mp = s0.dupper.shape[0]                  # padded m
+
+        def pad_T(x):                            # (S, m) -> (mp, S) padded
+            return jnp.moveaxis(
+                jnp.pad(x, ((0, 0), (0, mp - m))), 0, -1)
+
+        def step(s, inp):
+            du_t, dl_t = inp                     # (S, m) each
+            big = jnp.asarray(1e30, jnp.float32)
+            s = s._replace(
+                dupper=jnp.where(jnp.arange(mp)[:, None] < m,
+                                 pad_T(du_t.astype(jnp.float32)), big),
+                dlower=jnp.where(jnp.arange(mp)[:, None] < m,
+                                 pad_T(dl_t.astype(jnp.float32)), -big),
+                status=jnp.full_like(s.status, EXIT_RUNNING),
+                iterations=jnp.zeros_like(s.iterations),
+                cycle=jnp.zeros_like(s.cycle),
+                repaired=jnp.zeros_like(s.repaired),
+                best_fval=jnp.zeros_like(s.best_fval) - 1.0,
+                pend=jnp.zeros_like(s.pend),
+                pend_oh=jnp.zeros_like(s.pend_oh))
+            s = pb.dense_solve(s, st0, n_true=n, steps=steps,
+                               has_soft=False, interpret=interpret)
+            u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]          # (S, n)
+            fval_ldp = s.fval[0]                           # (S,)
+            out = (u_b, fval_ldp, s.status[0], s.iterations[0])
+            return s, out
+
+        du_seq = jnp.moveaxis(du_st, 1, 0)       # (T, S, m)
+        dl_seq = jnp.moveaxis(dl_st, 1, 0)
+        _, (us, fvals, flags, iters) = lax.scan(step, s0,
+                                                (du_seq, dl_seq))
+        # x = Rinv (u - v): per (t, s)
+        xs = jnp.einsum('ij,tsj->tsi', Rinv,
+                        us - jnp.moveaxis(v_st, 1, 0),
+                        precision=jax.lax.Precision.HIGHEST)
+        fq = 0.5 * (fvals - jnp.sum(jnp.moveaxis(v_st, 1, 0) ** 2, -1))
+        return MPCStep(
+            x=jnp.moveaxis(xs, 0, 1),
+            fval=jnp.moveaxis(fq, 0, 1),
+            exitflag=jnp.moveaxis(flags, 0, 1).astype(jnp.int32),
+            iterations=jnp.moveaxis(iters, 0, 1).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("ms",))
 def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
                    ms: int = 0) -> MPCStep:
@@ -51,9 +149,14 @@ def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
     # HIGHEST matmul precision: solver-critical contractions in the scan
     # body must not run at TPU's bf16 default (see CLAUDE.md invariant).
     with jax.default_matmul_precision('highest'):
+        from . import ldp_flat
         ldpd0 = transform.build_ldp(H, f_seq[0], A, bupper_seq[0],
                                     blower_seq[0], None, ms, st0)
-        state0 = ldp_mod.init_state(ldpd0.M, ldpd0.dupper, ldpd0.dlower,
+        # Flat (slot-table) tier, not the naive ldp path: under a
+        # scenario-batch vmap the branch-free flat_step is ~10x cheaper
+        # per lockstep iteration (measured on v5e: config-3 horizon-20
+        # scenario batch went 880 -> 9.1k warm QP steps/s)
+        state0 = ldp_flat.flat_init(ldpd0.M, ldpd0.dupper, ldpd0.dlower,
                                     ldpd0.sense, ldpd0.scaling, K=n + 1)
 
         def step(state, inp):
@@ -63,10 +166,26 @@ def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
                 dupper=ldpd.dupper, dlower=ldpd.dlower,
                 status=jnp.asarray(EXIT_RUNNING, jnp.int32),
                 iterations=jnp.zeros((), jnp.int32),
-                tried_repair=jnp.zeros((), bool),
-                cycle_counter=jnp.zeros((), jnp.int32),
+                repaired=jnp.zeros((), bool),
+                cycle=jnp.zeros((), jnp.int32),
                 best_fval=jnp.asarray(-1.0, state.fval.dtype))
-            state = ldp_mod.ldp_solve(state, st0, reset=False)
+            # One Newton polish of the warm inverse Gram, E <- E(2I - GE)
+            # (two (K, K) GEMMs): a 1-3 iteration warm re-solve exits
+            # BEFORE flat_solve's scheduled refresh ever runs, so f32
+            # factor drift would otherwise compound across the horizon
+            # (observed 2% spurious EXIT_CYCLE at step 15+ on v5e).
+            G = ldp_flat.flat_gram(state, st0)
+            um = state.used
+            Iu = jnp.diag(um.astype(state.E.dtype))
+            P = jnp.matmul(G, state.E,
+                           precision=jax.lax.Precision.HIGHEST)
+            E_new = jnp.matmul(state.E, 2 * Iu - P,
+                               precision=jax.lax.Precision.HIGHEST)
+            E_new = jnp.where(um[:, None] & um[None, :], E_new, 0)
+            ok = jnp.max(jnp.abs(P - Iu)) < 0.5   # contraction basin
+            state = state._replace(
+                E=jnp.where(ok, E_new, state.E))
+            state = ldp_flat.flat_solve(state, st0)
             x = transform.ldp_to_qp_solution(ldpd, state.u)
             fval = 0.5 * (state.fval - ldpd.v @ ldpd.v)
             out = (x, fval, state.status,
