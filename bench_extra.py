@@ -65,7 +65,7 @@ def bench_mpc(jnp, st):
 
 def bench_prox(jnp, st):
     import jax
-    from daqp_tpu import prox as prox_mod
+    from daqp_tpu import batch as batch_mod
 
     B, n, m, rank = 256, 50, 100, 30
     rng = np.random.default_rng(11)
@@ -77,12 +77,13 @@ def bench_prox(jnp, st):
     bl = -(5 + 5 * rng.random((B, m))).astype(np.float32)
     sense = np.zeros((B, m), np.int32)
 
-    def one(H, f, A, bu, bl, sense):
-        out = prox_mod.solve_convex_or_prox(H, f, A, bu, bl, sense, 0, st)
+    # batched Pallas-tier proximal driver (the vmap(prox(single-lane))
+    # nesting measured 88 solves/s; see solve_batch_prox_pallas_jit)
+    def run(H, f, A, bu, bl, sense):
+        out = batch_mod.solve_batch_prox_pallas_jit(H, f, A, bu, bl,
+                                                    sense, st, ms=0)
         return out.exitflag, out.iterations
 
-    with jax.default_matmul_precision('highest'):
-        run = jax.jit(jax.vmap(one))
     args = tuple(jnp.asarray(v) for v in (H, f, A, bu, bl, sense))
     flags, _ = run(*args)
     _sync([flags])

@@ -102,3 +102,68 @@ def test_semidefinite_f32_stagnation_acceptance():
         err = np.linalg.norm(np.asarray(x[b], np.float64)
                              - np.asarray(ref.x))
         assert err < 5e-2, (b, err)
+
+
+def test_batch_prox_pallas():
+    # Batched Pallas-tier proximal driver (BASELINE config 4 path):
+    # rank-deficient Hessians, per-lane results vs the f64 single solver
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n, m, rank = 128, 20, 40, 12
+    rng = np.random.default_rng(11)
+    Q = rng.standard_normal((B, n, rank)).astype(np.float32)
+    H = np.einsum('bir,bjr->bij', Q, Q)
+    f = rng.standard_normal((B, n)).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (5 + 5 * rng.random((B, m))).astype(np.float32)
+    bl = -(5 + 5 * rng.random((B, m))).astype(np.float32)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res = batch_mod.solve_batch_prox_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st, ms=0, interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.all(flags == 1), np.unique(flags, return_counts=True)
+    xs = np.asarray(res.x)
+    for b in range(0, B, 11):
+        ref = daqp_tpu.quadprog(
+            H[b].astype(np.float64), f[b].astype(np.float64),
+            A[b].astype(np.float64), bu[b].astype(np.float64),
+            bl[b].astype(np.float64), ms=0)
+        assert int(flags[b]) == int(ref.exitflag)
+        assert np.linalg.norm(xs[b] - np.asarray(ref.x)) < 2e-3, b
+
+
+def test_batch_prox_pallas_mixed_pd():
+    # PD lanes mixed with semidefinite lanes: PD lanes exit after the
+    # first outer pass (eps = 0), semidefinite lanes iterate
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n, m = 128, 10, 24
+    rng = np.random.default_rng(13)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + np.eye(n, dtype=np.float32)
+    Qs = rng.standard_normal((B // 2, n, n // 2)).astype(np.float32)
+    H[:B // 2] = np.einsum('bir,bjr->bij', Qs, Qs)     # semidefinite half
+    f = rng.standard_normal((B, n)).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (4 + 4 * rng.random((B, m))).astype(np.float32)
+    bl = -(4 + 4 * rng.random((B, m))).astype(np.float32)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res = batch_mod.solve_batch_prox_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st, ms=0, interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.all(flags == 1), np.unique(flags, return_counts=True)
+    xs = np.asarray(res.x)
+    for b in range(0, B, 17):
+        ref = daqp_tpu.quadprog(
+            H[b].astype(np.float64), f[b].astype(np.float64),
+            A[b].astype(np.float64), bu[b].astype(np.float64),
+            bl[b].astype(np.float64), ms=0)
+        assert np.linalg.norm(xs[b] - np.asarray(ref.x)) < 2e-3, b
