@@ -123,15 +123,17 @@ def bench_miqp(jnp, st):
     bin_ids = tuple(range(nb))
 
     args = tuple(jnp.asarray(v) for v in (H, f, A, bu, bl, sense))
-    run = lambda *a: batch_mod.solve_batch_miqp_jit(*a, st=st, ms=0,
-                                                    bin_ids=bin_ids)
+    # node-wave BnB on the Pallas tier (vmap(bnb(single-lane)) measured
+    # 51.5 MIQP/s; see solve_batch_miqp_pallas_jit)
+    run = lambda *a: batch_mod.solve_batch_miqp_pallas_jit(
+        *a, st=st, ms=0, bin_ids=bin_ids)
     out = run(*args)
     _sync([out.exitflag])
     t0 = time.perf_counter()
     outs = [run(args[0], args[1] + 1e-4 * i, *args[2:])
             for i in range(4)]
     flags = np.concatenate([np.asarray(o.exitflag) for o in outs])
-    nodes = np.concatenate([np.asarray(o.nodes) for o in outs])
+    nodes = np.concatenate([np.asarray(o.iterations) for o in outs])
     t1 = time.perf_counter()
     total = 4 * B
     return {

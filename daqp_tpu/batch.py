@@ -489,6 +489,231 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
             soft_slack=jnp.zeros((B,), f32))
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "bin_ids",
+                                             "interpret", "max_waves"))
+def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
+                                st: Settings, ms: int = 0,
+                                bin_ids: tuple = (),
+                                interpret: bool = False,
+                                max_waves: int = 512) -> BatchResult:
+    """Batched MIQP branch-and-bound with node relaxations solved as
+    whole-batch Pallas kernel WAVES.
+
+    The vmap(bnb(single-lane)) nesting pays the slow per-lane solver at
+    every relaxation iteration; here each lane carries its own DFS stack
+    (a node is two int32 bitmasks over the binary rows: fixed-set and
+    fixed-side), and one outer while_loop pops every live lane's next
+    node, solves ALL relaxations in one batched kernel call (fixed
+    binaries entered as immutable equalities via the bulk activation
+    Cholesky), then applies the lane-local BnB bookkeeping — dominance
+    prune against the incumbent (bnb.c:29-31,62 semantics, compared in
+    LDP fval space where the v'v shift is node-independent),
+    first-off-endpoint branch selection with nearest-endpoint-first
+    order (bnb.c:130-156), incumbent update.  Lanes whose trees are
+    exhausted turn terminal and their tiles skip work via the kernel
+    early exit.
+
+    Scope: hard constraints + BINARY rows, strictly convex H, cold
+    per-node relaxations (the reference warm-starts nodes — an
+    efficiency difference only).
+    """
+    from .ops import pallas_batch as pb
+    from .types import (ACTIVE, LOWER, IMMUTABLE, BINARY, EXIT_NONCONVEX,
+                        EXIT_OPTIMAL, EXIT_INFEASIBLE, EXIT_ITERLIMIT)
+
+    B, n = H.shape[0], H.shape[-1]
+    m = bupper.shape[-1]
+    nb = len(bin_ids)
+    assert nb >= 1, "no binary rows; use solve_batch_pallas_jit"
+    assert nb < 31, "bitmask nodes support up to 30 binaries"
+    lane_pad = (-B) % pb.LANES
+    if lane_pad:
+        def padded(x, fill):
+            pad_block = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                         (lane_pad,) + x.shape[1:])
+            return jnp.concatenate([x, pad_block], axis=0)
+        # pad lanes carry NO BINARY bits: they solve trivially once and
+        # are sliced off (lane_is_bin gates branching per lane)
+        out = solve_batch_miqp_pallas_jit(
+            padded(H, jnp.eye(n)), padded(f, jnp.zeros((n,))),
+            padded(A, jnp.zeros((A.shape[1], n))),
+            padded(bupper, jnp.ones((m,))),
+            padded(blower, -jnp.ones((m,))),
+            padded(sense, jnp.zeros((m,), jnp.int32)),
+            st, ms=ms, bin_ids=bin_ids, interpret=interpret,
+            max_waves=max_waves)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+    f32 = jnp.float32
+    bin_idx = jnp.asarray(bin_ids, jnp.int32)            # (nb,)
+    cap = nb + 2
+    BIGF = jnp.asarray(DAQP_INF, f32)
+
+    with jax.default_matmul_precision('high'):
+        use_tile = (jax.default_backend() == 'tpu') and not interpret \
+            and (H.shape[0] % 128 == 0)
+        if use_tile:
+            from .ops import chol as chol_ops
+            Rinv_b, okl, regl, eps_l = chol_ops.batched_rinv_regularized(
+                H.astype(f32), st)
+            ldpd = jax.vmap(
+                lambda H_, f_, A_, bu_, bl_, se_, R_: transform.build_ldp(
+                    H_, f_, A_, bu_, bl_, se_, ms, st, Rinv=R_))(
+                H.astype(f32), f.astype(f32), A.astype(f32),
+                bupper.astype(f32), blower.astype(f32), sense, Rinv_b)
+            err0 = jnp.where(okl & ~regl, ldpd.error, EXIT_NONCONVEX)
+        else:
+            ldpd = jax.vmap(
+                functools.partial(transform.build_ldp, ms=ms, st=st))(
+                    H.astype(f32), f.astype(f32), A.astype(f32),
+                    bupper.astype(f32), blower.astype(f32), sense)
+            err0 = jnp.where(ldpd.n_prox > 0, EXIT_NONCONVEX, ldpd.error)
+
+        vv = jnp.einsum('bk,bk->b', ldpd.v, ldpd.v)
+        du0 = ldpd.dupper                                  # (B, m)
+        dl0 = ldpd.dlower
+        scaling = ldpd.scaling
+        immut0 = ((ldpd.sense & IMMUTABLE) > 0)
+        eq_act = (ldpd.sense & ACTIVE) > 0                 # pre-equalities
+        eq_lo = eq_act & ((ldpd.sense & LOWER) > 0)
+        bin_du = jnp.take_along_axis(du0, bin_idx[None, :], 1)  # (B, nb)
+        bin_dl = jnp.take_along_axis(dl0, bin_idx[None, :], 1)
+        bin_tol = st.primal_tol * jnp.take_along_axis(
+            scaling, bin_idx[None, :], 1)
+        _HIP = jax.lax.Precision.HIGHEST
+        kbits = (1 << jnp.arange(nb, dtype=jnp.int32))     # (nb,)
+
+        # one-hot bin->row expansion matrix (static): NO bool scatters
+        # (v5e miscompiles them at batch >= 1024, see
+        # scripts/repro_v5e_bool_scatter.py)
+        bin_onehot = (bin_idx[:, None]
+                      == jnp.arange(m, dtype=jnp.int32)[None, :]
+                      ).astype(f32)                        # (nb, m)
+        # lanes may carry no BINARY bit on a shared bin_id row (padding
+        # lanes, mixed batches): they never branch on it
+        lane_is_bin = (jnp.take_along_axis(
+            jnp.asarray(sense, jnp.int32), bin_idx[None, :], 1)
+            & BINARY) > 0                                   # (B, nb)
+
+        def rows_from_bits(bits):
+            """(B,) int32 bitmask over binaries -> (B, m) bool row mask."""
+            kb = ((bits[:, None] & kbits[None, :]) > 0).astype(f32)
+            return jnp.einsum('bk,km->bm', kb, bin_onehot,
+                              precision=_HIP) > 0.5
+
+        def wave(c):
+            (k, stack_fx, stack_lo, sp, best_fldp, best_u, best_lam,
+             found, nodes, lane_err) = c
+            live = (sp > 0) & (lane_err == 0)
+            idx = jnp.maximum(sp - 1, 0)
+            fx = jnp.take_along_axis(stack_fx, idx[:, None], 1)[:, 0]
+            lo = jnp.take_along_axis(stack_lo, idx[:, None], 1)[:, 0]
+            sp = sp - live.astype(jnp.int32)
+            nodes = nodes + live.astype(jnp.int32)
+
+            fixed_rows = rows_from_bits(fx) & live[:, None]
+            lower_rows = rows_from_bits(fx & lo) & live[:, None]
+            du_node = jnp.where(fixed_rows,
+                                jnp.where(lower_rows, dl0, du0), du0)
+            dl_node = jnp.where(fixed_rows,
+                                jnp.where(lower_rows, dl0, du0), dl0)
+
+            s = pb.dense_init(ldpd.M, du_node, dl_node, scaling,
+                              (immut0 | fixed_rows).astype(f32))
+            mpad = s.dupper.shape[0]
+            up_b = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
+            lo_b = lower_rows | eq_lo
+            up_l = jnp.moveaxis(jnp.pad(up_b, ((0, 0), (0, mpad - m))),
+                                0, -1)
+            lo_l = jnp.moveaxis(jnp.pad(lo_b, ((0, 0), (0, mpad - m))),
+                                0, -1)
+            s = pb.dense_activate(s, up_l, lo_l, st)
+            # exhausted / errored lanes turn terminal so their tiles skip
+            s = s._replace(status=jnp.where(
+                live[None, :], s.status, EXIT_OPTIMAL).astype(jnp.int32))
+            s = pb.dense_solve(s, st, n_true=n, steps=64,
+                               has_soft=False, interpret=interpret)
+
+            flag = s.status[0]
+            fldp = s.fval[0]
+            u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
+            viable = live & (flag > 0) & (fldp < best_fldp)
+            hard_fail = live & (flag < 0) & (flag != EXIT_INFEASIBLE) \
+                & (flag != EXIT_RUNNING)
+            lane_err = jnp.where(hard_fail, flag, lane_err)
+
+            # branch selection over the ORIGINAL relaxation bounds
+            mu = jnp.einsum('bmj,bj->bm', ldpd.M, u_b, precision=_HIP)
+            mu_bin = jnp.take_along_axis(mu, bin_idx[None, :], 1)
+            diff = 0.5 * (bin_du + bin_dl) - mu_bin        # (B, nb)
+            dist = 0.5 * (bin_du - bin_dl) - jnp.abs(diff)
+            is_fixed = (fx[:, None] & kbits[None, :]) > 0
+            frac = (~is_fixed) & (dist > bin_tol) & lane_is_bin
+            has_branch = jnp.any(frac, axis=1)
+            pos = jnp.argmax(frac, axis=1).astype(jnp.int32)
+            lower_first = jnp.take_along_axis(diff, pos[:, None],
+                                              1)[:, 0] >= 0
+
+            # integer-feasible -> incumbent
+            take = viable & ~has_branch
+            lam_full = jnp.moveaxis(
+                s.lam_star * (s.act_up + s.act_lo) * s.scaling,
+                -1, 0)[:, :m]
+            best_fldp = jnp.where(take, fldp, best_fldp)
+            best_u = jnp.where(take[:, None], u_b, best_u)
+            best_lam = jnp.where(take[:, None], lam_full, best_lam)
+            found = found | take
+
+            # push children: far endpoint first, nearest popped first
+            push = viable & has_branch
+            bitk = jnp.where(push, 1 << pos, 0).astype(jnp.int32)
+            near_lo = jnp.where(lower_first, bitk, 0)
+            far_lo = jnp.where(lower_first, 0, bitk)
+            slot_iota = jnp.arange(cap)[None, :]
+            far_fx, far_side = fx | bitk, lo | far_lo
+            near_fx, near_side = fx | bitk, lo | near_lo
+            at0 = push[:, None] & (slot_iota == sp[:, None])
+            at1 = push[:, None] & (slot_iota == sp[:, None] + 1)
+            stack_fx = jnp.where(at0, far_fx[:, None],
+                                 jnp.where(at1, near_fx[:, None],
+                                           stack_fx))
+            stack_lo = jnp.where(at0, far_side[:, None],
+                                 jnp.where(at1, near_side[:, None],
+                                           stack_lo))
+            sp = sp + 2 * push.astype(jnp.int32)
+            return (k + 1, stack_fx, stack_lo, sp, best_fldp, best_u,
+                    best_lam, found, nodes, lane_err)
+
+        def cond(c):
+            k, _, _, sp, _, _, _, _, _, lane_err = c
+            return (k < max_waves) & jnp.any((sp > 0) & (lane_err == 0))
+
+        zi = jnp.zeros((B, cap), jnp.int32)
+        c0 = (jnp.zeros((), jnp.int32), zi, zi,
+              jnp.where(err0 < 0, 0, 1).astype(jnp.int32),
+              jnp.full((B,), BIGF), jnp.zeros((B, n), f32),
+              jnp.zeros((B, m), f32), jnp.zeros((B,), bool),
+              jnp.zeros((B,), jnp.int32),
+              jnp.where(err0 < 0, err0, 0).astype(jnp.int32))
+        (k, _, _, sp, best_fldp, best_u, best_lam, found, nodes,
+         lane_err) = lax.while_loop(cond, wave, c0)
+
+        x = jnp.einsum('bij,bj->bi', ldpd.Rinv, best_u - ldpd.v,
+                       precision=_HIP)
+        fval = 0.5 * (best_fldp - vv)
+        exitflag = jnp.where(
+            lane_err < 0, lane_err,
+            jnp.where(found,
+                      jnp.where(sp > 0, EXIT_ITERLIMIT, EXIT_OPTIMAL),
+                      jnp.where(sp > 0, EXIT_ITERLIMIT,
+                                EXIT_INFEASIBLE)))
+        return BatchResult(
+            x=x, lam=best_lam, fval=fval,
+            exitflag=exitflag.astype(jnp.int32),
+            iterations=nodes.astype(jnp.int32),
+            soft_slack=jnp.zeros((B,), f32))
+
+
 @functools.partial(jax.jit, static_argnames=("ms", "bin_ids", "K"))
 def solve_batch_miqp_jit(H, f, A, bupper, blower, sense, st: Settings,
                          ms: int = 0, bin_ids: tuple = (), K=None):

@@ -33,3 +33,71 @@ def test_batch_miqp_matches_single():
         assert int(out.exitflag[b]) == int(ref.exitflag), b
         if int(ref.exitflag) == 1:
             assert abs(float(out.fval[b]) - float(ref.fval)) < 1e-8, b
+
+
+def test_batch_miqp_pallas_waves():
+    # Node-wave BnB on the Pallas tier (BASELINE config 5 path): per-lane
+    # DFS stacks, batched kernel relaxations; flags and objectives vs the
+    # single-lane BnB reference
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n, m, nb = 128, 10, 24, 4
+    rng = np.random.default_rng(31)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(n,
+                                                       dtype=np.float32)
+    f = (8 * rng.standard_normal((B, n))).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (15 * rng.random((B, m))).astype(np.float32)
+    bl = (-15 * rng.random((B, m))).astype(np.float32)
+    A[:, :nb] = 0.0
+    A[:, np.arange(nb), np.arange(nb)] = 1.0
+    bu[:, :nb] = 1.0
+    bl[:, :nb] = 0.0
+    sense = np.zeros((B, m), np.int32)
+    sense[:, :nb] = daqp_tpu.BINARY
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res = batch_mod.solve_batch_miqp_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st, ms=0,
+        bin_ids=tuple(range(nb)), interpret=True)
+    flags = np.asarray(res.exitflag)
+    fv = np.asarray(res.fval)
+    for b in range(0, B, 7):
+        ref = daqp_tpu.quadprog(
+            H[b].astype(np.float64), f[b].astype(np.float64),
+            A[b].astype(np.float64), bu[b].astype(np.float64),
+            bl[b].astype(np.float64), sense[b], ms=0)
+        assert int(flags[b]) == int(ref.exitflag), b
+        if int(ref.exitflag) == 1:
+            assert abs(fv[b] - float(ref.fval)) \
+                < 1e-3 * (1 + abs(float(ref.fval))), b
+
+
+def test_batch_miqp_pallas_infeasible_lanes():
+    # mixed batch: some lanes integer-infeasible
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n = 128, 2
+    H = np.tile(np.eye(n, dtype=np.float32)[None], (B, 1, 1))
+    f = np.zeros((B, n), np.float32)
+    A = np.tile(np.array([[1., 0], [0, 1], [1, 1]],
+                         np.float32)[None], (B, 1, 1))
+    bu = np.tile(np.array([1., 1., 0.4], np.float32)[None], (B, 1))
+    bl = np.tile(np.array([0., 0., 0.3], np.float32)[None], (B, 1))
+    bu[::2, 2] = 2.5                     # even lanes feasible (1+1 <= 2.5)
+    bl[::2, 2] = 1.5
+    sense = np.zeros((B, 3), np.int32)
+    sense[:, :2] = daqp_tpu.BINARY
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    res = batch_mod.solve_batch_miqp_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st, ms=0, bin_ids=(0, 1),
+        interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.all(flags[::2] == 1), np.unique(flags[::2])
+    assert np.all(flags[1::2] == -1), np.unique(flags[1::2])
