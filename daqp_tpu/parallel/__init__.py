@@ -13,6 +13,7 @@ _LAZY = {
     "solve_batch_sharded": "sharding",
     "exchange_incumbent": "sharding",
     "solve_miqp_sharded": "sharding",
+    "solve_batch_miqp_sharded": "sharding",
     "ShardedStats": "sharding",
     "initialize": "distributed",
     "global_mesh": "distributed",

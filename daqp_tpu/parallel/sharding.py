@@ -98,6 +98,10 @@ def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
             res = batch_mod._pallas_batch_core(
                 H, f, A, bu, bl, sense, st, ms=ms,
                 interpret=interpret, has_soft=bool(has_soft))
+        elif tier == "prox":
+            # batched proximal driver per shard (semidefinite-H batches)
+            res = batch_mod.solve_batch_prox_pallas_jit(
+                H, f, A, bu, bl, sense, st, ms=ms, interpret=interpret)
         else:
             res = jax.vmap(functools.partial(
                 batch_mod._solve_one, ms=ms, st=st, K=K,
@@ -105,6 +109,38 @@ def solve_batch_sharded(H, f, A, bupper, blower, sense, st: Settings,
         stats = ShardedStats(
             total_iterations=jax.lax.psum(
                 jnp.sum(res.iterations), axis),
+            n_optimal=jax.lax.psum(
+                jnp.sum((res.exitflag == 1).astype(jnp.int32)), axis),
+            max_iterations=jax.lax.pmax(jnp.max(res.iterations), axis),
+        )
+        return res, stats
+
+    return jax.jit(shard_solve)(H, f, A, bupper, blower, sense)
+
+
+def solve_batch_miqp_sharded(H, f, A, bupper, blower, sense, st: Settings,
+                             mesh: Mesh, ms: int = 0, bin_ids: tuple = (),
+                             interpret: bool = False):
+    """Instance-parallel batched MIQP over the mesh: each device runs the
+    node-wave BnB driver (``solve_batch_miqp_pallas_jit``) on its shard.
+
+    Instances are independent so nothing crosses ICI during the solve
+    (statistics are reduced at the end); for ONE hard MIQP whose TREE is
+    sharded across devices with incumbent-bound exchange, use
+    :func:`solve_miqp_sharded` instead."""
+    from .. import batch as batch_mod
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()))
+    def shard_solve(H, f, A, bu, bl, se):
+        res = batch_mod.solve_batch_miqp_pallas_jit(
+            H, f, A, bu, bl, se, st, ms=ms, bin_ids=bin_ids,
+            interpret=interpret)
+        stats = ShardedStats(
+            total_iterations=jax.lax.psum(jnp.sum(res.iterations), axis),
             n_optimal=jax.lax.psum(
                 jnp.sum((res.exitflag == 1).astype(jnp.int32)), axis),
             max_iterations=jax.lax.pmax(jnp.max(res.iterations), axis),

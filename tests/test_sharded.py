@@ -89,3 +89,70 @@ def test_solve_miqp_sharded_matches_single(mesh):
         (float(fval), float(ref.fval))
     xb = np.asarray(x)[:nb]
     assert np.all((np.abs(xb - 1) < 1e-5) | (np.abs(xb) < 1e-5))
+
+
+def test_solve_batch_sharded_prox_tier(mesh):
+    # semidefinite-H shard batches through the batched proximal driver
+    from daqp_tpu.parallel import solve_batch_sharded
+    B, n, m, rank = 16, 8, 20, 5
+    rng = np.random.default_rng(91)
+    Q = rng.standard_normal((B, n, rank))
+    H = np.einsum('bir,bjr->bij', Q, Q)
+    f = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    bu = 5 + 5 * rng.random((B, m))
+    bl = -(5 + 5 * rng.random((B, m)))
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res, stats = solve_batch_sharded(
+        jnp.asarray(H, jnp.float32), jnp.asarray(f, jnp.float32),
+        jnp.asarray(A, jnp.float32), jnp.asarray(bu, jnp.float32),
+        jnp.asarray(bl, jnp.float32), jnp.asarray(sense), st, mesh,
+        ms=0, tier="prox", interpret=True)
+    assert int(stats.n_optimal) == B, np.asarray(res.exitflag)
+    import daqp_tpu
+    xs = np.asarray(res.x)
+    for b in range(0, B, 5):
+        ref = daqp_tpu.quadprog(H[b], f[b], A[b], bu[b], bl[b], ms=0)
+        # rank-deficient H can have NON-UNIQUE optima: compare the
+        # objective and feasibility, not the point
+        fval = 0.5 * xs[b] @ H[b] @ xs[b] + f[b] @ xs[b]
+        assert abs(fval - float(ref.fval)) \
+            < 2e-3 * (1 + abs(float(ref.fval))), b
+        v = A[b] @ xs[b]
+        assert np.all(v <= bu[b] + 1e-3) and np.all(v >= bl[b] - 1e-3), b
+
+
+def test_solve_batch_miqp_sharded(mesh):
+    # instance-parallel MIQP batch: node-wave driver per shard
+    from daqp_tpu.parallel import solve_batch_miqp_sharded
+    import daqp_tpu
+    B, n, m, nb = 16, 6, 14, 3
+    rng = np.random.default_rng(93)
+    Q = rng.standard_normal((B, n, n))
+    H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(n)
+    f = 8 * rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    bu = 15 * rng.random((B, m))
+    bl = -15 * rng.random((B, m))
+    A[:, :nb] = 0.0
+    A[:, np.arange(nb), np.arange(nb)] = 1.0
+    bu[:, :nb] = 1.0
+    bl[:, :nb] = 0.0
+    sense = np.zeros((B, m), np.int32)
+    sense[:, :nb] = daqp_tpu.BINARY
+    st = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res, stats = solve_batch_miqp_sharded(
+        jnp.asarray(H, jnp.float32), jnp.asarray(f, jnp.float32),
+        jnp.asarray(A, jnp.float32), jnp.asarray(bu, jnp.float32),
+        jnp.asarray(bl, jnp.float32), jnp.asarray(sense), st, mesh,
+        ms=0, bin_ids=tuple(range(nb)), interpret=True)
+    flags = np.asarray(res.exitflag)
+    fv = np.asarray(res.fval)
+    for b in range(B):
+        ref = daqp_tpu.quadprog(H[b], f[b], A[b], bu[b], bl[b],
+                                sense[b], ms=0)
+        assert int(flags[b]) == int(ref.exitflag), b
+        if int(ref.exitflag) == 1:
+            assert abs(fv[b] - float(ref.fval)) \
+                < 1e-3 * (1 + abs(float(ref.fval))), b
