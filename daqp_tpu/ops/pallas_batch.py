@@ -556,25 +556,35 @@ def _gram(s: DenseState, st: Settings):
         + eye * (act * s.soft * st.rho_soft)[None, :, :]
 
 
-def dense_activate(s: DenseState, up_mask, lo_mask,
-                   st: Settings) -> DenseState:
-    """Bulk-activate a prescribed starting set (equalities and warm
-    starts: the role of ``daqp_activate_constraints``,
-    auxiliary.c:398-478): set the side masks and build the inverse Gram
-    with one batched Cholesky.  A lane whose set is numerically dependent
-    is parked for the driver's exact repair (which fails it loudly as
-    EXIT_CYCLE rather than silently dropping an equality)."""
-    m = s.M.shape[0]
-    dtype = s.E.dtype
-    act_up = up_mask.astype(dtype)
-    act_lo = lo_mask.astype(dtype)
-    s2 = s._replace(act_up=act_up, act_lo=act_lo)
-    G = _gram(s2, st)
-    Gb = jnp.moveaxis(G, -1, 0)
-    # HIGHEST for the activation factorization: the ambient 'high' context
-    # (3-pass bf16 expanders) leaves ~5e-3 primal error on equality-heavy
-    # f32 lanes on the real chip (caught by scripts/tpu_smoke.py); this
-    # runs once at setup, not in the hot loop
+def _batched_gram_inverse(Gb, st: Settings, allow_tile: bool = False):
+    """(B, m, m) SPD-on-used-block -> (inverse, ok_lane).
+
+    With ``allow_tile`` (TPU, f32, 128-multiple batch) this runs the
+    tile-layout factorization kernel (G = R'R -> G^{-1} = Rinv Rinv'):
+    ~5x faster than the XLA cholesky + triangular-solve expanders at
+    these shapes — paid per BnB node wave and per bulk activation.  The
+    tile kernel clamps non-PD pivots instead of producing NaN, so a
+    residual verification ||G E - I|| parks doubtful lanes (the clamp +
+    pivot-ratio test alone passed lanes that should fail — caught by
+    scripts/tpu_smoke.py as wrong exit flags on dependent/infeasible
+    activation sets).  Repair paths must pass allow_tile=False: they are
+    the exactness escape hatch.  Default path: XLA expanders at HIGHEST
+    precision (the ambient 'high' 3-pass bf16 context leaves ~5e-3
+    primal error on equality-heavy f32 lanes on the real chip)."""
+    B, m, _ = Gb.shape
+    dtype = Gb.dtype
+    use_tile = allow_tile and (jax.default_backend() == 'tpu') \
+        and dtype == jnp.float32 and (B % 128 == 0)
+    if use_tile:
+        from . import chol as chol_ops
+        Rinv = chol_ops.batched_chol_rinv_tile(Gb)
+        E = jnp.matmul(Rinv, jnp.swapaxes(Rinv, 1, 2),
+                       precision=jax.lax.Precision.HIGHEST)
+        P = jnp.matmul(Gb, E, precision=jax.lax.Precision.HIGHEST)
+        eye = jnp.eye(m, dtype=dtype)
+        resid = jnp.max(jnp.abs(P - eye), axis=(1, 2))
+        ok_lane = jnp.all(jnp.isfinite(E), axis=(1, 2)) & (resid < 1e-2)
+        return E, ok_lane
     with jax.default_matmul_precision('highest'):
         cF = jnp.linalg.cholesky(Gb)
         ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))
@@ -584,6 +594,27 @@ def dense_activate(s: DenseState, up_mask, lo_mask,
             (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype),
                                          Gb.shape))
     ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
+    return E, ok_lane
+
+
+def dense_activate(s: DenseState, up_mask, lo_mask,
+                   st: Settings) -> DenseState:
+    """Bulk-activate a prescribed starting set (equalities and warm
+    starts: the role of ``daqp_activate_constraints``,
+    auxiliary.c:398-478): set the side masks and build the inverse Gram
+    with one batched factorization.  A lane whose set is numerically
+    dependent is parked for the driver's exact repair (which fails it
+    loudly as EXIT_CYCLE rather than silently dropping an equality)."""
+    dtype = s.E.dtype
+    act_up = up_mask.astype(dtype)
+    act_lo = lo_mask.astype(dtype)
+    s2 = s._replace(act_up=act_up, act_lo=act_lo)
+    G = _gram(s2, st)
+    # allow_tile measured: no pipeline gain anywhere (configs 3-5 flat to
+    # slightly down) — the activation factorization is not the wave
+    # bottleneck, and the tile path needs an extra residual gate for
+    # dependent/infeasible sets.  Keep the exact XLA path.
+    E, ok_lane = _batched_gram_inverse(jnp.moveaxis(G, -1, 0), st)
     act = act_up + act_lo
     E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
     lam0 = (act_up - act_lo).astype(dtype)
@@ -623,16 +654,7 @@ def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
 
     G = _gram(s2, st)
-    Gb = jnp.moveaxis(G, -1, 0)                          # (B, m, m)
-    with jax.default_matmul_precision('highest'):
-        cF = jnp.linalg.cholesky(Gb)
-        ok_lane = jnp.all(jnp.isfinite(cF), axis=(1, 2))  # (B,)
-        cF = jnp.where(ok_lane[:, None, None], cF,
-                       jnp.eye(m, dtype=dtype))
-        E = jax.scipy.linalg.cho_solve(
-            (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=dtype),
-                                         Gb.shape))
-    ok_lane = ok_lane & jnp.all(jnp.isfinite(E), axis=(1, 2))
+    E, ok_lane = _batched_gram_inverse(jnp.moveaxis(G, -1, 0), st)
     act = act_up + act_lo
     E = jnp.moveaxis(E, 0, -1) * (act[:, None, :] * act[None, :, :])
 
@@ -662,13 +684,7 @@ def exact_repair(s: DenseState, st: Settings) -> DenseState:
     parked = s.status[0] == EXIT_REFACTOR
     cyc = (s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0)
     need = parked | cyc
-    with jax.default_matmul_precision('highest'):
-        cF = jnp.linalg.cholesky(Gb)
-        cF = jnp.where(jnp.isfinite(cF), cF, jnp.eye(m, dtype=cF.dtype))
-        E_exact = jax.scipy.linalg.cho_solve(
-            (cF, True), jnp.broadcast_to(jnp.eye(m, dtype=cF.dtype),
-                                         Gb.shape))
-    exact_ok = jnp.all(jnp.isfinite(E_exact), axis=(1, 2))
+    E_exact, exact_ok = _batched_gram_inverse(Gb, st)
     fix = need & exact_ok
     Eb = jnp.where(fix[:, None, None], E_exact, Eb)
     E2 = jnp.moveaxis(Eb, 0, -1) * actm
