@@ -431,13 +431,14 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                 fz - eps[:, None] * x_b, precision=_HIP)
 
         def cond(c):
-            k, s, x, lane_run, stall, best_diff, lane_flag = c
+            k, s, x, lane_run, stall, best_diff, lane_flag, tot = c
             return (k < max_outer) & jnp.any(lane_run)
 
         def body(c):
-            k, s, x, lane_run, stall, best_diff, lane_flag = c
+            k, s, x, lane_run, stall, best_diff, lane_flag, tot = c
             v_b = v_of(x)
             s = carry_solve(s, v_b, lane_run)
+            tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
             inner_flag = s.status[0]                        # (B,)
             u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
             x_new = jnp.einsum('bij,bj->bi', Rinv_b, u_b - v_b,
@@ -463,7 +464,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                 lane_flag)
             lane_run2 = lane_run & ~done
             return (k + 1, s, x_next, lane_run2, stall_next,
-                    best_next, lane_flag.astype(jnp.int32))
+                    best_next, lane_flag.astype(jnp.int32), tot)
 
         x0 = jnp.zeros((B, n), f32)
         lane_run0 = okl                                     # (B,) bool
@@ -471,9 +472,9 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                                EXIT_NONCONVEX).astype(jnp.int32)
         c0 = (jnp.zeros((), jnp.int32), s0, x0, lane_run0,
               jnp.zeros((B,), jnp.int32), jnp.full((B,), jnp.inf, f32),
-              lane_flag0)
-        k, s, x, lane_run, _, _, lane_flag = lax.while_loop(cond, body,
-                                                            c0)
+              lane_flag0, jnp.zeros((B,), f32))
+        (k, s, x, lane_run, _, _, lane_flag,
+         tot_iters) = lax.while_loop(cond, body, c0)
         lane_flag = jnp.where(lane_run, EXIT_ITERLIMIT, lane_flag)
         lane_flag = jnp.where(ldpd.error < 0, ldpd.error, lane_flag)
 
@@ -485,7 +486,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
         return BatchResult(
             x=x, lam=lam, fval=fval,
             exitflag=lane_flag.astype(jnp.int32),
-            iterations=s.iterations[0].astype(jnp.int32),
+            iterations=tot_iters.astype(jnp.int32),
             soft_slack=jnp.zeros((B,), f32))
 
 
