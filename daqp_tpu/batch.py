@@ -842,9 +842,14 @@ def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
     """Convenience wrapper: batched dense strictly-convex QP solve on the
     flat (slot-table) hot path.
 
-    The working-set capacity is sized K = n + max_ns + 1 over the batch
-    (the reference allocates n + ns + 1 per instance, api.c:288-305):
-    with soft constraints the active set can legally exceed n + 1."""
+    The Pallas VMEM kernel (``solve_batch_pallas_jit``) is 10-30x faster
+    at steady state but is deliberately NOT the convenience default: a
+    Mosaic compile for a NEW (n, m) shape takes 15+ minutes on this
+    toolchain (measured), which is hostile as a first-call surprise;
+    throughput users opt in explicitly (bench.py does).  The working-set
+    capacity is sized K = n + max_ns + 1 over the batch (the reference
+    allocates n + ns + 1 per instance, api.c:288-305): with soft
+    constraints the active set can legally exceed n + 1."""
     H = jnp.asarray(H)
     B = H.shape[0]
     m = jnp.asarray(bupper).shape[-1]
