@@ -138,3 +138,37 @@ def test_avi_oracle_vs_jax():
             assert np.all(v <= bu + 1e-5) and np.all(v >= bl - 1e-5)
         assert np.linalg.norm(np.asarray(r_np['x'])
                               - np.asarray(r_jx.x)) < 1e-4
+
+
+def test_hierarchical_oracle_vs_jax():
+    # Hierarchical differential: loop-based level-walk oracle
+    # (hierarchical.c semantics on the NumPy workspace) vs the JAX solver
+    # on the reference test shapes + random lexicographic LS instances
+    from oracle import hiqp_numpy
+
+    # conflicting equalities (core_tests.jl:348-356)
+    A = np.array([[1.0, 0], [1, 0], [0, 1]])
+    b = np.array([4.0, 8.0, 1.0])
+    r_np = hiqp_numpy.hiqp(None, None, A, b, b, ms=0,
+                           break_points=(0, 2, 3))
+    r_jx = daqp_tpu.solve(H=None, f=None, A=A, bupper=b, blower=b, ms=0,
+                          break_points=(0, 2, 3))
+    assert r_np['exitflag'] == 1 and int(r_jx.exitflag) == 1
+    assert np.linalg.norm(r_np['x'] - np.asarray(r_jx.x)) < 1e-4
+    assert np.linalg.norm(r_np['lam'] - np.asarray(r_jx.lam)) < 1e-3
+
+    # random 3-level lexicographic least squares
+    rng = np.random.default_rng(131)
+    for _ in range(5):
+        n, m = 6, 9
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        bp = (0, 3, 6, 9)
+        r_np = hiqp_numpy.hiqp(None, None, A, b.copy(), b.copy(), ms=0,
+                               break_points=bp)
+        r_jx = daqp_tpu.solve(H=None, f=None, A=A, bupper=b, blower=b,
+                              ms=0, break_points=bp)
+        assert r_np['exitflag'] > 0 and int(r_jx.exitflag) > 0
+        assert np.linalg.norm(r_np['x'] - np.asarray(r_jx.x)) \
+            < 1e-4 * (1 + np.linalg.norm(r_np['x'])), \
+            (r_np['x'], np.asarray(r_jx.x))
