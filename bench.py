@@ -13,18 +13,28 @@ Measurement notes:
     acks early through the axon TPU tunnel and is not a true sync here);
   * the accuracy gate mirrors the reference benchmark harness
     (benchmark.jl:39,62-64): per-instance ||x - xref|| <= 2e-3 for the
-    f32 path.
+    f32 path, checked on EVERY batch (not just the first);
+  * the axon tunnel backend can fail to initialize transiently (this
+    erased round 2's driver capture: BENCH_r02.json rc=1 on "Unable to
+    initialize backend 'axon'").  The benchmark body therefore runs in a
+    CHILD process; the parent retries up to 5 times with exponential
+    backoff (~4 min budget) so one flake cannot erase the round, and
+    emits a diagnostic JSON line if every attempt fails.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_CHILD_ENV = "_DAQP_BENCH_CHILD"
 
-def main():
+
+def bench_body():
     import jax
     # persistent compile cache: the unrolled Pallas kernels are slow to
     # compile (minutes); repeated driver runs hit the cache
@@ -32,7 +42,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    sys.path.insert(0, '.')
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from daqp_tpu import batch as batch_mod
     from daqp_tpu.api import _as_settings
     from tests.gen import generate_test_qp_batch
@@ -62,22 +72,22 @@ def main():
         return batch_mod.solve_batch_pallas_jit(*b, st=st, ms=ms,
                                                 has_soft=False)
 
-    # compile + warm + accuracy check on the first batch
-    res0 = solve(batches[0])
-    x0 = np.asarray(res0.x)
-    flags0 = np.asarray(res0.exitflag)
-    err = np.linalg.norm(x0 - d['x'][:B], axis=1)
-    ok = float(np.mean((flags0 == 1) & (err < 2e-3)))
+    # compile + warm; accuracy gate over ALL batches (one device-side
+    # stack per field, ONE host fetch each — per-batch fetches would
+    # serialize ~32 ms of tunnel round-trip per batch)
+    stack = jax.jit(lambda *fs: jnp.stack(fs))
+    warm = [solve(b) for b in batches]
+    xs = np.asarray(stack(*[r.x for r in warm])).reshape(NB * B, n)
+    flags_all = np.asarray(stack(*[r.exitflag for r in warm])).reshape(-1)
+    err = np.linalg.norm(xs - d['x'], axis=1)
+    ok = float(np.mean((flags_all == 1) & (err < 2e-3)))
 
     # One device-side stack + ONE host transfer as the true sync: the
     # stacked array depends on every batch, and the chip executes
     # enqueued programs in order, so fetching it proves all solves are
-    # done.  Fetching each result separately would serialize ~32 ms of
-    # tunnel round-trip PER BATCH into the wall (measured: a trivial
-    # jitted call syncs at 32 ms when fetched, 3.9 ms when pipelined) —
-    # that is transfer latency, not solver throughput.
-    stack = jax.jit(lambda *fs: jnp.stack(fs))
-    _ = np.asarray(stack(*[solve(b).exitflag for b in batches]))  # warm
+    # done.  (Measured: a trivial jitted call syncs at 32 ms when
+    # fetched, 3.9 ms when pipelined — that is transfer latency, not
+    # solver throughput.)
     total = NB * B
     best = None
     for _rep in range(3):   # best-of-3: tunnel timing varies +-10%
@@ -98,9 +108,64 @@ def main():
         "batch_size": B,
         "accuracy_pass_rate": ok,
         "optimal_rate": float(np.mean(flags == 1)),
-        "median_iters": int(np.median(np.asarray(res0.iterations))),
+        "median_iters": int(np.median(np.asarray(warm[0].iterations))),
         "wall_s": round(best, 4),
     }))
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        bench_body()
+        return
+
+    # Parent: retry the benchmark in fresh child processes.  A fresh
+    # process per attempt re-imports jax cleanly, so a transient tunnel
+    # backend-init failure in one attempt cannot poison the next.
+    backoffs = [0, 5, 15, 40, 90]            # ~2.5 min of backoff total
+    attempts, last_err = 0, ""
+    for i, delay in enumerate(backoffs):
+        if delay:
+            time.sleep(delay)
+        attempts = i + 1
+        env = dict(os.environ, **{_CHILD_ENV: "1"})
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            last_err = "attempt timed out after 3600s"
+            continue
+        line = ""
+        for cand in reversed(proc.stdout.strip().splitlines()):
+            cand = cand.strip()
+            if cand.startswith("{"):
+                line = cand
+                break
+        if proc.returncode == 0 and line:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                last_err = f"unparseable output: {line[:200]}"
+                continue
+            if "value" in rec:
+                if attempts > 1:
+                    rec["attempts"] = attempts
+                print(json.dumps(rec))
+                return
+            last_err = f"no value in output: {line[:200]}"
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            last_err = " | ".join(tail[-3:])[:500] or f"rc={proc.returncode}"
+    # Final failure: still print ONE JSON diagnostic line so the driver
+    # records WHAT failed instead of an empty capture.
+    print(json.dumps({
+        "metric": "QP solves/sec/chip (50-var/100-constraint dense)",
+        "value": 0.0,
+        "unit": "solves/s",
+        "vs_baseline": 0.0,
+        "error": f"all {attempts} attempts failed: {last_err}",
+    }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

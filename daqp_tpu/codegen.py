@@ -182,7 +182,10 @@ static int add_constraint(int id, double lam0)
     PNAME_sense[id] |= 1;
     n_active = k + 1;
     ns_active += is_soft;
-    if (sval < stol || k >= PNAME_N + ns_active) {
+    /* k >= PNAME_K - 1 is the defensive full-table backstop (soft adds
+     * move the rank cap with ns_active, so the table itself must bound
+     * the append; mirrors the JAX/flat capacity guard) */
+    if (sval < stol || k >= PNAME_N + ns_active || k >= PNAME_K - 1) {
         for (i = 0; i < k; i++) sing_dir[i] = -a[i];
         sing_dir[k] = 1.0;
         if (PNAME_sense[id] & 2)
@@ -314,6 +317,29 @@ static int in_ws(int id)
     return 0;
 }
 
+/* Dantzig pricing over rows below the horizon: most-violated inactive
+ * mutable row, or -1 when primal feasible (daqp_add_infeasible,
+ * auxiliary.c:88-166) */
+static int price_worst(int *blower)
+{
+    int i, j, jbest = -1;
+    double worst = 0.0;
+    for (i = 0; i < m_price; i++) {
+        double mu = 0.0, vu, vl;
+        if (PNAME_sense[i] & (1 | 4)) continue;
+        for (j = 0; j < PNAME_N; j++)
+            mu += PNAME_Mmat[i * PNAME_N + j] * u_vec[j];
+        vu = PNAME_dupper[i] - mu;
+        vl = mu - PNAME_dlower[i];
+        if (vu < -ptol * PNAME_scaling[i] && vu < worst) {
+            worst = vu; jbest = i; *blower = 0;
+        } else if (vl < -ptol * PNAME_scaling[i] && vl < worst) {
+            worst = vl; jbest = i; *blower = 1;
+        }
+    }
+    return jbest;
+}
+
 /* activate rows in [start, end) flagged ACTIVE that are not yet in the
  * working set (warm starts and equalities; daqp_activate_constraints,
  * auxiliary.c:398-478).  Dependent mutable rows are dropped back to
@@ -410,24 +436,9 @@ static int solve_inner(int *iters)
             }
         } else { cycle_ct = 0; best_fv = last_fv; }
 
-        /* price all rows below the horizon (daqp_add_infeasible,
-         * auxiliary.c:88-166) */
+        /* price all rows below the horizon */
         {
-            int jbest = -1, blower = 0;
-            double worst = 0.0;
-            for (i = 0; i < m_price; i++) {
-                double mu = 0.0, vu, vl;
-                if (PNAME_sense[i] & (1 | 4)) continue;
-                for (j = 0; j < PNAME_N; j++)
-                    mu += PNAME_Mmat[i * PNAME_N + j] * u_vec[j];
-                vu = PNAME_dupper[i] - mu;
-                vl = mu - PNAME_dlower[i];
-                if (vu < -ptol * PNAME_scaling[i] && vu < worst) {
-                    worst = vu; jbest = i; blower = 0;
-                } else if (vl < -ptol * PNAME_scaling[i] && vl < worst) {
-                    worst = vl; jbest = i; blower = 1;
-                }
-            }
+            int blower = 0, jbest = price_worst(&blower);
             if (jbest < 0) {       /* optimal path (daqp.c:28-63) */
                 double max_diag = 0.0;
                 for (i = 0; i < k; i++)
@@ -440,12 +451,18 @@ static int solve_inner(int *iters)
                     continue;
                 }
                 if (k > 0 && max_diag * pivot_tol > 1.0) {
-                    refine_active();         /* daqp.c:52-56 */
+                    refine_active();
                     compute_u();
+                    /* re-price the refined iterate: the reference only
+                     * declares optimality when NO violation remains after
+                     * refinement (daqp.c:52-56 re-enters the loop) */
+                    jbest = price_worst(&blower);
                 }
-                for (i = 0; i < k; i++) lam[i] = lam_star[i];
-                *iters = it + 1;
-                return last_ss > ptol ? 2 : 1;   /* daqp.c:59-62 */
+                if (jbest < 0) {
+                    for (i = 0; i < k; i++) lam[i] = lam_star[i];
+                    *iters = it + 1;
+                    return last_ss > ptol ? 2 : 1;   /* daqp.c:59-62 */
+                }
             }
             for (i = 0; i < k; i++) lam[i] = lam_star[i];
             if (blower) PNAME_sense[jbest] |= 2;
@@ -589,9 +606,15 @@ int PNAME_solve_miqp(double *x, double *lam_out, double *fval,
             stack_depth[n_nodes] = d + 1; n_nodes++;    /* near: pops 1st */
         }
     }
+    /* clear the path IMMUTABLE bits so a later PNAME_solve /
+     * PNAME_update without PNAME_init does not silently skip the last
+     * explored node's binary rows in pricing (reset_ws only clears
+     * ACTIVE) */
+    for (i = 0; i < PNAME_NB; i++)
+        PNAME_sense[PNAME_bin_ids[i]] &= ~4;
     *iters = total_iters;
     if (nodes) *nodes = total_nodes;
-    if (!have_inc) { fval_bound = bound_save; return -1; }
+    if (!have_inc) { fval_bound = bound_save; reset_ws(); return -1; }
     /* restore the incumbent and extract */
     for (i = 0; i < PNAME_N; i++) u_vec[i] = inc_u[i];
     last_fv = inc_ss; last_ss = inc_ss;
@@ -600,6 +623,16 @@ int PNAME_solve_miqp(double *x, double *lam_out, double *fval,
     for (i = 0; i < inc_k; i++) { WS[i] = inc_ws[i]; lam_star[i] = inc_lam[i]; }
     fval_bound = bound_save;
     extract_sol(x, lam_out, fval);
+    /* E/Mw still belong to the LAST EXPLORED node, not the restored
+     * incumbent working set — leave the workspace reset with the
+     * incumbent re-flagged as a warm start so subsequent entry points
+     * rebuild a consistent factorization */
+    reset_ws();
+    for (i = 0; i < inc_k; i++) {
+        PNAME_sense[inc_ws[i]] |= 1;
+        if (inc_lam[i] < 0) PNAME_sense[inc_ws[i]] |= 2;
+        else PNAME_sense[inc_ws[i]] &= ~2;
+    }
     return 1;
 }
 """
@@ -731,7 +764,17 @@ def render_c(H, f, A, bupper, blower, name="daqp_embedded", dir=".",
     bin_ids = np.flatnonzero(sense_arr & BINARY).astype(np.int32)
     nb = int(bin_ids.size)
     ns = int(np.count_nonzero(sense_arr & 8))
-    K = n + ns + 1   # soft slacks enlarge the working set (api.c:288-305)
+    # Soft slacks enlarge the working set (api.c:288-305).  A hierarchical
+    # solve softens ENTIRE levels at runtime (_solve_hier), so the table
+    # must also hold n + widest-softened-level active rows — static ns
+    # alone under-sizes K and add_constraint would write out of bounds
+    # (the JAX core sizes identically, hierarchical.py).
+    cap = ns
+    if break_points is not None:
+        bp_sizes = [int(break_points[i]) - int(break_points[i - 1])
+                    for i in range(1, len(break_points))]
+        cap = ns + max(bp_sizes) if bp_sizes else ns
+    K = n + cap + 1
 
     data = "\n".join([
         _carr("PNAME_Mmat", M),

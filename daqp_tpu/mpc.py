@@ -181,10 +181,16 @@ def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
                            precision=jax.lax.Precision.HIGHEST)
             E_new = jnp.matmul(state.E, 2 * Iu - P,
                                precision=jax.lax.Precision.HIGHEST)
-            E_new = jnp.where(um[:, None] & um[None, :], E_new, 0)
-            ok = jnp.max(jnp.abs(P - Iu)) < 0.5   # contraction basin
+            # f32 mask algebra, NOT an i1 outer mask + scalar-bool select:
+            # that op family silently miscompiles on v5e at vmapped
+            # batch >= 1024 (scripts/repro_v5e_bool_scatter.py), and this
+            # function is vmapped over scenario batches.
+            umf = um.astype(state.E.dtype)
+            E_new = E_new * umf[:, None] * umf[None, :]
+            okf = (jnp.max(jnp.abs(P - Iu)) < 0.5)   # contraction basin
+            okf = okf.astype(state.E.dtype)
             state = state._replace(
-                E=jnp.where(ok, E_new, state.E))
+                E=okf * E_new + (1 - okf) * state.E)
             state = ldp_flat.flat_solve(state, st0)
             x = transform.ldp_to_qp_solution(ldpd, state.u)
             fval = 0.5 * (state.fval - ldpd.v @ ldpd.v)

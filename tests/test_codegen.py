@@ -266,3 +266,79 @@ def test_codegen_degenerate_repair():
                             ctypes.byref(iters))
         assert flag == 1, flag
         assert np.linalg.norm(np.array(xs[:]) - np.asarray(ref.x)) < 1e-5
+
+
+@requires_gcc
+def test_codegen_hier_wide_level():
+    # ADVICE r2 (high): a hierarchy level wider than n + 1 softens MORE
+    # rows than the static-soft K sizing allowed — the old K = n + ns + 1
+    # made add_constraint write out of bounds.  Four conflicting
+    # equalities on x0 (n = 2) all activate as soft rows (level width 4 >
+    # K - 1 = 2 under the old sizing).
+    A = np.array([[1.0, 0], [1, 0], [1, 0], [1, 0], [0, 1]])
+    b = np.array([1.0, 2.0, 3.0, 4.0, 1.0])
+    ref = daqp_tpu.solve(H=None, f=None, A=A, bupper=b, blower=b, ms=0,
+                         break_points=(0, 4, 5))
+    assert int(ref.exitflag) > 0, int(ref.exitflag)
+    with tempfile.TemporaryDirectory() as td:
+        cpath = codegen.render_c(np.eye(2), np.zeros(2), A, b, b, ms=0,
+                                 break_points=(0, 4, 5), name="wl",
+                                 dir=td)
+        # the rendered K must cover n + widest level + 1
+        src = open(cpath).read()
+        assert "#define wl_K     7" in src, \
+            [l for l in src.splitlines() if "_K " in l]
+        lib = _build_and_load(cpath)
+        lib.wl_init()
+        xs = (ctypes.c_double * 2)()
+        fval = ctypes.c_double()
+        iters = ctypes.c_int()
+        flag = lib.wl_solve_hier(xs, None, ctypes.byref(fval),
+                                 ctypes.byref(iters))
+        assert flag > 0, flag
+        assert np.linalg.norm(np.array(xs[:]) - np.asarray(ref.x)) < 1e-4, \
+            (xs[:], ref.x)
+        # least-squares mean of 1..4 up to the rho_soft regularization
+        # bias (~1e-4 here)
+        assert abs(xs[0] - 2.5) < 1e-3
+
+
+@requires_gcc
+def test_codegen_miqp_then_solve():
+    # ADVICE r2 (low): _solve_miqp must not leave IMMUTABLE bits (or a
+    # stale E/Mw vs the restored incumbent WS) behind — a subsequent
+    # <name>_solve without <name>_init must solve the RELAXATION
+    # correctly, with every binary row priced.
+    rng = np.random.default_rng(207)
+    n, m, nb = 6, 14, 4
+    Mx = rng.standard_normal((n, n))
+    H = Mx.T @ Mx + 0.1 * np.eye(n)
+    f = 10 * rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    bu = 15 * rng.random(m)
+    bl = -15 * rng.random(m)
+    A[:nb] = 0.0
+    A[np.arange(nb), np.arange(nb)] = 1.0
+    bu[:nb] = 1.0
+    bl[:nb] = 0.0
+    sense = np.zeros(m, np.int32)
+    sense[:nb] = daqp_tpu.BINARY
+    relax = daqp_tpu.quadprog(H, f, A, bu, bl, ms=0)   # binaries relaxed
+    with tempfile.TemporaryDirectory() as td:
+        cpath = codegen.render_c(H, f, A, bu, bl, sense=sense,
+                                 name="ms", dir=td)
+        lib = _build_and_load(cpath)
+        lib.ms_init()
+        xs = (ctypes.c_double * n)()
+        fval = ctypes.c_double()
+        iters = ctypes.c_int()
+        flag = lib.ms_solve_miqp(xs, None, ctypes.byref(fval),
+                                 ctypes.byref(iters), None)
+        assert flag == 1, flag
+        # no init in between: plain solve must now return the relaxation
+        flag = lib.ms_solve(xs, None, ctypes.byref(fval),
+                            ctypes.byref(iters))
+        assert flag == 1, flag
+        assert abs(fval.value - float(relax.fval)) < 1e-6, \
+            (fval.value, float(relax.fval))
+        assert np.linalg.norm(np.array(xs[:]) - np.asarray(relax.x)) < 1e-5
