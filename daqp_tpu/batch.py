@@ -295,8 +295,14 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         # NOT be packed (the kernel would decode im >= 2 as blocked and
         # silently drop the row); any lane carrying SOFT bits is flagged
         # EXIT_UNSUPPORTED below instead.
+        # LDP-space dominance bound = 2*fval_bound (same convention as the
+        # flat tier, ldp_flat.py:289 / daqp.c:10 "internal objective is
+        # twice the nominal")
+        fb = jnp.full((H.shape[0],), 2.0, jnp.float32) \
+            * jnp.asarray(st.fval_bound, jnp.float32)
         s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
-                          immut, soft_b if has_soft else None)
+                          immut, soft_b if has_soft else None,
+                          fbound_b=fb)
         # equalities / warm starts: bulk-activate sense-ACTIVE rows (a
         # whole-batch branch: the clean cold-start path never pays the
         # activation Cholesky)
@@ -514,9 +520,21 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
     exhausted turn terminal and their tiles skip work via the kernel
     early exit.
 
-    Scope: hard constraints + BINARY rows, strictly convex H, cold
-    per-node relaxations (the reference warm-starts nodes — an
-    efficiency difference only).
+    Reference BnB semantics carried at batch level:
+
+    * the live incumbent bound (with ``rel_subopt``/``abs_subopt``
+      folded in exactly as ``bnb_core`` does, bnb.c:29-31,68) is passed
+      into every wave's relaxations as the kernel's per-lane dominance
+      cut, so dominated nodes exit early instead of solving to
+      optimality (daqp.c:20-23);
+    * each pushed child stores the parent's final working set
+      (act_up/act_lo row masks) and the pop bulk-activates it alongside
+      the fixed binaries — the batch analogue of tree_WS replay
+      (bnb.c:92-128,190-222).  A lane whose warm set turns dependent
+      falls back to fixed+equality-only activation (the reference drops
+      dependent mutable adds, auxiliary.c:446-469).
+
+    Scope: hard constraints + BINARY rows, strictly convex H.
     """
     from .ops import pallas_batch as pb
     from .types import (ACTIVE, LOWER, IMMUTABLE, BINARY, EXIT_NONCONVEX,
@@ -602,13 +620,25 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             return jnp.einsum('bk,km->bm', kb, bin_onehot,
                               precision=_HIP) > 0.5
 
+        # rel/abs suboptimality folding (bnb.c:29-31,68 / bnb.py:191,305),
+        # in LDP fval space (2x the QP objective, v'v shift dropped — it is
+        # node-independent, same convention as the reference's internal cut)
+        eps_r = 1.0 / (1.0 + jnp.asarray(st.rel_subopt, f32))
+        abs2 = 2.0 * jnp.asarray(st.abs_subopt, f32)
+        bound0 = (2.0 * jnp.asarray(st.fval_bound, f32) - abs2) * eps_r
+
         def wave(c):
-            (k, stack_fx, stack_lo, sp, best_fldp, best_u, best_lam,
-             found, nodes, lane_err) = c
+            (k, stack_fx, stack_lo, stack_wu, stack_wl, sp, best_fldp,
+             bound_fldp, best_u, best_lam, found, nodes, lane_err) = c
             live = (sp > 0) & (lane_err == 0)
             idx = jnp.maximum(sp - 1, 0)
             fx = jnp.take_along_axis(stack_fx, idx[:, None], 1)[:, 0]
             lo = jnp.take_along_axis(stack_lo, idx[:, None], 1)[:, 0]
+            # parent working-set replay masks (tree_WS, bnb.c:92-128)
+            wu = jnp.take_along_axis(stack_wu, idx[:, None, None],
+                                     1)[:, 0]              # (B, m) f32
+            wl = jnp.take_along_axis(stack_wl, idx[:, None, None],
+                                     1)[:, 0]
             sp = sp - live.astype(jnp.int32)
             nodes = nodes + live.astype(jnp.int32)
 
@@ -619,16 +649,37 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             dl_node = jnp.where(fixed_rows,
                                 jnp.where(lower_rows, dl0, du0), dl0)
 
+            # live incumbent bound into the kernel's per-lane dominance cut
             s = pb.dense_init(ldpd.M, du_node, dl_node, scaling,
-                              (immut0 | fixed_rows).astype(f32))
+                              (immut0 | fixed_rows).astype(f32),
+                              fbound_b=bound_fldp)
             mpad = s.dupper.shape[0]
-            up_b = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
-            lo_b = lower_rows | eq_lo
-            up_l = jnp.moveaxis(jnp.pad(up_b, ((0, 0), (0, mpad - m))),
-                                0, -1)
-            lo_l = jnp.moveaxis(jnp.pad(lo_b, ((0, 0), (0, mpad - m))),
-                                0, -1)
-            s = pb.dense_activate(s, up_l, lo_l, st)
+            up_f = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
+            lo_f = lower_rows | eq_lo
+            warm_free = ~fixed_rows & ~eq_act & live[:, None]
+            up_b = up_f | ((wu > 0.5) & warm_free)
+            lo_b = lo_f | ((wl > 0.5) & warm_free & ~(wu > 0.5))
+            lane = lambda x: jnp.moveaxis(
+                jnp.pad(x, ((0, 0), (0, mpad - m))), 0, -1)
+            s0 = s
+            s = pb.dense_activate(s0, lane(up_b), lane(lo_b), st)
+
+            def drop_warm(sw):
+                # a dependent warm set falls back to fixed+equality-only
+                # activation per lane (the reference clears dependent
+                # mutable adds, auxiliary.c:446-469); paid only when some
+                # lane actually parked
+                sf = pb.dense_activate(s0, lane(up_f), lane(lo_f), st)
+                parked = sw.status[0] == pb.EXIT_REFACTOR   # (B,)
+
+                def mrg(a, b):
+                    pk = parked.reshape((1,) * (a.ndim - 1) + (-1,))
+                    return jnp.where(pk, b, a)
+
+                return jax.tree_util.tree_map(mrg, sw, sf)
+
+            s = lax.cond(jnp.any(s.status[0] == pb.EXIT_REFACTOR),
+                         drop_warm, lambda sw: sw, s)
             # exhausted / errored lanes turn terminal so their tiles skip
             s = s._replace(status=jnp.where(
                 live[None, :], s.status, EXIT_OPTIMAL).astype(jnp.int32))
@@ -638,7 +689,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             flag = s.status[0]
             fldp = s.fval[0]
             u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
-            viable = live & (flag > 0) & (fldp < best_fldp)
+            viable = live & (flag > 0) & (fldp < bound_fldp)
             hard_fail = live & (flag < 0) & (flag != EXIT_INFEASIBLE) \
                 & (flag != EXIT_RUNNING)
             lane_err = jnp.where(hard_fail, flag, lane_err)
@@ -655,18 +706,24 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             lower_first = jnp.take_along_axis(diff, pos[:, None],
                                               1)[:, 0] >= 0
 
-            # integer-feasible -> incumbent
+            # integer-feasible -> incumbent; the prune bound folds the
+            # subopt tolerances (bnb.c:68: bound = (fval - abs)*eps_r)
             take = viable & ~has_branch
             lam_full = jnp.moveaxis(
                 s.lam_star * (s.act_up + s.act_lo) * s.scaling,
                 -1, 0)[:, :m]
             best_fldp = jnp.where(take, fldp, best_fldp)
+            bound_fldp = jnp.where(take, (fldp - abs2) * eps_r, bound_fldp)
             best_u = jnp.where(take[:, None], u_b, best_u)
             best_lam = jnp.where(take[:, None], lam_full, best_lam)
             found = found | take
 
-            # push children: far endpoint first, nearest popped first
+            # push children: far endpoint first, nearest popped first;
+            # both siblings snapshot THIS node's final working set
+            # (tree_WS is written once at the branch point, bnb.c:211-222)
             push = viable & has_branch
+            snap_u = jnp.moveaxis(s.act_up, -1, 0)[:, :m]    # (B, m) f32
+            snap_l = jnp.moveaxis(s.act_lo, -1, 0)[:, :m]
             bitk = jnp.where(push, 1 << pos, 0).astype(jnp.int32)
             near_lo = jnp.where(lower_first, bitk, 0)
             far_lo = jnp.where(lower_first, 0, bitk)
@@ -681,22 +738,29 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             stack_lo = jnp.where(at0, far_side[:, None],
                                  jnp.where(at1, near_side[:, None],
                                            stack_lo))
+            at01 = (at0 | at1)[:, :, None]
+            stack_wu = jnp.where(at01, snap_u[:, None, :], stack_wu)
+            stack_wl = jnp.where(at01, snap_l[:, None, :], stack_wl)
             sp = sp + 2 * push.astype(jnp.int32)
-            return (k + 1, stack_fx, stack_lo, sp, best_fldp, best_u,
-                    best_lam, found, nodes, lane_err)
+            return (k + 1, stack_fx, stack_lo, stack_wu, stack_wl, sp,
+                    best_fldp, bound_fldp, best_u, best_lam, found, nodes,
+                    lane_err)
 
         def cond(c):
-            k, _, _, sp, _, _, _, _, _, lane_err = c
+            k, sp, lane_err = c[0], c[5], c[-1]
             return (k < max_waves) & jnp.any((sp > 0) & (lane_err == 0))
 
         zi = jnp.zeros((B, cap), jnp.int32)
-        c0 = (jnp.zeros((), jnp.int32), zi, zi,
+        zw = jnp.zeros((B, cap, m), f32)
+        c0 = (jnp.zeros((), jnp.int32), zi, zi, zw, zw,
               jnp.where(err0 < 0, 0, 1).astype(jnp.int32),
-              jnp.full((B,), BIGF), jnp.zeros((B, n), f32),
+              jnp.full((B,), BIGF),
+              jnp.broadcast_to(bound0, (B,)).astype(f32),
+              jnp.zeros((B, n), f32),
               jnp.zeros((B, m), f32), jnp.zeros((B,), bool),
               jnp.zeros((B,), jnp.int32),
               jnp.where(err0 < 0, err0, 0).astype(jnp.int32))
-        (k, _, _, sp, best_fldp, best_u, best_lam, found, nodes,
+        (k, _, _, _, _, sp, best_fldp, _, best_u, best_lam, found, nodes,
          lane_err) = lax.while_loop(cond, wave, c0)
 
         x = jnp.einsum('bij,bj->bi', ldpd.Rinv, best_u - ldpd.v,

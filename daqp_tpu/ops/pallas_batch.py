@@ -60,6 +60,10 @@ class DenseState(NamedTuple):
     scaling: jnp.ndarray  # (m, B)
     immut: jnp.ndarray    # (m, B) f32 0/1
     soft: jnp.ndarray     # (m, B) f32 0/1
+    fbound: jnp.ndarray   # (1, B) LDP-space dual objective bound: a lane
+                          # whose priced fval exceeds it exits
+                          # EXIT_INFEASIBLE (dominance cut, daqp.c:20-23;
+                          # = 2*fval_bound in QP space, ldp_flat.py:289)
     act_up: jnp.ndarray   # (m, B) f32 0/1
     act_lo: jnp.ndarray   # (m, B) f32 0/1
     E: jnp.ndarray        # (m, m, B)
@@ -88,7 +92,7 @@ def _row_chunks(m: int, target: int = 13):
 
 def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                  has_soft: bool, always_copy: bool,
-                 M_ref, du_ref, dl_ref, sc_ref, imsf_ref,
+                 M_ref, du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
                  au_ref, al_ref, E_ref, lam_ref, ls_ref,
                  pd_ref, po_ref, pl_ref, plo_ref,
                  u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
@@ -166,7 +170,7 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
 
         pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((2,)))
         _solve_tile_live(st, m, n, n_true, steps, has_soft, iota_m,
-                         du_ref, dl_ref, sc_ref, imsf_ref,
+                         du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
                          au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
                          u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
                          E_s, M_s)
@@ -181,7 +185,7 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
 
 def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
                      has_soft: bool, iota_m,
-                     du_ref, dl_ref, sc_ref, imsf_ref,
+                     du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
                      au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
                      u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
                      E_s, M_s):
@@ -211,6 +215,7 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         im = imsf
         sf = None
     rho = f32(st.rho_soft)
+    fb = fb_ref[:]        # (1, L) per-lane dual objective bound
     M = M_s[:]            # (m, n, L)
 
     def contract2(x1, x2):
@@ -343,6 +348,12 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
                         jnp.where(rp > 0, EXIT_INFEASIBLE, EXIT_CYCLE),
                         stt)
 
+        # dominance bound cut on the priced (dual-feasible) path
+        # (daqp.c:20-23): the dual objective is monotone, so exceeding the
+        # per-lane bound proves the lane can never beat it
+        cut = (price0 > 0) & (stt == EXIT_RUNNING) & (fv_new > fb)
+        stt = jnp.where(cut, EXIT_INFEASIBLE, stt)
+
         price = price0 * (stt == EXIT_RUNNING).astype(f32)
         if has_soft:
             opt_flag = jnp.where(soft_slack > ptol, EXIT_SOFT_OPTIMAL,
@@ -460,7 +471,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
                 s.pend_oh, s.pend_lam, s.pend_lo, s.u, s.fval,
                 s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
     const = [s.M, s.dupper, s.dlower, s.scaling,
-             s.immut + 2.0 * s.soft]
+             s.immut + 2.0 * s.soft, s.fbound]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
         + [any_spec for _ in in_state]
@@ -503,13 +514,18 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
 _HI = lax.Precision.HIGHEST
 
 
-def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None) -> DenseState:
+def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
+               fbound_b=None) -> DenseState:
     """Build lanes-last state from batch-leading LDP data arrays
     ((B, m, n), (B, m), ...).
 
     m and n are zero-padded to multiples of 8 (TPU DMA slice tiling);
     padded rows get infinite bounds and the IMMUTABLE mask so they never
     participate.  Callers slice outputs back to the true sizes.
+
+    ``fbound_b`` is the optional per-lane LDP-space dual objective bound
+    ((B,); defaults to +inf = no cut): 2*fval_bound in QP space, or a
+    BnB incumbent bound (daqp.c:20-23, bnb.c:29-31).
     """
     B, m, n = M_b.shape
     f32 = jnp.float32
@@ -527,6 +543,8 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None) -> DenseState:
         m, n = m + mp, n + np_
     if soft_b is None:
         soft_b = jnp.zeros_like(immut_b)
+    if fbound_b is None:
+        fbound_b = jnp.full((B,), DAQP_INF, f32)
     T = lambda x: jnp.moveaxis(x, 0, -1)
     z_m = jnp.zeros((m, B), f32)
     z1 = jnp.zeros((1, B), f32)
@@ -535,6 +553,7 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None) -> DenseState:
         dlower=T(dl_b).astype(f32), scaling=T(sc_b).astype(f32),
         immut=T(immut_b).astype(f32),
         soft=T(soft_b).astype(f32),
+        fbound=fbound_b.astype(f32).reshape(1, B),
         act_up=z_m, act_lo=z_m, E=jnp.zeros((m, m, B), f32),
         lam=z_m, lam_star=z_m,
         pend=z1, pend_oh=z_m, pend_lam=z1, pend_lo=z1,

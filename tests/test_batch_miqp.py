@@ -101,3 +101,95 @@ def test_batch_miqp_pallas_infeasible_lanes():
     flags = np.asarray(res.exitflag)
     assert np.all(flags[::2] == 1), np.unique(flags[::2])
     assert np.all(flags[1::2] == -1), np.unique(flags[1::2])
+
+
+def test_batch_miqp_pallas_subopt_folding():
+    # rel/abs suboptimality folded into the wave prune bound exactly as
+    # bnb_core does (bnb.c:29-31,68): with a loose rel_subopt the driver
+    # must return an incumbent within the tolerance of the true optimum
+    # (and identical to the single-lane BnB under the same settings).
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+
+    B, n, m, nb = 128, 10, 24, 4
+    rng = np.random.default_rng(77)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(n, dtype=np.float32)
+    f = (8 * rng.standard_normal((B, n))).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (15 * rng.random((B, m))).astype(np.float32)
+    bl = (-15 * rng.random((B, m))).astype(np.float32)
+    A[:, :nb] = 0.0
+    A[:, np.arange(nb), np.arange(nb)] = 1.0
+    bu[:, :nb] = 1.0
+    bl[:, :nb] = 0.0
+    sense = np.zeros((B, m), np.int32)
+    sense[:, :nb] = daqp_tpu.BINARY
+    st = _as_settings({"iter_limit": 1000, "rel_subopt": 0.3}, jnp.float32)
+    res = batch_mod.solve_batch_miqp_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st, ms=0,
+        bin_ids=tuple(range(nb)), interpret=True)
+    flags = np.asarray(res.exitflag)
+    fv = np.asarray(res.fval)
+    nodes_subopt = np.asarray(res.iterations)
+    for b in range(0, B, 11):
+        ref = daqp_tpu.quadprog(
+            H[b].astype(np.float64), f[b].astype(np.float64),
+            A[b].astype(np.float64), bu[b].astype(np.float64),
+            bl[b].astype(np.float64), sense[b], ms=0)
+        if int(ref.exitflag) != 1:
+            continue
+        assert int(flags[b]) == 1, b
+        # within the relative tolerance of the true optimum, on the
+        # conservative side (fval >= optimum)
+        fstar = float(ref.fval)
+        assert fv[b] >= fstar - 1e-3 * (1 + abs(fstar)), (b, fv[b], fstar)
+        assert fv[b] <= fstar + 0.3 * abs(fstar) + 1e-2, (b, fv[b], fstar)
+
+    # exact run explores at least as many nodes on average
+    st0 = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res0 = batch_mod.solve_batch_miqp_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), st0, ms=0,
+        bin_ids=tuple(range(nb)), interpret=True)
+    assert np.mean(np.asarray(res0.iterations)) \
+        >= np.mean(nodes_subopt) - 1e-9
+
+
+def test_batch_pallas_fval_bound():
+    # per-lane dominance cut in the kernel (daqp.c:20-23): a bound below
+    # the optimum flags the lane infeasible, matching the flat tier
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from tests.gen import generate_test_qp_batch
+
+    B, n, m = 128, 10, 24
+    d = generate_test_qp_batch(B, n, m, 0, 6, 1e2, rng=5,
+                               dtype=np.float32)
+    args = [jnp.asarray(d[k]) for k in
+            ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    base = batch_mod.solve_batch_pallas_jit(*args, st=st, ms=0,
+                                            has_soft=False,
+                                            interpret=True)
+    fv = np.asarray(base.fval)
+    assert np.all(np.asarray(base.exitflag) == 1)
+    # bound below every lane's optimum -> all lanes cut as infeasible
+    st_cut = _as_settings({"iter_limit": 400,
+                           "fval_bound": float(fv.min()) - 10.0},
+                          jnp.float32)
+    cut = batch_mod.solve_batch_pallas_jit(*args, st=st_cut, ms=0,
+                                           has_soft=False, interpret=True)
+    assert np.all(np.asarray(cut.exitflag) == -1), \
+        np.unique(np.asarray(cut.exitflag))
+    # bound above every optimum -> unchanged
+    st_ok = _as_settings({"iter_limit": 400,
+                          "fval_bound": float(fv.max()) + 10.0},
+                         jnp.float32)
+    ok = batch_mod.solve_batch_pallas_jit(*args, st=st_ok, ms=0,
+                                          has_soft=False, interpret=True)
+    assert np.all(np.asarray(ok.exitflag) == 1)
+    assert np.allclose(np.asarray(ok.x), np.asarray(base.x), atol=1e-5)
