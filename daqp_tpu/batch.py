@@ -178,12 +178,15 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
     MXU.  Scope: hard/soft two-sided constraints, equality/warm bulk
     activation, cold start (the throughput path).
 
-    ``has_soft`` selects the kernel variant (compile-time: the soft terms
-    cost extra VPU work on every iteration).  ``None`` (default)
-    dispatches automatically from the concrete ``sense`` array; inside an
-    enclosing trace pass it explicitly.  An explicit ``has_soft=False``
-    with soft rows present marks those lanes ``EXIT_UNSUPPORTED`` instead
-    of silently dropping the rows.
+    ``has_soft`` selects the kernel variant (compile-time): hard batches
+    run the SLOT-SPACE kernel (``ops.pallas_slot``: the inverse Gram and
+    working-set state live on K = n+1 slots instead of m constraint
+    rows — ~2x less VMEM traffic per iteration); soft batches run the
+    dense-mask kernel (a soft working set can exceed n+1 slots).
+    ``None`` (default) dispatches automatically from the concrete
+    ``sense`` array; inside an enclosing trace pass it explicitly.  An
+    explicit ``has_soft=False`` with soft rows present marks those lanes
+    ``EXIT_UNSUPPORTED`` instead of silently dropping the rows.
     """
     from .types import SOFT
     if has_soft is None:
@@ -291,18 +294,11 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
         soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
         m = ldpd.M.shape[1]
-        # has_soft=False compiles the hard-only kernel: the soft mask must
-        # NOT be packed (the kernel would decode im >= 2 as blocked and
-        # silently drop the row); any lane carrying SOFT bits is flagged
-        # EXIT_UNSUPPORTED below instead.
         # LDP-space dominance bound = 2*fval_bound (same convention as the
         # flat tier, ldp_flat.py:289 / daqp.c:10 "internal objective is
         # twice the nominal")
         fb = jnp.full((H.shape[0],), 2.0, jnp.float32) \
             * jnp.asarray(st.fval_bound, jnp.float32)
-        s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
-                          immut, soft_b if has_soft else None,
-                          fbound_b=fb)
         # equalities / warm starts: bulk-activate sense-ACTIVE rows (a
         # whole-batch branch: the clean cold-start path never pays the
         # activation Cholesky)
@@ -312,24 +308,43 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                                     ((0, 0), (0, (-m) % 8))), 0, -1)
         lo_l = jnp.moveaxis(jnp.pad(lo_bits,
                                     ((0, 0), (0, (-m) % 8))), 0, -1)
-        s = jax.lax.cond(jnp.any(act_bits),
-                         lambda s: pb.dense_activate(s, up_l, lo_l, st),
-                         lambda s: s, s)
-        s = pb.dense_solve(s, st, n_true=n, interpret=interpret,
-                           has_soft=has_soft)
+        if has_soft:
+            # dense-mask kernel: a soft working set can exceed n+1 slots
+            s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower,
+                              ldpd.scaling, immut, soft_b, fbound_b=fb)
+            s = jax.lax.cond(jnp.any(act_bits),
+                             lambda s: pb.dense_activate(s, up_l, lo_l,
+                                                         st),
+                             lambda s: s, s)
+            s = pb.dense_solve(s, st, n_true=n, interpret=interpret,
+                               has_soft=True)
+            act = s.act_up + s.act_lo
+            lam = jnp.moveaxis(s.lam_star * act * s.scaling,
+                               -1, 0)[:, :m]
+            slack = st.rho_soft * jnp.sum(
+                s.soft * act * s.lam_star * s.lam_star, axis=0)
+        else:
+            # slot-space kernel (ops.pallas_slot): hard-only throughput
+            # path.  Any lane carrying SOFT bits is flagged
+            # EXIT_UNSUPPORTED below instead of silently dropping rows.
+            from .ops import pallas_slot as ps
+            s = ps.slot_init(ldpd.M, ldpd.dupper, ldpd.dlower,
+                             ldpd.scaling, immut, n_true=n, fbound_b=fb)
+            s = jax.lax.cond(jnp.any(act_bits),
+                             lambda s: ps.slot_activate(s, up_l, lo_l,
+                                                        st),
+                             lambda s: s, s)
+            s = ps.slot_solve(s, st, n_true=n, interpret=interpret)
+            lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m]
+            slack = jnp.zeros((H.shape[0],), jnp.float32)
 
         u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]               # (B, n)
         x = jax.vmap(transform.ldp_to_qp_solution)(ldpd, u_b)
-        act = s.act_up + s.act_lo
-        lam = jnp.moveaxis(s.lam_star * act * s.scaling, -1, 0)[:, :m]
         fval = 0.5 * (s.fval[0] - jnp.einsum('bk,bk->b', ldpd.v, ldpd.v))
         exitflag = jnp.where(ldpd.error < 0, ldpd.error, s.status[0])
         if not has_soft:
             soft_lane = jnp.any(soft_b > 0, axis=-1)
             exitflag = jnp.where(soft_lane, EXIT_UNSUPPORTED, exitflag)
-        act_m = (s.act_up + s.act_lo)
-        slack = st.rho_soft * jnp.sum(
-            s.soft * act_m * s.lam_star * s.lam_star, axis=0)
         res = BatchResult(x=x, lam=lam, fval=fval,
                           exitflag=exitflag.astype(jnp.int32),
                           iterations=s.iterations[0].astype(jnp.int32),
@@ -395,8 +410,9 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
         tol_stat = eta / jnp.maximum(eps, 1e-30)
 
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(f32)
-        s0 = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
-                           immut)
+        from .ops import pallas_slot as ps
+        s0 = ps.slot_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
+                          immut, n_true=n)
         mp = s0.dupper.shape[0]
         row_real = jnp.arange(mp)[:, None] < m
         big = jnp.asarray(DAQP_INF, f32)
@@ -411,8 +427,9 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                               0, -1)
             dl = jnp.moveaxis(jnp.pad(bl_s + Mv, ((0, 0), (0, mp - m))),
                               0, -1)
-            return s._replace(dupper=jnp.where(row_real, du, big),
-                              dlower=jnp.where(row_real, dl, -big))
+            return ps.slot_refresh_bounds(
+                s, jnp.where(row_real, du, big),
+                jnp.where(row_real, dl, -big))
 
         def carry_solve(s, v_b, lane_run):
             # converged/failed lanes stay terminal so their tiles skip
@@ -424,10 +441,9 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                 cycle=jnp.zeros_like(s.cycle),
                 repaired=jnp.zeros_like(s.repaired),
                 best_fval=jnp.zeros_like(s.best_fval) - 1.0,
-                pend=s.pend * (1.0 - lane_run[None, :]),
-                pend_oh=s.pend_oh * (1.0 - lane_run[None, :]))
-            return pb.dense_solve(s, st, n_true=n, steps=64,
-                                  has_soft=False, interpret=interpret)
+                pend=s.pend * (1.0 - lane_run[None, :]))
+            return ps.slot_solve(s, st, n_true=n, steps=64,
+                                 interpret=interpret)
 
         fz = f.astype(f32)
 
@@ -484,8 +500,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
         lane_flag = jnp.where(lane_run, EXIT_ITERLIMIT, lane_flag)
         lane_flag = jnp.where(ldpd.error < 0, ldpd.error, lane_flag)
 
-        act = s.act_up + s.act_lo
-        lam = jnp.moveaxis(s.lam_star * act * s.scaling, -1, 0)[:, :m]
+        lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m]
         fval = (0.5 * jnp.einsum('bi,bij,bj->b', x, H.astype(f32), x,
                                  precision=_HIP)
                 + jnp.einsum('bi,bi->b', fz, x, precision=_HIP))
@@ -537,6 +552,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
     Scope: hard constraints + BINARY rows, strictly convex H.
     """
     from .ops import pallas_batch as pb
+    from .ops import pallas_slot as ps
     from .types import (ACTIVE, LOWER, IMMUTABLE, BINARY, EXIT_NONCONVEX,
                         EXIT_OPTIMAL, EXIT_INFEASIBLE, EXIT_ITERLIMIT)
 
@@ -649,10 +665,13 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             dl_node = jnp.where(fixed_rows,
                                 jnp.where(lower_rows, dl0, du0), dl0)
 
-            # live incumbent bound into the kernel's per-lane dominance cut
-            s = pb.dense_init(ldpd.M, du_node, dl_node, scaling,
-                              (immut0 | fixed_rows).astype(f32),
-                              fbound_b=bound_fldp)
+            # live incumbent bound into the kernel's per-lane dominance
+            # cut; slot-space tier (relaxations are hard-only, and the
+            # per-wave bulk-activation Cholesky is (B, K, K), not
+            # (B, m, m))
+            s = ps.slot_init(ldpd.M, du_node, dl_node, scaling,
+                             (immut0 | fixed_rows).astype(f32),
+                             n_true=n, fbound_b=bound_fldp)
             mpad = s.dupper.shape[0]
             up_f = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
             lo_f = lower_rows | eq_lo
@@ -662,15 +681,15 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             lane = lambda x: jnp.moveaxis(
                 jnp.pad(x, ((0, 0), (0, mpad - m))), 0, -1)
             s0 = s
-            s = pb.dense_activate(s0, lane(up_b), lane(lo_b), st)
+            s = ps.slot_activate(s0, lane(up_b), lane(lo_b), st)
 
             def drop_warm(sw):
                 # a dependent warm set falls back to fixed+equality-only
                 # activation per lane (the reference clears dependent
                 # mutable adds, auxiliary.c:446-469); paid only when some
                 # lane actually parked
-                sf = pb.dense_activate(s0, lane(up_f), lane(lo_f), st)
-                parked = sw.status[0] == pb.EXIT_REFACTOR   # (B,)
+                sf = ps.slot_activate(s0, lane(up_f), lane(lo_f), st)
+                parked = sw.status[0] == ps.EXIT_REFACTOR   # (B,)
 
                 def mrg(a, b):
                     pk = parked.reshape((1,) * (a.ndim - 1) + (-1,))
@@ -678,13 +697,13 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
 
                 return jax.tree_util.tree_map(mrg, sw, sf)
 
-            s = lax.cond(jnp.any(s.status[0] == pb.EXIT_REFACTOR),
+            s = lax.cond(jnp.any(s.status[0] == ps.EXIT_REFACTOR),
                          drop_warm, lambda sw: sw, s)
             # exhausted / errored lanes turn terminal so their tiles skip
             s = s._replace(status=jnp.where(
                 live[None, :], s.status, EXIT_OPTIMAL).astype(jnp.int32))
-            s = pb.dense_solve(s, st, n_true=n, steps=64,
-                               has_soft=False, interpret=interpret)
+            s = ps.slot_solve(s, st, n_true=n, steps=64,
+                              interpret=interpret)
 
             flag = s.status[0]
             fldp = s.fval[0]
@@ -709,9 +728,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             # integer-feasible -> incumbent; the prune bound folds the
             # subopt tolerances (bnb.c:68: bound = (fval - abs)*eps_r)
             take = viable & ~has_branch
-            lam_full = jnp.moveaxis(
-                s.lam_star * (s.act_up + s.act_lo) * s.scaling,
-                -1, 0)[:, :m]
+            lam_full = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m]
             best_fldp = jnp.where(take, fldp, best_fldp)
             bound_fldp = jnp.where(take, (fldp - abs2) * eps_r, bound_fldp)
             best_u = jnp.where(take[:, None], u_b, best_u)

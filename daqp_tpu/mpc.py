@@ -60,12 +60,12 @@ def solve_mpc_scan_pallas(H, A, f_seq, bupper_seq, blower_seq,
     S must be a multiple of 128 (the kernel lane width).  Returns
     per-(scenario, step) results with leading dims (S, T).
     """
-    from .ops import pallas_batch as pb
+    from .ops import pallas_slot as ps
     from .types import IMMUTABLE
 
     S, T, n = f_seq.shape
     m = bupper_seq.shape[-1]
-    assert S % pb.LANES == 0, (S, pb.LANES)
+    assert S % ps.LANES == 0, (S, ps.LANES)
     st0 = st
     with jax.default_matmul_precision('highest'):
         # shared transform: factorization + M once (UPDATE_Rinv | M)
@@ -84,9 +84,9 @@ def solve_mpc_scan_pallas(H, A, f_seq, bupper_seq, blower_seq,
 
         immut = jnp.broadcast_to(
             ((ldpd0.sense & IMMUTABLE) > 0).astype(jnp.float32), (S, m))
-        s0 = pb.dense_init(
+        s0 = ps.slot_init(
             jnp.broadcast_to(M, (S, m, n)), du_st[:, 0], dl_st[:, 0],
-            jnp.broadcast_to(scaling, (S, m)), immut)
+            jnp.broadcast_to(scaling, (S, m)), immut, n_true=n)
         mp = s0.dupper.shape[0]                  # padded m
 
         def pad_T(x):                            # (S, m) -> (mp, S) padded
@@ -96,20 +96,21 @@ def solve_mpc_scan_pallas(H, A, f_seq, bupper_seq, blower_seq,
         def step(s, inp):
             du_t, dl_t = inp                     # (S, m) each
             big = jnp.asarray(1e30, jnp.float32)
+            row_real = jnp.arange(mp)[:, None] < m
+            s = ps.slot_refresh_bounds(
+                s,
+                jnp.where(row_real, pad_T(du_t.astype(jnp.float32)), big),
+                jnp.where(row_real, pad_T(dl_t.astype(jnp.float32)),
+                          -big))
             s = s._replace(
-                dupper=jnp.where(jnp.arange(mp)[:, None] < m,
-                                 pad_T(du_t.astype(jnp.float32)), big),
-                dlower=jnp.where(jnp.arange(mp)[:, None] < m,
-                                 pad_T(dl_t.astype(jnp.float32)), -big),
                 status=jnp.full_like(s.status, EXIT_RUNNING),
                 iterations=jnp.zeros_like(s.iterations),
                 cycle=jnp.zeros_like(s.cycle),
                 repaired=jnp.zeros_like(s.repaired),
                 best_fval=jnp.zeros_like(s.best_fval) - 1.0,
-                pend=jnp.zeros_like(s.pend),
-                pend_oh=jnp.zeros_like(s.pend_oh))
-            s = pb.dense_solve(s, st0, n_true=n, steps=steps,
-                               has_soft=False, interpret=interpret)
+                pend=jnp.zeros_like(s.pend))
+            s = ps.slot_solve(s, st0, n_true=n, steps=steps,
+                              interpret=interpret)
             u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]          # (S, n)
             fval_ldp = s.fval[0]                           # (S,)
             out = (u_b, fval_ldp, s.status[0], s.iterations[0])

@@ -1,0 +1,755 @@
+"""Slot-space Pallas TPU mega-kernel: the dual active-set loop in VMEM with
+the inverse Gram held in SLOT space.
+
+The dense-mask kernel (``pallas_batch.py``) keys the inverse Gram by
+constraint row: E is (m, m, L), so every CSP / Schur / update pass moves
+O(m^2 L) of VMEM.  At the BASELINE config-2 shape (m = 104 padded,
+n = 50) the step loop is ~100% VMEM-bandwidth-bound at ~22 us/step
+against a 10-12 us roofline, and ~3 E passes + 6 M passes per step put
+most of that traffic in E (ROUND2.md accounting).
+
+This kernel moves the working-set state to K = n+1 SLOTS (56 padded vs
+104): an active constraint occupies a slot, identified by ``sid``; E is
+(K, K, L) (~3.4x less E traffic) and the active rows are gathered ONCE
+into a slot-row table W (K, n, L) at activation/addition time, making
+CSP, Schur vectors and the primal update (K-, not m-sized) contractions.
+This is exactly ``ldp_flat``'s slot-table formulation (itself the
+batched re-architecture of the reference's ordered working set,
+``src/daqp.c`` / ``auxiliary.c`` / ``factorization.c``) carried into the
+VMEM-resident kernel:
+
+  * deletion ``E -= e e'/e_rr`` zeroes exactly the freed slot's row and
+    column, and the bordered addition ``E += w w'/s`` works into ANY
+    free slot — no compaction, no gathers; the free slot is a one-hot
+    built from an argmin over the ``used`` bitmap;
+  * the pending (singular) constraint is held OUT of the table as a
+    cached row vector (``prow``), so its Gram column needs a W pass, not
+    an m-row M pass;
+  * m-space state is reduced to what pricing needs: the act_up/act_lo
+    side masks, bounds, and one M pass for mu = M u plus one M pass to
+    fetch the priced row.
+
+Per-step VMEM traffic at config 2: ~4 E passes x 1.6 MB + ~5 W passes x
+1.4 MB + 2 M passes x 2.7 MB ~= 19 MB vs ~40 MB for the dense-mask
+kernel.
+
+The per-lane ``fbound`` input implements the dual-objective dominance
+cut (daqp.c:20-23) so BnB incumbents prune node relaxations in-kernel.
+
+Scope: strictly convex QPs, two-sided bounds, HARD constraints
+(soft batches route to the dense-mask kernel — a soft working set can
+exceed n+1 slots).  Warm/equality activation is supported through
+``slot_activate`` (bulk Cholesky in slot space: (B, K, K), ~4x cheaper
+than the dense-mask activation).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+from ..types import (Settings, DAQP_INF, EXIT_CYCLE, EXIT_INFEASIBLE,
+                     EXIT_ITERLIMIT, EXIT_OPTIMAL, EXIT_RUNNING)
+from ..ldp_flat import EXIT_REFACTOR
+
+LANES = 128
+
+
+class SlotState(NamedTuple):
+    """Slot-space batched solver state, lanes-last (trailing dim is B)."""
+    # problem data (const)
+    M: jnp.ndarray        # (m, n, B)
+    dupper: jnp.ndarray   # (m, B)
+    dlower: jnp.ndarray   # (m, B)
+    scaling: jnp.ndarray  # (m, B)
+    immut: jnp.ndarray    # (m, B) f32 0/1
+    fbound: jnp.ndarray   # (1, B) LDP-space dual objective bound
+    # m-space activation masks (pricing + extraction)
+    act_up: jnp.ndarray   # (m, B) f32 0/1
+    act_lo: jnp.ndarray   # (m, B) f32 0/1
+    # slot table
+    W: jnp.ndarray        # (K, n, B) active rows by slot
+    E: jnp.ndarray        # (K, K, B) inverse Gram on used slots
+    dsl: jnp.ndarray      # (K, B) active-side bound value per slot
+    used: jnp.ndarray     # (K, B) f32 0/1
+    sid: jnp.ndarray      # (K, B) f32 constraint id (-1 = free)
+    slo: jnp.ndarray      # (K, B) f32 side (1 = lower)
+    simm: jnp.ndarray     # (K, B) f32 immutable slot
+    lam: jnp.ndarray      # (K, B)
+    lam_star: jnp.ndarray  # (K, B)
+    # pending singular addition (held out of the table)
+    pend: jnp.ndarray     # (1, B) f32 0/1
+    prow: jnp.ndarray     # (n, B) pending row
+    plam: jnp.ndarray     # (1, B)
+    plo: jnp.ndarray      # (1, B)
+    pid: jnp.ndarray      # (1, B) f32 constraint id
+    pdd: jnp.ndarray      # (1, B) pending bound value
+    # iterates / control
+    u: jnp.ndarray        # (n, B)
+    fval: jnp.ndarray     # (1, B)
+    best_fval: jnp.ndarray  # (1, B)
+    cycle: jnp.ndarray    # (1, B)
+    repaired: jnp.ndarray  # (1, B)
+    iterations: jnp.ndarray  # (1, B)
+    status: jnp.ndarray   # (1, B) int32
+
+
+def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
+                 steps: int, always_copy: bool,
+                 M_ref, du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
+                 au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref, sidr,
+                 slor, lam_ref, ls_ref, pd_ref, pr_ref, plm_ref, plo_ref,
+                 pid_ref, pdd_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref,
+                 it_ref, stt_ref,
+                 au_o, al_o, W_o, E_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                 ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o,
+                 bf_o, cy_o, rp_o, it_o, stt_o,
+                 E_s, W_s, M_s):
+    """Up to ``steps`` masked slot-space iterations for one 128-lane tile.
+
+    Same tile control as the dense kernel (``pallas_batch._kernel_body``):
+    big buffers (E, W, M) live UNBLOCKED in HBM, staged into
+    single-buffered VMEM scratch by explicit DMA; small state passes
+    through blocked, aliased output windows; a fully terminal tile skips
+    the big DMA and the step loop."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, dsl_ref, us_ref, sidr, slor, lam_ref,
+               ls_ref, pd_ref, pr_ref, plm_ref, plo_ref, pid_ref, pdd_ref,
+               u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref]
+    out_refs = [au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o, pd_o,
+                pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o, bf_o, cy_o,
+                rp_o, it_o, stt_o]
+
+    def load_small(sems):
+        copies = []
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
+
+    tile_live = jnp.any(stt_o[:] == EXIT_RUNNING) | always_copy
+
+    @pl.when(tile_live)
+    def solve_tile():
+        def load_big(sems):
+            copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                            sems.at[0]),
+                      pltpu.make_async_copy(W_ref.at[lane_idx3], W_s,
+                                            sems.at[1]),
+                      pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                            sems.at[2])]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
+        _solve_tile_live(st, m, n, K, n_true, steps,
+                         du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
+                         au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                         ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, W_s, M_s)
+
+        def store_big(sems):
+            copies = [pltpu.make_async_copy(E_s, E_o.at[lane_idx3],
+                                            sems.at[0]),
+                      pltpu.make_async_copy(W_s, W_o.at[lane_idx3],
+                                            sems.at[1])]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
+
+
+def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
+                     steps: int,
+                     du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
+                     au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
+                     pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o,
+                     bf_o, cy_o, rp_o, it_o, stt_o,
+                     E_s, W_s, M_s):
+    """The live-tile solve loop (state already staged into VMEM)."""
+    f32 = jnp.float32
+    BIG = f32(DAQP_INF)
+    dtol = f32(st.dual_tol)
+    ptol = f32(st.primal_tol)
+    pivtol = f32(st.pivot_tol)
+    singtol = f32(st.sing_tol)
+    progtol = f32(st.progress_tol)
+    cyctol = f32(st.cycle_tol)
+
+    du = du_ref[:]
+    dl = dl_ref[:]
+    sc = sc_ref[:]
+    im = im_ref[:]
+    simm = si_ref[:]
+    fb = fb_ref[:]
+    M = M_s[:]                    # (m, n, L)
+
+    iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    iota_mf = iota_m.astype(f32)
+    iota_K = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    iota_Kf = iota_K.astype(f32)
+
+    def contract2_E(x1, x2):
+        # out_i = sum_j E[i, j, l] x[j, l], two RHS through one E pass
+        E = E_s[:]
+        o1 = jnp.sum(E * x1[None, :, :], axis=1)
+        o2 = jnp.sum(E * x2[None, :, :], axis=1)
+        return o1, o2
+
+    def rowdot_W(y):
+        # out[k, l] = sum_j W[k, j, l] y[j, l]
+        return jnp.sum(W_s[:] * y[None, :, :], axis=1)
+
+    def coldot_W(w):
+        # out[j, l] = sum_k W[k, j, l] w[k, l]
+        return jnp.sum(W_s[:] * w[:, None, :], axis=0)
+
+    def rowdot_M(y):
+        return jnp.sum(M * y[None, :, :], axis=1)
+
+    def coldot_M(w):
+        return jnp.sum(M * w[:, None, :], axis=0)
+
+    def first_min_onehot(cand, iota):
+        cmin = jnp.min(cand, axis=0, keepdims=True)
+        idx = jnp.argmin(cand, axis=0, keepdims=True).astype(jnp.int32)
+        oh = (iota == idx).astype(f32)
+        return oh, cmin
+
+    def body(carry):
+        (i, au, al, dsl, used, sid, slo, lam, ls, pd, prow, plm, plo,
+         pid, pdd, u, fv, bf, cy, rp, it, stt) = carry
+        run = (stt == EXIT_RUNNING).astype(f32)           # (1, L)
+
+        # W pass 1: pending Gram column (auxiliary.c:356)
+        g_p = rowdot_W(prow) * used                       # (K, L)
+        # E pass 1: CSP + pending null direction
+        lam_star_neg, a_p = contract2_E(dsl * used, g_p)
+        lam_star = -lam_star_neg
+        sgn_p = 1.0 - 2.0 * plo                           # (1, L)
+        sdir = -a_p * sgn_p
+
+        # blocking min-ratio line search (auxiliary.c:276-311)
+        delta = pd * sdir + (1.0 - pd) * (lam_star - lam)
+        signv = pd * sdir + (1.0 - pd) * lam_star
+        infeas = slo * (signv > dtol).astype(f32) \
+            + (1.0 - slo) * (signv < -dtol).astype(f32)
+        elig = infeas * used * (1.0 - simm)
+        ratio = -lam / delta
+        cand = jnp.where((elig > 0) & jnp.isfinite(ratio), ratio, BIG)
+        oh_rm, rmin = first_min_onehot(cand, iota_K)
+        do_rm0 = run * (rmin < BIG).astype(f32)
+        rm_id = jnp.sum(sid * oh_rm, axis=0, keepdims=True)
+        rm_lo = jnp.sum(slo * oh_rm, axis=0, keepdims=True)
+
+        # primal + pricing (W pass 2 + M passes)
+        u_new = -coldot_W(lam_star * used)                # (n, L)
+        fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True)
+        mu = rowdot_M(u_new)                              # (m, L)
+        bound = -ptol * sc
+        v_up = du - mu
+        v_lo = mu - dl
+        act = au + al
+        pblock = pd * (iota_mf == pid).astype(f32)
+        blocked = (act > 0) | (im > 0) | (pblock > 0)
+        up_ok = (v_up < bound) & ~blocked
+        lo_ok = (v_lo < bound) & ~blocked & ~up_ok
+        cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
+        oh_j, vmin = first_min_onehot(cand2, iota_m)
+        found = (vmin < 0).astype(f32)
+        j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
+        j_idx = jnp.sum(oh_j * iota_mf, axis=0, keepdims=True)
+        d_j = j_lo * jnp.sum(oh_j * dl, axis=0, keepdims=True) \
+            + (1.0 - j_lo) * jnp.sum(oh_j * du, axis=0, keepdims=True)
+
+        # add candidate: pending retry after a removal, or pricing winner
+        retry = pd * do_rm0
+        price0 = run * (1.0 - do_rm0) * (1.0 - pd)
+        padd0 = price0 * found
+        mj = coldot_M(oh_j)                               # (n, L) M pass
+        add_row = retry * prow + padd0 * mj
+        add_lo = retry * plo + padd0 * j_lo
+        add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
+        add_id = retry * pid + padd0 * j_idx
+        add_d = retry * pdd + padd0 * d_j
+        # W pass 3: Gram column of the add
+        g = rowdot_W(add_row) * used
+        keep0 = 1.0 - oh_rm * do_rm0
+        g_k = g * keep0
+
+        # E pass 2: removed column + Schur vector
+        e, a_pre = contract2_E(oh_rm, g_k)
+        err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
+        bad = (do_rm0 > 0) & (err < pivtol * jnp.max(jnp.abs(e), axis=0,
+                                                     keepdims=True))
+        stt = jnp.where(bad, EXIT_REFACTOR, stt)
+        do_rm = do_rm0 * (1.0 - bad.astype(f32))
+        keep = 1.0 - oh_rm * do_rm
+        err_s = jnp.where(err != 0, err, 1.0)
+        ec = jnp.sum(e * g_k, axis=0, keepdims=True) / err_s
+        a_post = keep * (a_pre - do_rm * e * ec)
+
+        # line-search dual update + masked removal bookkeeping
+        alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
+        lam = (lam + alpha * delta * used) * keep
+        plm = plm + alpha * sgn_p * pd
+        used = used * keep
+        dsl = dsl * keep
+        slo = slo * keep
+        sid = sid * keep - (1.0 - keep)     # freed slot -> -1
+        oh_rm_m = (iota_mf == rm_id).astype(f32) * do_rm
+        au = au * (1.0 - oh_rm_m * (1.0 - rm_lo))
+        al = al * (1.0 - oh_rm_m * rm_lo)
+
+        # pending with no blocker: repair once, then infeasible
+        stuck = (stt == EXIT_RUNNING) & (pd > 0) & (do_rm == 0) & (run > 0)
+        stt = jnp.where(stuck,
+                        jnp.where(rp > 0, EXIT_INFEASIBLE, EXIT_CYCLE),
+                        stt)
+
+        # dominance bound cut on the priced path (daqp.c:20-23)
+        cut = (price0 > 0) & (stt == EXIT_RUNNING) & (fv_new > fb)
+        stt = jnp.where(cut, EXIT_INFEASIBLE, stt)
+
+        price = price0 * (stt == EXIT_RUNNING).astype(f32)
+        stt = jnp.where((price > 0) & (found == 0), EXIT_OPTIMAL, stt)
+
+        # cycle guard (daqp.c:66-85; repair deferred to the driver)
+        no_prog = (fv_new - bf < progtol * (1.0 + jnp.abs(fv_new))
+                   ).astype(f32)
+        cy = price * (no_prog * (cy + 1.0)) + (1.0 - price) * cy
+        bf = jnp.where((price > 0) & (no_prog == 0), fv_new, bf)
+        stt = jnp.where((price > 0) & (cy > cyctol)
+                        & (stt == EXIT_RUNNING), EXIT_CYCLE, stt)
+
+        u = price * u_new + (1.0 - price) * u
+        fv = price * fv_new + (1.0 - price) * fv
+        ls = run * lam_star + (1.0 - run) * ls
+        padd = padd0 * (stt == EXIT_RUNNING).astype(f32)
+        # promote lam <- lam* before a priced add (auxiliary.c:158-159)
+        lam = jnp.where(padd > 0, lam_star * used, lam)
+
+        # Schur complement & singularity (factorization.c:7-98)
+        dii = jnp.sum(add_row * add_row, axis=0, keepdims=True)
+        sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
+        kcnt = jnp.sum(used, axis=0, keepdims=True)
+        sing = ((sval < singtol) | (kcnt >= n_true)).astype(f32)
+        do_add = retry * (1.0 - bad.astype(f32)) + padd
+        ok = do_add * (1.0 - sing)
+
+        # first free slot (post-removal)
+        oh_free, _ = first_min_onehot(iota_Kf + used * BIG, iota_K)
+        w = a_post * used - oh_free
+        # E pass 3: combined deletion + rescale + bordered addition
+        c_del = -do_rm / err_s
+        c_add = ok / jnp.where(sval != 0, sval, 1.0)
+        E_s[:] = (E_s[:] + c_del[None, :, :] * e[:, None, :]
+                  * e[None, :, :]) \
+            * keep[:, None, :] * keep[None, :, :] \
+            + c_add[None, :, :] * w[:, None, :] * w[None, :, :]
+        # W pass 4: zero the freed slot row, write the added row
+        W_s[:] = W_s[:] * keep[:, None, :] \
+            + (ok * oh_free)[:, None, :] * add_row[None, :, :]
+
+        used = jnp.minimum(used + ok * oh_free, 1.0)
+        sid = sid + ok * oh_free * (add_id + 1.0)
+        slo = slo + ok * oh_free * add_lo
+        dsl = dsl + ok * oh_free * add_d
+        lam = lam + ok * oh_free * add_lam
+        add_oh_m = retry * (iota_mf == pid).astype(f32) + padd * oh_j
+        au = jnp.minimum(au + ok * add_oh_m * (1.0 - add_lo), 1.0)
+        al = jnp.minimum(al + ok * add_oh_m * add_lo, 1.0)
+
+        mk_pend = do_add * sing
+        pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
+        prow = mk_pend * add_row + (1.0 - mk_pend) * prow
+        plm = jnp.where(mk_pend > 0, add_lam, plm)
+        plo = jnp.where(mk_pend > 0, add_lo, plo)
+        pid = jnp.where(mk_pend > 0, add_id, pid)
+        pdd = jnp.where(mk_pend > 0, add_d, pdd)
+
+        it = it + run
+        return (i + 1, au, al, dsl, used, sid, slo, lam, ls, pd, prow,
+                plm, plo, pid, pdd, u, fv, bf, cy, rp, it, stt)
+
+    carry = (jnp.zeros((), jnp.int32),
+             au_o[:], al_o[:], dsl_o[:], us_o[:], sid_o[:], slo_o[:],
+             lam_o[:], ls_o[:], pd_o[:], pr_o[:], plm_o[:], plo_o[:],
+             pid_o[:], pdd_o[:], u_o[:], fv_o[:], bf_o[:], cy_o[:],
+             rp_o[:], it_o[:], stt_o[:])
+
+    def loop_cond(c):
+        return (c[0] < steps) & jnp.any(c[-1] == EXIT_RUNNING)
+
+    carry = lax.while_loop(loop_cond, body, carry)
+    (_, au, al, dsl, used, sid, slo, lam, ls, pd, prow, plm, plo, pid,
+     pdd, u, fv, bf, cy, rp, it, stt) = carry
+    au_o[:] = au
+    al_o[:] = al
+    dsl_o[:] = dsl
+    us_o[:] = used
+    sid_o[:] = sid
+    slo_o[:] = slo
+    lam_o[:] = lam
+    ls_o[:] = ls
+    pd_o[:] = pd
+    pr_o[:] = prow
+    plm_o[:] = plm
+    plo_o[:] = plo
+    pid_o[:] = pid
+    pdd_o[:] = pdd
+    u_o[:] = u
+    fv_o[:] = fv
+    bf_o[:] = bf
+    cy_o[:] = cy
+    rp_o[:] = rp
+    it_o[:] = it
+    stt_o[:] = stt
+
+
+def run_slot_round(s: SlotState, st: Settings, n_true: int,
+                   steps: int = 192,
+                   interpret: bool = False) -> SlotState:
+    """One kernel round: ``steps`` masked iterations per lane, tiled over
+    the batch in 128-lane programs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    K = s.E.shape[0]
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    const = [s.M, s.dupper, s.dlower, s.scaling, s.immut, s.simm,
+             s.fbound]
+    in_state = [s.act_up, s.act_lo, s.W, s.E, s.dsl, s.used, s.sid,
+                s.slo, s.lam, s.lam_star, s.pend, s.prow, s.plam, s.plo,
+                s.pid, s.pdd, s.u, s.fval, s.best_fval, s.cycle,
+                s.repaired, s.iterations, s.status]
+    big = {2, 3}                      # W, E indices within in_state
+    in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
+        + [any_spec for _ in in_state]
+    out_specs = tuple(any_spec if i in big else spec(a.shape)
+                      for i, a in enumerate(in_state))
+    out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in in_state)
+    scratch_shapes = [pltpu.VMEM((K, K, LANES), jnp.float32),
+                      pltpu.VMEM((K, n, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32)]
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_kernel_body, st, m, n, K, n_true, steps,
+                               bool(interpret))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(*const, *in_state)
+    return s._replace(
+        act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
+        used=outs[5], sid=outs[6], slo=outs[7], lam=outs[8],
+        lam_star=outs[9], pend=outs[10], prow=outs[11], plam=outs[12],
+        plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
+        fval=outs[17], best_fval=outs[18], cycle=outs[19],
+        repaired=outs[20], iterations=outs[21], status=outs[22])
+
+
+# ---------------------------------------------------------------------------
+# JAX driver: init, bulk activation, between-round repair, outer loop
+# ---------------------------------------------------------------------------
+_HI = lax.Precision.HIGHEST
+
+
+def slot_init(M_b, du_b, dl_b, sc_b, immut_b, n_true: int,
+              fbound_b=None) -> SlotState:
+    """Build lanes-last slot state from batch-leading LDP data
+    ((B, m, n), (B, m), ...).  K = n_true + 1 slots, padded to a multiple
+    of 8; m and n are zero-padded to multiples of 8 (TPU DMA tiling)."""
+    B, m, n = M_b.shape
+    f32 = jnp.float32
+    mp = (-m) % 8
+    np_ = (-n) % 8
+    if mp or np_:
+        M_b = jnp.pad(M_b, ((0, 0), (0, mp), (0, np_)))
+        big = jnp.asarray(DAQP_INF, du_b.dtype)
+        du_b = jnp.pad(du_b, ((0, 0), (0, mp)), constant_values=big)
+        dl_b = jnp.pad(dl_b, ((0, 0), (0, mp)), constant_values=-big)
+        sc_b = jnp.pad(sc_b, ((0, 0), (0, mp)), constant_values=1.0)
+        immut_b = jnp.pad(immut_b, ((0, 0), (0, mp)), constant_values=1.0)
+        m, n = m + mp, n + np_
+    K = n_true + 1 + ((-(n_true + 1)) % 8)
+    if fbound_b is None:
+        fbound_b = jnp.full((B,), DAQP_INF, f32)
+    T = lambda x: jnp.moveaxis(x, 0, -1)
+    z_m = jnp.zeros((m, B), f32)
+    z_K = jnp.zeros((K, B), f32)
+    z1 = jnp.zeros((1, B), f32)
+    return SlotState(
+        M=T(M_b).astype(f32), dupper=T(du_b).astype(f32),
+        dlower=T(dl_b).astype(f32), scaling=T(sc_b).astype(f32),
+        immut=T(immut_b).astype(f32),
+        fbound=fbound_b.astype(f32).reshape(1, B),
+        act_up=z_m, act_lo=z_m,
+        W=jnp.zeros((K, n, B), f32), E=jnp.zeros((K, K, B), f32),
+        dsl=z_K, used=z_K, sid=z_K - 1.0, slo=z_K, simm=z_K,
+        lam=z_K, lam_star=z_K,
+        pend=z1, prow=jnp.zeros((n, B), f32), plam=z1, plo=z1,
+        pid=z1 - 1.0, pdd=z1,
+        u=jnp.zeros((n, B), f32), fval=z1, best_fval=z1 - 1.0,
+        cycle=z1, repaired=z1, iterations=z1,
+        status=jnp.full((1, B), EXIT_RUNNING, jnp.int32))
+
+
+def _slot_gram(s: SlotState, reg: float = 0.0):
+    """G = W W' on used slots, identity on free slots; (B, K, K)."""
+    G = jnp.einsum('kjb,ljb->klb', s.W, s.W, precision=_HI)
+    um = s.used
+    G = G * (um[:, None, :] * um[None, :, :])
+    K = s.E.shape[0]
+    eye = jnp.eye(K, dtype=G.dtype)[:, :, None]
+    return jnp.moveaxis(G + eye * (1.0 - um)[None, :, :], -1, 0)
+
+
+def slot_activate(s: SlotState, up_mask, lo_mask, st: Settings,
+                  lam0_m=None) -> SlotState:
+    """Bulk-activate a prescribed starting set (equalities and warm
+    starts; ``daqp_activate_constraints``, auxiliary.c:398-478): pack the
+    flagged rows into the first slots and build the inverse Gram with ONE
+    batched (B, K, K) Cholesky — ~(m/K)^2 cheaper than the dense-mask
+    activation.  A lane whose set is numerically dependent is parked
+    EXIT_REFACTOR for the driver's exact repair / caller fallback.
+
+    ``up_mask``/``lo_mask`` are (m, B) lanes-last 0/1; ``lam0_m`` is an
+    optional (m, B) initial dual (defaults to +/-1 by side)."""
+    dtype = s.E.dtype
+    m, _, B = s.M.shape
+    K = s.E.shape[0]
+    up = up_mask.astype(dtype)
+    lo = lo_mask.astype(dtype)
+    act = jnp.minimum(up + lo, 1.0)
+    # slot index of row i = exclusive running count of active rows; the
+    # one-hot S[i, k] = act_i * (rank_i == k) packs actives into slots
+    rank = jnp.cumsum(act, axis=0) - act                  # (m, B)
+    iota_K = jnp.arange(K, dtype=dtype)
+    S = act[:, None, :] * (rank[:, None, :]
+                           == iota_K[None, :, None]).astype(dtype)
+    # overflow guard: rows ranked beyond K-1 are dropped from the table
+    nact = jnp.sum(act, axis=0)                           # (B,)
+    W = jnp.einsum('mkb,mjb->kjb', S, s.M, precision=_HI)
+    d_m = up * s.dupper + lo * s.dlower
+    dsl = jnp.einsum('mkb,mb->kb', S, d_m, precision=_HI)
+    iota_m = jnp.arange(m, dtype=dtype)
+    sid = jnp.einsum('mkb,mb->kb', S, iota_m[:, None]
+                     * jnp.ones((1, B), dtype), precision=_HI)
+    used = (iota_K[:, None] < jnp.minimum(nact, K)[None, :]).astype(dtype)
+    sid = sid * used - (1.0 - used)
+    slo = jnp.einsum('mkb,mb->kb', S, lo, precision=_HI)
+    simm = jnp.einsum('mkb,mb->kb', S, s.immut, precision=_HI)
+    lam0_src = (up - lo) if lam0_m is None else lam0_m
+    lam0 = jnp.einsum('mkb,mb->kb', S, lam0_src, precision=_HI)
+    s2 = s._replace(W=W, used=used, sid=sid, slo=slo, simm=simm,
+                    dsl=dsl, act_up=up, act_lo=lo, lam=lam0)
+    G = _slot_gram(s2)
+    from .pallas_batch import _batched_gram_inverse
+    E, ok_lane = _batched_gram_inverse(G, st)
+    ok_lane = ok_lane & (nact <= K)
+    E = jnp.moveaxis(E, 0, -1) * (used[:, None, :] * used[None, :, :])
+    status = jnp.where(ok_lane[None, :], s.status, EXIT_REFACTOR)
+    return s2._replace(E=E, status=status.astype(jnp.int32))
+
+
+def exact_repair(s: SlotState, st: Settings) -> SlotState:
+    """Exact refactorization of E for parked / cycling lanes — the
+    escape hatch for the kernel's deletion-pivot guard and the one-shot
+    cycle repair (daqp.c:66-85), a (B, K, K) Cholesky in slot space."""
+    from .pallas_batch import _batched_gram_inverse
+    um = s.used
+    G = _slot_gram(s)
+    parked = s.status[0] == EXIT_REFACTOR
+    cyc = (s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0)
+    need = parked | cyc
+    E_exact, exact_ok = _batched_gram_inverse(G, st)
+    fix = need & exact_ok
+    Eb = jnp.where(fix[:, None, None], E_exact,
+                   jnp.moveaxis(s.E, -1, 0))
+    E2 = jnp.moveaxis(Eb, 0, -1) * (um[:, None, :] * um[None, :, :])
+    status = jnp.where(fix[None, :], EXIT_RUNNING, s.status)
+    status = jnp.where((parked & ~exact_ok)[None, :], EXIT_CYCLE, status)
+    # a cycling lane's pending constraint is dropped and re-priced
+    drop = (cyc & exact_ok)[None, :].astype(s.pend.dtype)
+    return s._replace(
+        E=E2, status=status.astype(jnp.int32),
+        pend=s.pend * (1 - drop),
+        repaired=jnp.minimum(s.repaired + (cyc & exact_ok)[None, :], 1.0),
+        cycle=s.cycle * (1 - fix[None, :]),
+        best_fval=jnp.where(fix[None, :], -1.0, s.best_fval))
+
+
+def repair_needed(s: SlotState):
+    return (s.status[0] == EXIT_REFACTOR) \
+        | ((s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0))
+
+
+def newton_refresh(s: SlotState) -> SlotState:
+    """One Newton step E <- E(2I - G E) of the inverse Gram against the
+    exactly-rebuilt slot Gram (two batched (B, K, K) GEMMs on the MXU) —
+    the scheduled drift repair of ``ldp_flat.flat_refresh`` (the role of
+    the reference's refactorization, daqp.c:32-46).  Guarded by the
+    contraction condition ||G E - I|| < 1/2; lanes outside the basin are
+    left for the exact repair.  Without this, ~20 f32 rank-one updates on
+    an ill-conditioned working set leave E with O(1e-3) relative drift
+    and the refinement in ``polish`` corrects through a wrong inverse
+    (observed: a semidefinite-prox lane converging to a point 5e-2 from
+    the optimum with a CLEAN exit flag)."""
+    um = s.used
+    G = jnp.moveaxis(_slot_gram(s), 0, -1)                # (K, K, B)
+    K = s.E.shape[0]
+    eye = jnp.eye(K, dtype=s.E.dtype)[:, :, None]
+    Iu = eye * um[None, :, :]
+    P = jnp.einsum('ikb,kjb->ijb', G, s.E, precision=_HI)
+    resid = jnp.max(jnp.abs(P - Iu), axis=(0, 1))          # (B,)
+    E_new = jnp.einsum('ikb,kjb->ijb', s.E, 2.0 * Iu - P,
+                       precision=_HI)
+    E_new = E_new * (um[:, None, :] * um[None, :, :])
+    okf = (resid < 0.5).astype(s.E.dtype)[None, None, :]
+    return s._replace(E=okf * E_new + (1.0 - okf) * s.E)
+
+
+def polish(s: SlotState, st: Settings) -> SlotState:
+    """One iterative-refinement step of (lam*, u) for optimal lanes plus
+    a re-price that re-opens a lane if a violation survives
+    (auxiliary.c:497-588 + daqp.c:47-63), in slot space.  E is
+    Newton-polished against the exact Gram first so the refinement
+    corrects through a tight inverse."""
+    s = newton_refresh(s)
+    is_opt = s.status[0] == EXIT_OPTIMAL
+    r = (jnp.sum(s.W * s.u[None, :, :], axis=1) - s.dsl) * s.used
+    dlam = jnp.sum(s.E * r[None, :, :], axis=1)
+    okl = is_opt & jnp.all(jnp.isfinite(dlam), axis=0)
+    step = jnp.where(okl[None, :], dlam * s.used, 0)
+    lam_star = s.lam_star + step
+    u2 = s.u - jnp.sum(s.W * step[:, None, :], axis=0)
+    u2 = jnp.where(okl[None, :], u2, s.u)
+    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True)
+    mu = jnp.sum(s.M * u2[None, :, :], axis=1)
+    act = s.act_up + s.act_lo
+    blocked = (act > 0) | (s.immut > 0)
+    viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
+            | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
+    reopen = okl & jnp.any(viol, axis=0)
+    return s._replace(
+        lam_star=jnp.where(okl[None, :], lam_star, s.lam_star),
+        u=u2,
+        fval=jnp.where(okl[None, :], fv2, s.fval),
+        status=jnp.where(reopen[None, :], EXIT_RUNNING,
+                         s.status).astype(jnp.int32))
+
+
+def slot_solve(s: SlotState, st: Settings, n_true: int = None,
+               steps: int = 192, max_rounds: int = 16,
+               interpret: bool = False) -> SlotState:
+    """Kernel rounds until every lane is terminal; exact repair runs only
+    when some lane needs it; refinement polish after convergence with up
+    to two bounded re-open cycles (same round structure as
+    ``pallas_batch.dense_solve``)."""
+    iter_limit = jnp.minimum(
+        jnp.asarray(st.iter_limit, jnp.float32),
+        jnp.asarray(steps * max_rounds, jnp.float32))
+    nt = (s.W.shape[1] if n_true is None else n_true)
+    s = lax.cond(jnp.any(repair_needed(s)),
+                 lambda s: exact_repair(s, st), lambda s: s, s)
+
+    def rounds(c):
+        r, s = c
+
+        def cond(c):
+            r, s = c
+            return (r < max_rounds) & jnp.any(
+                (s.status == EXIT_RUNNING) & (s.iterations < iter_limit))
+
+        def body(c):
+            r, s = c
+            s = run_slot_round(s, st, nt, steps=steps,
+                               interpret=interpret)
+            s = lax.cond(jnp.any(repair_needed(s)),
+                         lambda s: exact_repair(s, st), lambda s: s, s)
+            return r + 1, s
+
+        return lax.while_loop(cond, body, (r, s))
+
+    r, s = rounds((jnp.zeros((), jnp.int32), s))
+    for _ in range(2):
+        s = polish(s, st)
+        r, s = rounds((r, s))
+
+    done_running = (s.status == EXIT_RUNNING) | (s.status == EXIT_REFACTOR)
+    return s._replace(status=jnp.where(
+        done_running & (s.iterations >= iter_limit),
+        EXIT_ITERLIMIT,
+        jnp.where(done_running, EXIT_CYCLE, s.status)).astype(jnp.int32))
+
+
+def slot_refresh_bounds(s: SlotState, dupper, dlower) -> SlotState:
+    """Replace the bounds (lanes-last (m, B)) and re-derive the slot
+    table's active-side bound values ``dsl`` from ``sid``/``slo`` — the
+    slot analogue of the reference's UPDATE_d re-update (utils.c:410-455):
+    working set, rows and factorization persist, only d changes (warm
+    MPC/proximal outer loops)."""
+    dtype = s.E.dtype
+    m = s.M.shape[0]
+    iota_m = jnp.arange(m, dtype=dtype)
+    oh = (s.sid[:, None, :] == iota_m[None, :, None]).astype(dtype)
+    du_sel = jnp.einsum('kmb,mb->kb', oh, dupper, precision=_HI)
+    dl_sel = jnp.einsum('kmb,mb->kb', oh, dlower, precision=_HI)
+    dsl = (s.slo * dl_sel + (1.0 - s.slo) * du_sel) * s.used
+    return s._replace(dupper=dupper, dlower=dlower, dsl=dsl)
+
+
+def slot_duals_dense(s: SlotState, m_out: int = None) -> jnp.ndarray:
+    """Scatter slot duals to an (m, B) lanes-last dense dual vector,
+    rescaled by the row normalization (daqp.c:135-138 + api.c:449-453)."""
+    m = s.M.shape[0] if m_out is None else m_out
+    dtype = s.E.dtype
+    iota_m = jnp.arange(m, dtype=dtype)
+    oh = (s.sid[:, None, :] == iota_m[None, :, None]).astype(dtype)
+    lam_m = jnp.einsum('kmb,kb->mb', oh, s.lam_star * s.used,
+                       precision=_HI)
+    return lam_m * s.scaling[:m]

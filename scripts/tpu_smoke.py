@@ -149,6 +149,47 @@ def main():
     print("warm-activation batch:", "FAIL" if len(failures) > nf0
           else "ok", flush=True)
 
+    # --- node-wave MIQP (slot kernel + warm-started waves + bound cut) --
+    nf0 = len(failures)
+    B, n, m, nb = 128, 10, 24, 4
+    rng = np.random.default_rng(31)
+    Q = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(n,
+                                                       dtype=np.float32)
+    f = (8 * rng.standard_normal((B, n))).astype(np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32)
+    bu = (15 * rng.random((B, m))).astype(np.float32)
+    bl = (-15 * rng.random((B, m))).astype(np.float32)
+    A[:, :nb] = 0.0
+    A[:, np.arange(nb), np.arange(nb)] = 1.0
+    bu[:, :nb] = 1.0
+    bl[:, :nb] = 0.0
+    sense = np.zeros((B, m), np.int32)
+    sense[:, :nb] = daqp_tpu.BINARY
+    stm = _as_settings({"iter_limit": 1000}, jnp.float32)
+    res = batch_mod.solve_batch_miqp_pallas_jit(
+        jnp.asarray(H), jnp.asarray(f), jnp.asarray(A), jnp.asarray(bu),
+        jnp.asarray(bl), jnp.asarray(sense), stm, ms=0,
+        bin_ids=tuple(range(nb)))
+    flags = np.asarray(res.exitflag)
+    fv = np.asarray(res.fval)
+    nbad = 0
+    for b in range(0, B, 7):
+        ref = daqp_tpu.quadprog(
+            H[b].astype(np.float64), f[b].astype(np.float64),
+            A[b].astype(np.float64), bu[b].astype(np.float64),
+            bl[b].astype(np.float64), sense[b], ms=0)
+        if int(flags[b]) != int(ref.exitflag):
+            nbad += 1
+        elif int(ref.exitflag) == 1 and \
+                abs(fv[b] - float(ref.fval)) \
+                > 1e-3 * (1 + abs(float(ref.fval))):
+            nbad += 1
+    if nbad:
+        failures.append(f"wave MIQP: {nbad} sampled lanes mismatch")
+    print("wave MIQP batch:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
     if failures:
         print("TPU_SMOKE_FAIL")
         for msg in failures:
