@@ -87,10 +87,14 @@ def solve_batch_jit(H, f, A, bupper, blower, sense, st: Settings,
     return jax.vmap(fn)(H, f, A, bupper, blower, sense)
 
 
-def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
-                    K: int):
+def _solve_one_flat(H, f, A, bupper, blower, sense, sw, ms: int,
+                    st: Settings, K: int, late=None):
     """Single-lane body for the flat (slot-based) batched solver: the
     branch-free hot path (see ``ldp_flat``).
+
+    ``sw`` is an optional per-lane ``SoftWeights`` (raw user units; it is
+    scaling-normalized here exactly like the single-instance path,
+    utils.c:99-110).
 
     Traced under ``jax.default_matmul_precision('highest')``: TPU lowers
     cholesky / triangular_solve (the QP->LDP transform) to blocked
@@ -98,9 +102,23 @@ def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
     for f32 solves (observed 1e-1 primal errors from the transform alone).
     """
     from . import ldp_flat
+    from .types import SOFT, SoftWeights
     ldpd = transform.build_ldp(H, f, A, bupper, blower, sense, ms, st)
+    sw_n = None
+    if sw is not None:
+        dtype = ldpd.M.dtype
+        soft_m = (ldpd.sense & SOFT) > 0
+        sc = ldpd.scaling
+        z = jnp.zeros_like(sc)
+        sw_n = SoftWeights(
+            d_ls=jnp.where(soft_m, jnp.asarray(sw.d_ls, dtype) / sc, z),
+            d_us=jnp.where(soft_m, jnp.asarray(sw.d_us, dtype) / sc, z),
+            rho_ls=jnp.where(soft_m,
+                             jnp.asarray(sw.rho_ls, dtype) * sc * sc, z),
+            rho_us=jnp.where(soft_m,
+                             jnp.asarray(sw.rho_us, dtype) * sc * sc, z))
     s = ldp_flat.flat_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.sense,
-                           ldpd.scaling, K=K)
+                           ldpd.scaling, K=K, sw=sw_n)
     s = ldp_flat.flat_activate(s, st)
     unc_ok, _ = transform.check_unconstrained(
         ldpd._replace(sense=s.sense), st)
@@ -111,6 +129,11 @@ def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
                     jnp.where(s.status != EXIT_RUNNING, s.status,
                               jnp.where(unc_ok, EXIT_OPTIMAL,
                                         EXIT_RUNNING)))
+    if late is not None:
+        # chunk-granularity wall-clock bound: a chunk starting past the
+        # deadline returns EXIT_TIMELIMIT instead of solving
+        from .types import EXIT_TIMELIMIT
+        pre = jnp.where(late & (pre == EXIT_RUNNING), EXIT_TIMELIMIT, pre)
     s = s._replace(status=pre.astype(jnp.int32))
     s = ldp_flat.flat_solve(s, st)
 
@@ -124,26 +147,46 @@ def _solve_one_flat(H, f, A, bupper, blower, sense, ms: int, st: Settings,
 
 def _flat_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                      ms: int = 0, K: Optional[int] = None,
-                     lane_chunk: int = 512) -> BatchResult:
+                     lane_chunk: int = 512, sw=None,
+                     deadline=None) -> BatchResult:
     """Traceable core of the flat batched solve (called directly by the
     sharded path inside ``shard_map``; jitted by ``solve_batch_flat_jit``).
+
+    ``sw``: optional batched ``SoftWeights`` with (B, m) fields —
+    SOFT_WEIGHTS slack-bound semantics on the batched tier
+    (auxiliary.c:199-274).
+
+    ``deadline``: optional absolute perf_counter seconds (traced f64);
+    the wall clock is checked once per 512-lane CHUNK (io_callback
+    cannot run under the per-lane vmap) — chunks starting past it
+    return per-lane EXIT_TIMELIMIT (daqp.c:95-103 at batch granularity).
     """
     n = A.shape[-1]
     if K is None:
         K = n + 1
     fn = functools.partial(_solve_one_flat, ms=ms, st=st, K=K)
     B = H.shape[0]
+
+    def late_now():
+        from .utils.timers import now_callback
+        return now_callback() > deadline
+
     with jax.default_matmul_precision('highest'):
         if B <= lane_chunk or B % lane_chunk != 0:
-            return jax.vmap(fn)(H, f, A, bupper, blower, sense)
+            late = None if deadline is None else late_now()
+            return jax.vmap(functools.partial(fn, late=late))(
+                H, f, A, bupper, blower, sense, sw)
         C = B // lane_chunk
 
         def chunk(args):
-            return jax.vmap(fn)(*args)
+            late = None if deadline is None else late_now()
+            return jax.vmap(functools.partial(fn, late=late))(*args)
 
-        parts = jax.lax.map(chunk, tuple(
-            x.reshape((C, lane_chunk) + x.shape[1:])
-            for x in (H, f, A, bupper, blower, sense)))
+        data = tuple(x.reshape((C, lane_chunk) + x.shape[1:])
+                     for x in (H, f, A, bupper, blower, sense))
+        sw_c = None if sw is None else jax.tree_util.tree_map(
+            lambda x: x.reshape((C, lane_chunk) + x.shape[1:]), sw)
+        parts = jax.lax.map(chunk, data + (sw_c,))
         return jax.tree_util.tree_map(
             lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
@@ -151,7 +194,8 @@ def _flat_batch_core(H, f, A, bupper, blower, sense, st: Settings,
 @functools.partial(jax.jit, static_argnames=("ms", "K", "lane_chunk"))
 def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
                          ms: int = 0, K: Optional[int] = None,
-                         lane_chunk: int = 512) -> BatchResult:
+                         lane_chunk: int = 512, sw=None,
+                         deadline=None) -> BatchResult:
     """Jitted batched strictly-convex QP solve on the flat hot path.
 
     The batch is processed in vmapped chunks of ``lane_chunk`` lanes via
@@ -164,14 +208,19 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
 
     For batches with SOFT constraints pass ``K = n + max_ns + 1`` (see
     ``solve_batch_jit``); the ``solve_batch`` wrapper computes it.
+    ``sw``: optional batched ``SoftWeights`` ((B, m) fields) for
+    SOFT_WEIGHTS slack-bound semantics (auxiliary.c:199-274).
+    ``deadline``: optional absolute wall-clock deadline (see
+    ``_flat_batch_core``).
     """
     return _flat_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
-                            K=K, lane_chunk=lane_chunk)
+                            K=K, lane_chunk=lane_chunk, sw=sw,
+                            deadline=deadline)
 
 
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                            ms: int = 0, interpret: bool = False,
-                           has_soft=None) -> BatchResult:
+                           has_soft=None, deadline=None) -> BatchResult:
     """Batched strictly-convex QP solve on the Pallas mega-kernel path
     (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
     in 128-lane tiles; numerical repair runs between kernel rounds on the
@@ -198,21 +247,25 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                 "has_soft=True/False explicitly when calling under jit")
     return _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st,
                                     ms=ms, interpret=interpret,
-                                    has_soft=bool(has_soft))
+                                    has_soft=bool(has_soft),
+                                    deadline=deadline)
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
                                              "has_soft"))
 def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
                              ms: int = 0, interpret: bool = False,
-                             has_soft: bool = False) -> BatchResult:
+                             has_soft: bool = False,
+                             deadline=None) -> BatchResult:
     return _pallas_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
-                              interpret=interpret, has_soft=has_soft)
+                              interpret=interpret, has_soft=has_soft,
+                              deadline=deadline)
 
 
 def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                        ms: int = 0, interpret: bool = False,
-                       has_soft: bool = False) -> BatchResult:
+                       has_soft: bool = False,
+                       deadline=None) -> BatchResult:
     """Traceable core of the Pallas-kernel batched solve (called directly
     by the sharded path inside ``shard_map``)."""
     from .ops import pallas_batch as pb
@@ -241,7 +294,7 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         sense = padded(sense, jnp.zeros((mm,), jnp.int32))
         out = _pallas_batch_core(H, f, A, bupper, blower, sense, st,
                                  ms=ms, interpret=interpret,
-                                 has_soft=has_soft)
+                                 has_soft=has_soft, deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     # 'high' (3-pass bf16, ~f32 accurate) for the decomposition internals
     # (cholesky/triangular expanders follow the context); the numerically
@@ -317,7 +370,7 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                                                          st),
                              lambda s: s, s)
             s = pb.dense_solve(s, st, n_true=n, interpret=interpret,
-                               has_soft=True)
+                               has_soft=True, deadline=deadline)
             act = s.act_up + s.act_lo
             lam = jnp.moveaxis(s.lam_star * act * s.scaling,
                                -1, 0)[:, :m]
@@ -334,7 +387,8 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                              lambda s: ps.slot_activate(s, up_l, lo_l,
                                                         st),
                              lambda s: s, s)
-            s = ps.slot_solve(s, st, n_true=n, interpret=interpret)
+            s = ps.slot_solve(s, st, n_true=n, interpret=interpret,
+                              deadline=deadline)
             lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m]
             slack = jnp.zeros((H.shape[0],), jnp.float32)
 
@@ -357,7 +411,8 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
 def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 interpret: bool = False,
-                                max_outer: int = 200) -> BatchResult:
+                                max_outer: int = 200,
+                                deadline=None) -> BatchResult:
     """Batched semidefinite-H QP solve: proximal-point outer loop on the
     Pallas kernel tier (``daqp_prox.c`` full-shift regime, batched).
 
@@ -393,7 +448,8 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
             padded(bupper, jnp.ones((m,))),
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
-            st, ms=ms, interpret=interpret, max_outer=max_outer)
+            st, ms=ms, interpret=interpret, max_outer=max_outer,
+            deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
 
     f32 = jnp.float32
@@ -443,7 +499,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                 best_fval=jnp.zeros_like(s.best_fval) - 1.0,
                 pend=s.pend * (1.0 - lane_run[None, :]))
             return ps.slot_solve(s, st, n_true=n, steps=64,
-                                 interpret=interpret)
+                                 interpret=interpret, deadline=deadline)
 
         fz = f.astype(f32)
 
@@ -517,7 +573,8 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 bin_ids: tuple = (),
                                 interpret: bool = False,
-                                max_waves: int = 512) -> BatchResult:
+                                max_waves: int = 512,
+                                deadline=None) -> BatchResult:
     """Batched MIQP branch-and-bound with node relaxations solved as
     whole-batch Pallas kernel WAVES.
 
@@ -576,7 +633,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, bin_ids=bin_ids, interpret=interpret,
-            max_waves=max_waves)
+            max_waves=max_waves, deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
 
     f32 = jnp.float32
@@ -703,7 +760,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             s = s._replace(status=jnp.where(
                 live[None, :], s.status, EXIT_OPTIMAL).astype(jnp.int32))
             s = ps.slot_solve(s, st, n_true=n, steps=64,
-                              interpret=interpret)
+                              interpret=interpret, deadline=deadline)
 
             flag = s.status[0]
             fldp = s.fval[0]
@@ -946,7 +1003,14 @@ def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
     if settings is None:
         from .api import _as_settings
         settings = _as_settings(None, dtype)
+    # wall-clock limit: absolute deadline computed host-side at entry
+    # (daqp.c:95-103 analogue; checked at chunk granularity)
+    deadline = None
+    if float(settings.time_limit) > 0:
+        import time
+        deadline = jnp.asarray(time.perf_counter()
+                               + float(settings.time_limit), jnp.float64)
     return solve_batch_flat_jit(H, jnp.asarray(f), jnp.asarray(A),
                                 jnp.asarray(bupper), jnp.asarray(blower),
                                 jnp.asarray(sense), settings, ms=ms,
-                                K=int(n) + max_ns + 1)
+                                K=int(n) + max_ns + 1, deadline=deadline)

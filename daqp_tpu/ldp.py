@@ -157,12 +157,22 @@ def _delete_at(arr, pos, axis=0):
 # ---------------------------------------------------------------------------
 # working-set / inverse-Gram maintenance
 # ---------------------------------------------------------------------------
-def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
+def add_constraint(state: LDPState, idx, lam_val, st: Settings,
+                   sw_free=None) -> LDPState:
     """Bordered-inverse constraint addition.
 
     Mirrors ``daqp_add_constraint`` + ``daqp_update_LDL_add``
     (auxiliary.c:27-44, factorization.c:7-98); the Schur complement computed
     here equals the new LDL pivot D[k] for the current ordering.
+
+    ``sw_free`` (SOFT_WEIGHTS only): traced bool overriding the derived
+    slack FREE/FIXED state.  The blocking re-add passes the FLIPPED
+    previous state: deriving it from lam alone (the reference's test,
+    auxiliary.c:30-36 with the 0.1%% overshoot) is degenerate when the
+    blocking step is exactly zero — the dual sits AT the transition, the
+    multiplicative overshoot is 0, the same state is re-derived and the
+    remove/re-add pair loops forever (observed on a random instance).
+    For every nonzero-step re-add the flip equals the derived state.
     """
     K = state.E.shape[0]
     n = state.M.shape[1]
@@ -179,6 +189,8 @@ def add_constraint(state: LDPState, idx, lam_val, st: Settings) -> LDPState:
         lam_v = jnp.asarray(lam_val, mi.dtype)
         slack_free = jnp.where(is_lo, lam_v <= -state.sw.d_ls[idx],
                                lam_v >= state.sw.d_us[idx])
+        if sw_free is not None:
+            slack_free = jnp.asarray(sw_free, bool)
         rho_side = jnp.where(is_lo, state.sw.rho_ls[idx],
                              state.sw.rho_us[idx])
         contributes = is_soft & slack_free
@@ -371,9 +383,30 @@ def remove_blocking(state: LDPState, st: Settings
     skip_up_free = (p > -st.dual_tol) | (ls_star >= d_us_w)
     skip_up_fix = ((ls_star >= -st.dual_tol)
                    & (ls_star <= st.dual_tol + d_us_w) & ~state.sing)
+    # Kink guard: when the two slack regimes DISAGREE at the transition
+    # (FIXED-CSP pushes the dual past the bound while FREE-CSP pulls it
+    # back), the 1-D optimum is exactly lam = bound; the reference's
+    # remove/re-add with multiplicative overshoot (auxiliary.c:254) then
+    # oscillates with geometrically decaying amplitude to a ZERO step and
+    # freezes the whole dual vector (reproduced; the reference build has
+    # the same latent loop).  A soft row whose dual sits at its
+    # transition, in the crossing direction, is at its coordinate optimum
+    # — exclude it from the search (genuine deactivations cross at 0, not
+    # at the bound, and stay eligible).
+    eps_k = jnp.asarray(64 * jnp.finfo(state.lam.dtype).eps,
+                        state.lam.dtype)
+    ktol_us = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(d_us_w)))
+    ktol_ls = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(d_ls_w)))
+    at_us = jnp.abs(state.lam - d_us_w) <= ktol_us
+    at_ls = jnp.abs(state.lam + d_ls_w) <= ktol_ls
+    is_soft_w = (sw & SOFT) > 0
+    kink = is_soft_w & jnp.where(
+        is_lower,
+        at_ls & jnp.where(free, True, p < 0),
+        at_us & jnp.where(free, True, p > 0))
     skip = jnp.where(is_lower,
                      jnp.where(free, skip_lo_free, skip_lo_fix),
-                     jnp.where(free, skip_up_free, skip_up_fix))
+                     jnp.where(free, skip_up_free, skip_up_fix)) | kink
     lam_slack = state.lam + jnp.where(
         is_lower,
         jnp.where(free, d_ls_w, jnp.where(p < 0, d_ls_w, 0.0)),
@@ -392,11 +425,15 @@ def remove_blocking(state: LDPState, st: Settings
         ls_rm = lam_new[rm_pos]
         was_lower = (s.sense[rm_id] & LOWER) > 0
         was_soft = (s.sense[rm_id] & SOFT) > 0
+        was_fixed = (s.sense[rm_id] & SLACK_FIXED) > 0
         s = remove_constraint(s._replace(lam=lam_new), rm_pos, st)
         crossed_out = jnp.where(was_lower, ls_rm > 0, ls_rm < 0)
         readd = was_soft & ~s.sing & ~crossed_out
+        # re-enter with the FLIPPED FIXED/FREE state (robust when the
+        # blocking step is zero — see add_constraint docstring)
         return lax.cond(readd,
-                        lambda s: add_constraint(s, rm_id, ls_rm, st),
+                        lambda s: add_constraint(s, rm_id, ls_rm, st,
+                                                 sw_free=was_fixed),
                         lambda s: s, s)
 
     return found, lax.cond(found, do_remove_sw, lambda s: s, state)

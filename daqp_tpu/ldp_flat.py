@@ -49,7 +49,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, Settings, DAQP_INF,
+from .types import (ACTIVE, IMMUTABLE, LOWER, SOFT, SLACK_FIXED,
+                    Settings, SoftWeights, DAQP_INF,
                     EXIT_CYCLE, EXIT_INFEASIBLE, EXIT_ITERLIMIT,
                     EXIT_OPTIMAL, EXIT_RUNNING, EXIT_SOFT_OPTIMAL)
 
@@ -99,9 +100,18 @@ class FlatState(NamedTuple):
     best_fval: jnp.ndarray    # ()
     repaired: jnp.ndarray     # () bool — one-shot exact-repair used
     status: jnp.ndarray       # () int32
+    # Optional SOFT_WEIGHTS slack data (reference optional build,
+    # types.h:168-180): scaling-NORMALIZED per-row slack bounds and
+    # per-side weights.  When present the SLACK_FIXED sense bit tracks
+    # slacks pinned at their bound and the SOFT_WEIGHTS variants of the
+    # add / CSP / blocking-removal / refinement primitives run
+    # (auxiliary.c:199-274) — static branches, the hard path compiles
+    # unchanged when None.
+    sw: SoftWeights = None
 
 
-def flat_init(M, dupper, dlower, sense, scaling=None, K=None) -> FlatState:
+def flat_init(M, dupper, dlower, sense, scaling=None, K=None,
+              sw: SoftWeights = None) -> FlatState:
     """Fresh workspace, capacity K = n + ns + 1 (reference api.c:288-305)."""
     M = jnp.asarray(M)
     m, n = M.shape
@@ -128,26 +138,55 @@ def flat_init(M, dupper, dlower, sense, scaling=None, K=None) -> FlatState:
         iterations=jnp.zeros((), jnp.int32),
         cycle=jnp.zeros((), jnp.int32), best_fval=z - 1.0,
         repaired=jnp.zeros((), bool),
-        status=jnp.full((), EXIT_RUNNING, jnp.int32))
+        status=jnp.full((), EXIT_RUNNING, jnp.int32),
+        sw=sw)
 
 
 def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
-             add_lower):
+             add_lower, sw_free=None):
     """Masked bordered addition into the first free slot
     (``daqp_update_LDL_add``, factorization.c:7-98: the Schur complement
-    ``sval`` equals the new LDL pivot; singular adds become pending)."""
+    ``sval`` equals the new LDL pivot; singular adds become pending).
+
+    ``sw_free`` (SOFT_WEIGHTS only): ``(override, value)`` traced bools —
+    when ``override`` the slack FREE/FIXED state is forced to ``value``
+    instead of derived from lam (the blocking re-add passes the flipped
+    previous state; see ldp.add_constraint)."""
     K = s.E.shape[0]
     n = s.M.shape[1]
     dtype = s.E.dtype
     is_soft = (s.sense[add_id] & SOFT) > 0
-    dii = _mv(add_row, add_row) + jnp.where(
-        is_soft, jnp.asarray(st.rho_soft, dtype), 0)
+    if s.sw is not None:
+        # SOFT_WEIGHTS slack state machine (auxiliary.c:30-36): a slack
+        # at its bound is FIXED (the row behaves hard); past it the slack
+        # is FREE and its per-side rho lands on the Gram diagonal
+        # (factorization.c:31-40)
+        lam_v = jnp.asarray(add_lam, dtype)
+        slack_free = jnp.where(add_lower, lam_v <= -s.sw.d_ls[add_id],
+                               lam_v >= s.sw.d_us[add_id])
+        if sw_free is not None:
+            slack_free = jnp.where(sw_free[0], sw_free[1], slack_free)
+        rho_side = jnp.where(add_lower, s.sw.rho_ls[add_id],
+                             s.sw.rho_us[add_id])
+        contributes = is_soft & slack_free
+        dii = _mv(add_row, add_row) + jnp.where(contributes, rho_side, 0)
+        fix_bits = jnp.where(slack_free,
+                             s.sense[add_id] & ~SLACK_FIXED,
+                             s.sense[add_id] | SLACK_FIXED)
+    else:
+        contributes = is_soft
+        dii = _mv(add_row, add_row) + jnp.where(
+            is_soft, jnp.asarray(st.rho_soft, dtype), 0)
+        fix_bits = s.sense[add_id]
     g = jnp.where(s.used, _mv(s.Mw, add_row), 0)
     a = _mv(s.E, g)
     sval = dii - _mv(g, a)
     k = jnp.sum(s.used).astype(jnp.int32)
     softmask = s.used & ((s.sense[s.sid] & SOFT) > 0)
-    ns_act = jnp.sum(softmask).astype(jnp.int32) + is_soft.astype(jnp.int32)
+    if s.sw is not None:
+        softmask = softmask & ((s.sense[s.sid] & SLACK_FIXED) == 0)
+    ns_act = jnp.sum(softmask).astype(jnp.int32) \
+        + contributes.astype(jnp.int32)
     # (k >= K): full slot table.  With >= 2 active soft constraints the
     # rank cap n + ns_act can exceed the allocated capacity K (the
     # reference allocates K = n + ns + 1, api.c:288-305; callers that
@@ -163,8 +202,8 @@ def _try_add(s: FlatState, st: Settings, do_add, add_id, add_lam, add_row,
     ok = do_add & ~singular
     make_pend = do_add & singular
 
-    sense_bits = jnp.where(add_lower, s.sense[add_id] | LOWER,
-                           s.sense[add_id] & ~LOWER) | ACTIVE
+    sense_bits = jnp.where(add_lower, fix_bits | LOWER,
+                           fix_bits & ~LOWER) | ACTIVE
     sense = s.sense.at[jnp.where(do_add, add_id, s.M.shape[0])].set(
         sense_bits.astype(jnp.int32), mode='drop')
 
@@ -204,6 +243,14 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
 
     # --- CSP: lam* = -E d_W  (daqp_compute_CSP, auxiliary.c:313-353) ---
     d_W = jnp.where(is_lower, s.dlower[s.sid], s.dupper[s.sid])
+    if s.sw is not None:
+        # free soft slacks shift the CSP right-hand side by their bound
+        # contribution (auxiliary.c:313-332, SOFT_WEIGHTS branch)
+        free_soft_w = ((sw & SOFT) > 0) & ((sw & SLACK_FIXED) == 0)
+        corr = jnp.where(is_lower,
+                         s.sw.rho_ls[s.sid] * s.sw.d_ls[s.sid],
+                         -s.sw.rho_us[s.sid] * s.sw.d_us[s.sid])
+        d_W = d_W + jnp.where(free_soft_w, corr, 0)
     d_W = jnp.where(used, d_W, 0)
     lam_star = -_mv(s.E, d_W)
 
@@ -214,13 +261,55 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
                           jnp.asarray(1.0, dtype))
     sdir = -ap * pend_sign
 
-    # --- blocking min-ratio line search (auxiliary.c:276-311) ---
+    # --- blocking min-ratio line search (auxiliary.c:276-311; the
+    # SOFT_WEIGHTS variant auxiliary.c:199-274 line-searches the SLACK
+    # dual lam + d per side and blocks at the slack-bound transition) ---
     delta = jnp.where(s.pend, sdir, lam_star - s.lam)
     signv = jnp.where(s.pend, sdir, lam_star)
-    infeas = jnp.where(is_lower, signv > st.dual_tol, signv < -st.dual_tol)
-    elig = used & ~immut & infeas
-    ratio = -s.lam / delta
-    cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
+    if s.sw is None:
+        infeas = jnp.where(is_lower, signv > st.dual_tol,
+                           signv < -st.dual_tol)
+        elig = used & ~immut & infeas
+        ratio = -s.lam / delta
+        cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
+    else:
+        d_ls_w = s.sw.d_ls[s.sid]
+        d_us_w = s.sw.d_us[s.sid]
+        free_w = (sw & SLACK_FIXED) == 0
+        p = delta
+        ls_star = signv
+        skip_lo_free = (p < st.dual_tol) \
+            | (ls_star <= -d_ls_w + st.dual_tol)
+        skip_lo_fix = ((ls_star <= st.dual_tol)
+                       & (ls_star + st.dual_tol >= -d_ls_w) & ~s.pend)
+        skip_up_free = (p > -st.dual_tol) | (ls_star >= d_us_w)
+        skip_up_fix = ((ls_star >= -st.dual_tol)
+                       & (ls_star <= st.dual_tol + d_us_w) & ~s.pend)
+        # kink guard: a soft dual sitting exactly at its slack-bound
+        # transition, in the crossing direction, is at its coordinate
+        # optimum — excluding it breaks the zero-step remove/re-add
+        # oscillation (see ldp.remove_blocking)
+        eps_k = jnp.asarray(64 * jnp.finfo(s.lam.dtype).eps, s.lam.dtype)
+        ktol_us = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(d_us_w)))
+        ktol_ls = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(d_ls_w)))
+        at_us = jnp.abs(s.lam - d_us_w) <= ktol_us
+        at_ls = jnp.abs(s.lam + d_ls_w) <= ktol_ls
+        is_soft_w = (sw & SOFT) > 0
+        kink = is_soft_w & jnp.where(
+            is_lower,
+            at_ls & jnp.where(free_w, True, p < 0),
+            at_us & jnp.where(free_w, True, p > 0))
+        skip = jnp.where(is_lower,
+                         jnp.where(free_w, skip_lo_free, skip_lo_fix),
+                         jnp.where(free_w, skip_up_free, skip_up_fix)) \
+            | kink
+        lam_slack = s.lam + jnp.where(
+            is_lower,
+            jnp.where(free_w, d_ls_w, jnp.where(p < 0, d_ls_w, 0.0)),
+            -jnp.where(free_w, d_us_w, jnp.where(p > 0, d_us_w, 0.0)))
+        elig = used & ~immut & ~skip
+        ratio = jnp.maximum(-lam_slack / p, 0.0)
+        cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
     rm_slot = jnp.argmin(cand).astype(jnp.int32)
     do_remove = running & (cand[rm_slot] < BIG)
 
@@ -236,8 +325,17 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     # --- masked deletion (daqp_update_LDL_remove, factorization.c:99-138:
     #     the rank-one E -= e e'/e_rr zeroes the freed row/col exactly) ---
     alpha = jnp.where(do_remove, cand[rm_slot], 0)
+    if s.sw is not None:
+        # step just past the slack-bound transition so the blocker
+        # re-enters with the flipped FIXED/FREE state (auxiliary.c:254)
+        alpha = alpha * 1.001
     lam1 = jnp.where(used, s.lam + alpha * delta, s.lam)
     pend_lam1 = s.pend_lam + jnp.where(s.pend, alpha * pend_sign, 0)
+    # captured for the SOFT_WEIGHTS re-add (auxiliary.c:264-273)
+    ls_rm = lam1[rm_slot]
+    rm_was_soft = (sw[rm_slot] & SOFT) > 0
+    rm_was_lower = is_lower[rm_slot]
+    rm_was_fixed = (sw[rm_slot] & SLACK_FIXED) > 0
     e = s.E[:, rm_slot]
     err = e[rm_slot]
     # f32 mask algebra, NOT i1 outer masks / scalar-bool selects over
@@ -283,7 +381,14 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     lamm = jnp.where(s.used, lam_star, 0)
     u = -_mv(s.Mw.T, lamm)
     softm = s.used & ((s.sense[s.sid] & SOFT) > 0)
-    soft_slack = st.rho_soft * jnp.sum(jnp.where(softm, lam_star ** 2, 0))
+    if s.sw is not None:
+        # per-side weights (auxiliary.c:46-87, SOFT_WEIGHTS branch)
+        rho_w = jnp.where((s.sense[s.sid] & LOWER) > 0,
+                          s.sw.rho_ls[s.sid], s.sw.rho_us[s.sid])
+        soft_slack = jnp.sum(jnp.where(softm, rho_w * lam_star ** 2, 0))
+    else:
+        soft_slack = st.rho_soft * jnp.sum(
+            jnp.where(softm, lam_star ** 2, 0))
     fval = soft_slack + _mv(u, u)
     # dual-objective bound cut (daqp.c:20-23)
     status = jnp.where(price_path & (fval > 2.0 * st.fval_bound),
@@ -327,22 +432,44 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
                    lam_star=jnp.where(running, lam_star, s.lam_star),
                    cycle=cyc.astype(jnp.int32), best_fval=best)
 
-    # --- one masked addition: retry pending after a removal, or add the
-    #     pricing winner (daqp_add_infeasible, auxiliary.c:88-166) ---
+    # --- one masked addition: retry pending after a removal, add the
+    #     pricing winner (daqp_add_infeasible, auxiliary.c:88-166), or —
+    #     SOFT_WEIGHTS only — immediately re-add a removed soft blocker
+    #     whose slack dual has not crossed zero, with the flipped
+    #     FIXED/FREE state (auxiliary.c:264-273; skipped when a pending
+    #     retry claims the slot, matching the early return on sing) ---
     retry_pend = s.pend & do_remove
     price_add = price_path & found_viol & (status == EXIT_RUNNING)
-    do_add = retry_pend | price_add
-    add_id = jnp.where(retry_pend, s.pend_id, j)
-    add_row = jnp.where(retry_pend, s.pend_row, s.M[j])
-    add_lower = jnp.where(retry_pend, s.pend_lower, lo_ok[j])
     one = jnp.asarray(1.0, dtype)
-    add_lam = jnp.where(retry_pend, s.pend_lam,
-                        jnp.where(lo_ok[j], -one, one))
+    if s.sw is not None:
+        crossed = jnp.where(rm_was_lower, ls_rm > 0, ls_rm < 0)
+        sw_readd = do_remove & ~s.pend & rm_was_soft & ~crossed
+        rm_id_c = jnp.clip(rm_id, 0, m - 1)
+        do_add = retry_pend | sw_readd | price_add
+        add_id = jnp.where(retry_pend, s.pend_id,
+                           jnp.where(sw_readd, rm_id_c, j))
+        add_row = jnp.where(retry_pend, s.pend_row,
+                            jnp.where(sw_readd, s.M[rm_id_c], s.M[j]))
+        add_lower = jnp.where(retry_pend, s.pend_lower,
+                              jnp.where(sw_readd, rm_was_lower, lo_ok[j]))
+        add_lam = jnp.where(
+            retry_pend, s.pend_lam,
+            jnp.where(sw_readd, ls_rm,
+                      jnp.where(lo_ok[j], -one, one)))
+    else:
+        do_add = retry_pend | price_add
+        add_id = jnp.where(retry_pend, s.pend_id, j)
+        add_row = jnp.where(retry_pend, s.pend_row, s.M[j])
+        add_lower = jnp.where(retry_pend, s.pend_lower, lo_ok[j])
+        add_lam = jnp.where(retry_pend, s.pend_lam,
+                            jnp.where(lo_ok[j], -one, one))
     # On the new-lam path the reference promotes lam <- lam* before adding
     # (auxiliary.c:158-159)
     lam2 = jnp.where(price_add, jnp.where(s.used, lam_star, 0), s.lam)
     s = s._replace(lam=lam2, pend=s.pend & ~retry_pend)
-    s = _try_add(s, st, do_add, add_id, add_lam, add_row, add_lower)
+    s = _try_add(s, st, do_add, add_id, add_lam, add_row, add_lower,
+                 sw_free=None if s.sw is None
+                 else (sw_readd, rm_was_fixed))
 
     return s._replace(
         status=status,
@@ -355,7 +482,17 @@ def flat_gram(s: FlatState, st: Settings):
     dtype = s.E.dtype
     G = jnp.matmul(s.Mw, s.Mw.T, precision=_HI)
     softm = s.used & ((s.sense[s.sid] & SOFT) > 0)
-    G = G + jnp.diag(jnp.where(softm, jnp.asarray(st.rho_soft, dtype), 0))
+    if s.sw is not None:
+        # only FREE soft slacks sit on the Gram diagonal, with per-side
+        # weights (factorization.c:31-40, SOFT_WEIGHTS branch)
+        sw_bits = s.sense[s.sid]
+        softm = softm & ((sw_bits & SLACK_FIXED) == 0)
+        rho_w = jnp.where((sw_bits & LOWER) > 0,
+                          s.sw.rho_ls[s.sid], s.sw.rho_us[s.sid])
+        G = G + jnp.diag(jnp.where(softm, rho_w, 0))
+    else:
+        G = G + jnp.diag(jnp.where(softm,
+                                   jnp.asarray(st.rho_soft, dtype), 0))
     um = s.used
     G = jnp.where(um[:, None] & um[None, :], G, 0)
     return G + jnp.diag(jnp.where(um, 0.0, 1.0).astype(dtype))
@@ -435,7 +572,18 @@ def flat_polish(s: FlatState, st: Settings) -> FlatState:
     d_W = jnp.where(used, d_W, 0)
     r = _mv(s.Mw, s.u) - d_W
     softm = used & ((sw & SOFT) > 0)
-    r = r - jnp.where(softm, st.rho_soft * s.lam_star, 0)
+    if s.sw is not None:
+        # free soft slacks: per-side weight + slack-bound term in the
+        # refinement residual (auxiliary.c:522-533)
+        free_soft = softm & ((sw & SLACK_FIXED) == 0)
+        rho_w = jnp.where((sw & LOWER) > 0,
+                          s.sw.rho_ls[s.sid], s.sw.rho_us[s.sid])
+        d_slack = jnp.where((sw & LOWER) > 0, s.sw.d_ls[s.sid],
+                            -s.sw.d_us[s.sid])
+        r = r - jnp.where(free_soft,
+                          rho_w * (s.lam_star + d_slack), 0)
+    else:
+        r = r - jnp.where(softm, st.rho_soft * s.lam_star, 0)
     r = jnp.where(used, r, 0)
     dlam = _mv(s.E, r)
     ok = is_opt & jnp.all(jnp.isfinite(dlam))
@@ -443,8 +591,13 @@ def flat_polish(s: FlatState, st: Settings) -> FlatState:
     u = s.u - _mv(s.Mw.T, jnp.where(used, dlam, 0))
     lam_star = jnp.where(ok, lam_star, s.lam_star)
     u2 = jnp.where(ok, u, s.u)
-    soft_slack = st.rho_soft * jnp.sum(
-        jnp.where(softm, lam_star ** 2, 0))
+    if s.sw is not None:
+        rho_w2 = jnp.where((sw & LOWER) > 0,
+                           s.sw.rho_ls[s.sid], s.sw.rho_us[s.sid])
+        soft_slack = jnp.sum(jnp.where(softm, rho_w2 * lam_star ** 2, 0))
+    else:
+        soft_slack = st.rho_soft * jnp.sum(
+            jnp.where(softm, lam_star ** 2, 0))
     fval = soft_slack + _mv(u2, u2)
 
     # re-price: any remaining violation re-opens the lane

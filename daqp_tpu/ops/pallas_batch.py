@@ -762,7 +762,8 @@ def polish(s: DenseState, st: Settings) -> DenseState:
 def dense_solve(s: DenseState, st: Settings, n_true: int = None,
                 steps: int = 192,
                 max_rounds: int = 16, interpret: bool = False,
-                warm: bool = False, has_soft: bool = True) -> DenseState:
+                warm: bool = False, has_soft: bool = True,
+                deadline=None) -> DenseState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane actually needs it (a real branch at batch level — a
     whole-batch lax.cond, unlike per-lane conds under vmap); refinement
@@ -786,6 +787,20 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
     s = lax.cond(jnp.any(repair_needed(s)),
                  lambda s: exact_repair(s, st), lambda s: s, s)
 
+    def check_deadline(s):
+        # wall-clock check between kernel ROUNDS (daqp.c:95-103 analogue);
+        # deadline=None (static) compiles the host callback out
+        if deadline is None:
+            return s
+        from ..utils.timers import now_callback
+        from ..types import EXIT_TIMELIMIT
+        t = now_callback()
+        return s._replace(status=jnp.where(
+            (t > deadline) & (s.status == EXIT_RUNNING),
+            EXIT_TIMELIMIT, s.status).astype(jnp.int32))
+
+    s = check_deadline(s)
+
     def rounds(c):
         r, s = c
 
@@ -800,6 +815,7 @@ def dense_solve(s: DenseState, st: Settings, n_true: int = None,
                                  interpret=interpret, has_soft=has_soft)
             s = lax.cond(jnp.any(repair_needed(s)),
                          lambda s: exact_repair(s, st), lambda s: s, s)
+            s = check_deadline(s)
             return r + 1, s
 
         return lax.while_loop(cond, body, (r, s))

@@ -685,17 +685,35 @@ def polish(s: SlotState, st: Settings) -> SlotState:
 
 def slot_solve(s: SlotState, st: Settings, n_true: int = None,
                steps: int = 192, max_rounds: int = 16,
-               interpret: bool = False) -> SlotState:
+               interpret: bool = False, deadline=None) -> SlotState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane needs it; refinement polish after convergence with up
     to two bounded re-open cycles (same round structure as
-    ``pallas_batch.dense_solve``)."""
+    ``pallas_batch.dense_solve``).
+
+    ``deadline`` (absolute perf_counter seconds, traced f64 scalar)
+    enables a wall-clock check between kernel ROUNDS (the batch analogue
+    of the reference's every-32-iterations check, daqp.c:95-103): lanes
+    still running past it exit EXIT_TIMELIMIT.  None (static) compiles
+    the host callback out entirely."""
     iter_limit = jnp.minimum(
         jnp.asarray(st.iter_limit, jnp.float32),
         jnp.asarray(steps * max_rounds, jnp.float32))
     nt = (s.W.shape[1] if n_true is None else n_true)
     s = lax.cond(jnp.any(repair_needed(s)),
                  lambda s: exact_repair(s, st), lambda s: s, s)
+
+    def check_deadline(s):
+        if deadline is None:
+            return s
+        from ..utils.timers import now_callback
+        from ..types import EXIT_TIMELIMIT
+        t = now_callback()
+        return s._replace(status=jnp.where(
+            (t > deadline) & (s.status == EXIT_RUNNING),
+            EXIT_TIMELIMIT, s.status).astype(jnp.int32))
+
+    s = check_deadline(s)
 
     def rounds(c):
         r, s = c
@@ -711,6 +729,7 @@ def slot_solve(s: SlotState, st: Settings, n_true: int = None,
                                interpret=interpret)
             s = lax.cond(jnp.any(repair_needed(s)),
                          lambda s: exact_repair(s, st), lambda s: s, s)
+            s = check_deadline(s)
             return r + 1, s
 
         return lax.while_loop(cond, body, (r, s))

@@ -168,3 +168,59 @@ def test_soft_weights_defaults_match_plain_soft():
                    np.full(m, rho), np.full(m, rho))
     assert int(sw.exitflag) == int(plain.exitflag)
     assert np.abs(np.asarray(sw.x) - np.asarray(plain.x)).max() < 1e-7
+
+
+def test_soft_weights_batched_flat_tier():
+    # SOFT_WEIGHTS on the BATCHED flat tier (this framework's main
+    # surface): a batch of random instances with per-row slack bounds,
+    # differentially tested against the lifted slack QP in f64.
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from daqp_tpu.types import SoftWeights
+
+    rng = np.random.default_rng(57)
+    B, n, m = 24, 6, 14
+    soft_rows = [0, 3, 7, 11]
+    Hs = np.empty((B, n, n)); fs = np.empty((B, n))
+    As = np.empty((B, m, n)); bus = np.empty((B, m)); bls = np.empty((B, m))
+    d_ls = np.zeros((B, m)); d_us = np.zeros((B, m))
+    rho_ls = np.ones((B, m)); rho_us = np.ones((B, m))
+    for b in range(B):
+        Q = rng.standard_normal((n, n))
+        Hs[b] = Q @ Q.T + 0.5 * np.eye(n)
+        fs[b] = 3 * rng.standard_normal(n)
+        As[b] = rng.standard_normal((m, n))
+        bus[b] = 0.3 * rng.random(m)
+        bls[b] = bus[b] - 0.3 - 0.5 * rng.random(m)
+        d_ls[b, soft_rows] = 0.4 * rng.random(len(soft_rows))
+        d_us[b, soft_rows] = 0.4 * rng.random(len(soft_rows))
+        rho_ls[b, soft_rows] = 0.5 + rng.random(len(soft_rows))
+        rho_us[b, soft_rows] = 0.5 + rng.random(len(soft_rows))
+    sense = np.zeros((B, m), np.int32)
+    sense[:, soft_rows] = SOFT
+
+    st = _as_settings({"iter_limit": 500}, jnp.float64)
+    sw = SoftWeights(d_ls=jnp.asarray(d_ls), d_us=jnp.asarray(d_us),
+                     rho_ls=jnp.asarray(rho_ls), rho_us=jnp.asarray(rho_us))
+    res = batch_mod.solve_batch_flat_jit(
+        jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+        jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), st,
+        ms=0, K=n + len(soft_rows) + 1, sw=sw)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    assert np.all(flags > 0), np.unique(flags)
+    for b in range(B):
+        x_ref = _lift_and_solve(Hs[b], fs[b], As[b], bus[b], bls[b],
+                                soft_rows, d_ls[b], d_us[b],
+                                rho_ls[b], rho_us[b])
+        err = np.abs(xs[b] - x_ref).max()
+        assert err < 1e-6, (b, err, xs[b], x_ref)
+
+    # single-lane differential: flags and x match the single-instance
+    # SOFT_WEIGHTS path exactly
+    for b in range(0, B, 5):
+        one = _solve_sw(Hs[b], fs[b], As[b], bus[b], bls[b], sense[b],
+                        d_ls[b], d_us[b], rho_ls[b], rho_us[b])
+        assert int(flags[b]) == int(one.exitflag), b
+        assert np.abs(xs[b] - np.asarray(one.x)).max() < 1e-7, b

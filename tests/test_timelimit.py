@@ -80,3 +80,64 @@ def test_time_limit_bnb_tree_level():
                             settings={"time_limit": 1e-9})
     assert int(res.exitflag) == daqp_tpu.EXIT_TIMELIMIT, int(res.exitflag)
     assert int(res.nodes) <= 33, int(res.nodes)
+
+
+def test_time_limit_batched_flat():
+    # batched flat tier: an already-expired deadline returns per-lane
+    # EXIT_TIMELIMIT from every chunk (daqp.c:95-103 at chunk granularity)
+    import time
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from daqp_tpu.types import EXIT_TIMELIMIT
+    from tests.gen import generate_test_qp_batch
+
+    B, n, m = 24, 8, 16
+    d = generate_test_qp_batch(B, n, m, 0, 5, 1e2, rng=61)
+    args = [jnp.asarray(d[k]) for k in
+            ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
+    st = _as_settings(None, jnp.float64)
+    expired = jnp.asarray(time.perf_counter() - 1.0, jnp.float64)
+    r = batch_mod.solve_batch_flat_jit(*args, st=st, ms=0,
+                                       deadline=expired)
+    assert np.all(np.asarray(r.exitflag) == EXIT_TIMELIMIT), \
+        np.unique(np.asarray(r.exitflag))
+    # a generous deadline changes nothing
+    far = jnp.asarray(time.perf_counter() + 1e6, jnp.float64)
+    r2 = batch_mod.solve_batch_flat_jit(*args, st=st, ms=0, deadline=far)
+    assert np.all(np.asarray(r2.exitflag) == 1)
+    # the public wrapper maps settings.time_limit to the deadline
+    r3 = batch_mod.solve_batch(d['H'], d['f'], d['A'], d['bupper'],
+                               d['blower'], d['sense'], ms=0,
+                               settings=_as_settings(
+                                   {"time_limit": 1e6}, jnp.float64))
+    assert np.all(np.asarray(r3.exitflag) == 1)
+
+
+def test_time_limit_batched_kernel():
+    # kernel tier (slot path): round-granularity deadline; expired ->
+    # per-lane EXIT_TIMELIMIT, generous -> untouched
+    import time
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from daqp_tpu.types import EXIT_TIMELIMIT
+    from tests.gen import generate_test_qp_batch
+
+    B, n, m = 128, 10, 24
+    d = generate_test_qp_batch(B, n, m, 0, 6, 1e2, rng=62,
+                               dtype=np.float32)
+    args = [jnp.asarray(d[k]) for k in
+            ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    expired = jnp.asarray(time.perf_counter() - 1.0, jnp.float64)
+    r = batch_mod.solve_batch_pallas_jit(*args, st=st, ms=0,
+                                         has_soft=False, interpret=True,
+                                         deadline=expired)
+    assert np.all(np.asarray(r.exitflag) == EXIT_TIMELIMIT), \
+        np.unique(np.asarray(r.exitflag))
+    far = jnp.asarray(time.perf_counter() + 1e6, jnp.float64)
+    r2 = batch_mod.solve_batch_pallas_jit(*args, st=st, ms=0,
+                                          has_soft=False, interpret=True,
+                                          deadline=far)
+    assert np.all(np.asarray(r2.exitflag) == 1)
