@@ -568,13 +568,15 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "bin_ids",
-                                             "interpret", "max_waves"))
+                                             "interpret", "max_waves",
+                                             "warm_ws"))
 def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 bin_ids: tuple = (),
                                 interpret: bool = False,
                                 max_waves: int = 512,
-                                deadline=None) -> BatchResult:
+                                deadline=None,
+                                warm_ws: bool = True) -> BatchResult:
     """Batched MIQP branch-and-bound with node relaxations solved as
     whole-batch Pallas kernel WAVES.
 
@@ -633,7 +635,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, bin_ids=bin_ids, interpret=interpret,
-            max_waves=max_waves, deadline=deadline)
+            max_waves=max_waves, deadline=deadline, warm_ws=warm_ws)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
 
     f32 = jnp.float32
@@ -732,7 +734,10 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             mpad = s.dupper.shape[0]
             up_f = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
             lo_f = lower_rows | eq_lo
-            warm_free = ~fixed_rows & ~eq_act & live[:, None]
+            # warm_ws=False is the measurement A/B switch (cold nodes,
+            # the pre-round-3 behavior)
+            warm_free = (~fixed_rows & ~eq_act & live[:, None]) \
+                if warm_ws else jnp.zeros_like(fixed_rows)
             up_b = up_f | ((wu > 0.5) & warm_free)
             lo_b = lo_f | ((wl > 0.5) & warm_free & ~(wu > 0.5))
             lane = lambda x: jnp.moveaxis(

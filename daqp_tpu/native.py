@@ -1,0 +1,151 @@
+"""ctypes loader for the native C binding (``native/daqp_c.c``).
+
+The C library is the framework's C-consumer surface with RUNTIME problem
+data (the reference ships its core as a C library; here the JAX/Pallas
+path is the native compute surface and this serves host-side / embedded
+C callers) — see ``native/daqp_c.h``.  This module compiles it on demand
+with the system C compiler and exposes a small OO wrapper whose results
+are differentially tested against the JAX core (``tests/test_native_c.py``).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "daqp_c.c")
+_lib = None
+
+
+def _build_lib():
+    """Compile native/daqp_c.c into a cached shared library."""
+    import hashlib
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), "daqp_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"libdaqp_tpu_{tag}.so")
+    if not os.path.exists(so):
+        cc = os.environ.get("CC", "cc")
+        subprocess.run(
+            [cc, "-O2", "-fPIC", "-shared", "-o", so, _SRC, "-lm"],
+            check=True, cwd=_REPO)
+    return so
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build_lib())
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.daqp_tpu_setup.restype = ctypes.c_void_p
+    lib.daqp_tpu_setup.argtypes = [ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, dp, dp, dp, dp, dp, ip]
+    lib.daqp_tpu_solve.restype = ctypes.c_int
+    lib.daqp_tpu_solve.argtypes = [ctypes.c_void_p, dp, dp, dp, ip]
+    lib.daqp_tpu_solve_miqp.restype = ctypes.c_int
+    lib.daqp_tpu_solve_miqp.argtypes = [ctypes.c_void_p, dp, dp, dp, ip,
+                                        ip]
+    lib.daqp_tpu_update.restype = None
+    lib.daqp_tpu_update.argtypes = [ctypes.c_void_p, dp, dp, dp]
+    lib.daqp_tpu_set.restype = ctypes.c_int
+    lib.daqp_tpu_set.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_double]
+    lib.daqp_tpu_reset.restype = None
+    lib.daqp_tpu_reset.argtypes = [ctypes.c_void_p]
+    lib.daqp_tpu_free.restype = None
+    lib.daqp_tpu_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class NativeModel:
+    """C-side QP/MIQP model: setup once, solve/update repeatedly.
+
+    Mirrors the reference's C API life cycle (api.h setup/solve/update/
+    free); ``settings`` takes the same names as :class:`daqp_tpu.Settings`.
+    """
+
+    def __init__(self, H, f, A, bupper, blower, sense=None, ms: int = 0,
+                 settings: Optional[dict] = None):
+        lib = _load()
+        H = np.ascontiguousarray(H, np.float64)
+        f = np.ascontiguousarray(f, np.float64)
+        A = np.ascontiguousarray(np.atleast_2d(A), np.float64)
+        bu = np.ascontiguousarray(bupper, np.float64)
+        bl = np.ascontiguousarray(blower, np.float64)
+        n = H.shape[0]
+        m = bu.shape[0]
+        se = (np.zeros(m, np.int32) if sense is None
+              else np.ascontiguousarray(sense, np.int32))
+        self._lib = lib
+        self.n, self.m = n, m
+        self._w = lib.daqp_tpu_setup(
+            n, m, ms, _dp(H), _dp(f), _dp(A), _dp(bu), _dp(bl),
+            se.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        if not self._w:
+            raise MemoryError("daqp_tpu_setup failed")
+        for k, v in (settings or {}).items():
+            if lib.daqp_tpu_set(self._w, k.encode(), float(v)) != 0:
+                raise ValueError(f"unknown setting {k!r}")
+
+    def solve(self):
+        x = np.empty(self.n)
+        lam = np.empty(self.m)
+        fval = ctypes.c_double()
+        iters = ctypes.c_int()
+        flag = self._lib.daqp_tpu_solve(self._w, _dp(x), _dp(lam),
+                                        ctypes.byref(fval),
+                                        ctypes.byref(iters))
+        return dict(x=x, lam=lam, fval=fval.value, exitflag=int(flag),
+                    iterations=int(iters.value))
+
+    def solve_miqp(self):
+        x = np.empty(self.n)
+        lam = np.empty(self.m)
+        fval = ctypes.c_double()
+        iters = ctypes.c_int()
+        nodes = ctypes.c_int()
+        flag = self._lib.daqp_tpu_solve_miqp(
+            self._w, _dp(x), _dp(lam), ctypes.byref(fval),
+            ctypes.byref(iters), ctypes.byref(nodes))
+        return dict(x=x, lam=lam, fval=fval.value, exitflag=int(flag),
+                    iterations=int(iters.value), nodes=int(nodes.value))
+
+    def update(self, f=None, bupper=None, blower=None):
+        """v/d-only MPC re-update (UPDATE_v | UPDATE_d)."""
+        nul = ctypes.POINTER(ctypes.c_double)()
+        # keep the arrays alive in locals across the C call (a bare
+        # _dp(temporary) would dangle)
+        fh = None if f is None else np.ascontiguousarray(f, np.float64)
+        buh = None if bupper is None else np.ascontiguousarray(
+            bupper, np.float64)
+        blh = None if blower is None else np.ascontiguousarray(
+            blower, np.float64)
+        self._lib.daqp_tpu_update(
+            self._w,
+            nul if fh is None else _dp(fh),
+            nul if buh is None else _dp(buh),
+            nul if blh is None else _dp(blh))
+
+    def reset(self):
+        self._lib.daqp_tpu_reset(self._w)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_w", None):
+                self._lib.daqp_tpu_free(self._w)
+                self._w = None
+        except Exception:
+            pass

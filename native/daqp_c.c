@@ -1,0 +1,734 @@
+/* daqp_tpu native C binding — implementation.  See daqp_c.h.
+ *
+ * Explicit-inverse dual active-set LDP solver with the QP->LDP transform
+ * done at setup time in C (the runtime-parameterized sibling of the
+ * codegen template in daqp_tpu/codegen.py; same algorithm as the JAX
+ * core).  Reference semantic anchors per function below.
+ */
+#include <math.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "daqp_c.h"
+
+#define DINF 1e30
+
+struct DAQPTpuWork {
+    int n, m, ms, K, nb;
+    int err0;                 /* setup-time error (0 ok) */
+    /* transformed problem data */
+    double *M;                /* m x n normalized rows */
+    double *Rinv;             /* n x n upper */
+    double *scaling;          /* m */
+    double *du, *dl;          /* m (current) */
+    double *du0, *dl0;        /* m (as set up; update() rewrites du/dl) */
+    double *v;                /* n */
+    int *sense, *sense0;      /* m */
+    int *bin_ids;             /* nb */
+    /* workspace */
+    double *E;                /* K x K */
+    double *Mw;               /* K x n */
+    double *lam, *lam_star;   /* K */
+    int *WS;                  /* K */
+    double *u;                /* n */
+    double *sdir;             /* K scratch / singular direction */
+    double *scr1, *scr2;      /* K scratch (add/remove/refine temps) */
+    int *iscr;                /* K scratch (refactor ids) */
+    int n_active, ns_active, sing_flag;
+    double last_fv, last_ss;
+    int m_price;
+    /* settings (reference defaults, constants.h / types.py) */
+    double ptol, dtol, ztol, pivtol, progtol, singtol, rftol, rho_soft;
+    double fval_bound, rel_subopt, abs_subopt;
+    int cyc_tol, iter_limit;
+};
+
+/* ---------- setup: factorization + transform (utils.c:14-297) ---------- */
+
+/* upper-Cholesky H = R'R in place into R (row-major, upper); returns 0 ok */
+static int chol_upper(int n, const double *H, double eps, double *R)
+{
+    int i, j, k;
+    for (i = 0; i < n * n; i++) R[i] = 0.0;
+    for (i = 0; i < n; i++) {
+        for (j = i; j < n; j++) {
+            double s = H[i * n + j] + (i == j ? eps : 0.0);
+            for (k = 0; k < i; k++) s -= R[k * n + i] * R[k * n + j];
+            if (i == j) {
+                if (s <= 0.0) return 1;
+                R[i * n + i] = sqrt(s);
+            } else {
+                R[i * n + j] = s / R[i * n + i];
+            }
+        }
+    }
+    return 0;
+}
+
+/* Rinv = R^{-1} for upper R (row-major): back substitution per column */
+static void inv_upper(int n, const double *R, double *Rinv)
+{
+    int i, j, k;
+    for (i = 0; i < n * n; i++) Rinv[i] = 0.0;
+    for (j = 0; j < n; j++) {
+        Rinv[j * n + j] = 1.0 / R[j * n + j];
+        for (i = j - 1; i >= 0; i--) {
+            double s = 0.0;
+            for (k = i + 1; k <= j; k++)
+                s += R[i * n + k] * Rinv[k * n + j];
+            Rinv[i * n + j] = -s / R[i * n + i];
+        }
+    }
+}
+
+DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
+                            const double *H, const double *f,
+                            const double *A, const double *bupper,
+                            const double *blower, const int *sense)
+{
+    int i, j, k, ns = 0, nb = 0, K;
+    double *R = NULL;
+    DAQPTpuWork *w = (DAQPTpuWork *)calloc(1, sizeof(DAQPTpuWork));
+    if (!w) return NULL;
+    w->n = n; w->m = m; w->ms = ms;
+    w->ptol = 1e-6; w->dtol = 1e-12; w->ztol = 1e-11; w->pivtol = 1e-6;
+    w->progtol = 1e-14; w->singtol = 3.7e-11; w->rftol = 1e-9;
+    w->rho_soft = 1e-6; w->fval_bound = DINF;
+    w->rel_subopt = 0.0; w->abs_subopt = 0.0;
+    w->cyc_tol = 10; w->iter_limit = 10000;
+    for (i = 0; i < m; i++) {
+        if (sense && (sense[i] & DAQP_TPU_SOFT)) ns++;
+        if (sense && (sense[i] & DAQP_TPU_BINARY)) nb++;
+    }
+    K = n + ns + 1;
+    w->K = K; w->nb = nb;
+    w->M = (double *)malloc(sizeof(double) * m * n);
+    w->Rinv = (double *)malloc(sizeof(double) * n * n);
+    w->scaling = (double *)malloc(sizeof(double) * m);
+    w->du = (double *)malloc(sizeof(double) * m);
+    w->dl = (double *)malloc(sizeof(double) * m);
+    w->du0 = (double *)malloc(sizeof(double) * m);
+    w->dl0 = (double *)malloc(sizeof(double) * m);
+    w->v = (double *)calloc(n, sizeof(double));
+    w->sense = (int *)calloc(m, sizeof(int));
+    w->sense0 = (int *)calloc(m, sizeof(int));
+    w->bin_ids = (int *)malloc(sizeof(int) * (nb ? nb : 1));
+    w->E = (double *)calloc((size_t)K * K, sizeof(double));
+    w->Mw = (double *)malloc(sizeof(double) * K * n);
+    w->lam = (double *)calloc(K, sizeof(double));
+    w->lam_star = (double *)calloc(K, sizeof(double));
+    w->WS = (int *)calloc(K, sizeof(int));
+    w->u = (double *)calloc(n, sizeof(double));
+    w->sdir = (double *)calloc(K, sizeof(double));
+    w->scr1 = (double *)calloc(K, sizeof(double));
+    w->scr2 = (double *)calloc(K, sizeof(double));
+    w->iscr = (int *)calloc(K, sizeof(int));
+    R = (double *)malloc(sizeof(double) * n * n);
+    if (!w->M || !w->Rinv || !w->scaling || !w->du || !w->dl || !w->du0
+        || !w->dl0 || !w->v || !w->sense || !w->sense0 || !w->bin_ids
+        || !w->E || !w->Mw || !w->lam || !w->lam_star || !w->WS || !w->u
+        || !w->sdir || !w->scr1 || !w->scr2 || !w->iscr || !R) {
+        free(R); daqp_tpu_free(w); return NULL;
+    }
+
+    /* factorization with retry-doubling shift (utils.c:253-283) */
+    if (H) {
+        double hscale = 0.0, eps;
+        for (i = 0; i < n; i++)
+            if (fabs(H[i * n + i]) > hscale) hscale = fabs(H[i * n + i]);
+        if (chol_upper(n, H, 0.0, R)) {
+            int ok = 0, t;
+            eps = sqrt(w->ztol) * (hscale > 0 ? hscale : 1.0);
+            if (eps < 1e-6) eps = 1e-6;     /* eps_prox floor */
+            for (t = 0; t < 16; t++) {
+                if (!chol_upper(n, H, eps, R)) { ok = 1; break; }
+                eps *= 2.0;
+            }
+            if (!ok) w->err0 = DAQP_TPU_NONCONVEX;
+        }
+    } else {
+        /* LP-shaped setup is not supported by the C binding */
+        w->err0 = DAQP_TPU_NONCONVEX;
+    }
+    if (!w->err0) inv_upper(n, R, w->Rinv);
+    free(R);
+
+    /* v = Rinv' f */
+    if (f && !w->err0)
+        for (i = 0; i < n; i++) {
+            double s = 0.0;
+            for (j = 0; j < n; j++) s += w->Rinv[j * n + i] * f[j];
+            w->v[i] = s;
+        }
+    /* M = [Rinv[:ms]; A Rinv] */
+    for (i = 0; i < ms; i++)
+        for (j = 0; j < n; j++) w->M[i * n + j] = w->Rinv[i * n + j];
+    for (i = ms; i < m; i++)
+        for (j = 0; j < n; j++) {
+            double s = 0.0;
+            for (k = 0; k < n; k++)
+                s += A[(i - ms) * n + k] * w->Rinv[k * n + j];
+            w->M[i * n + j] = s;
+        }
+
+    nb = 0;
+    for (i = 0; i < m; i++) {
+        int sb = sense ? sense[i] : 0;
+        double nrm2 = 0.0, diff;
+        if (sb & DAQP_TPU_BINARY) w->bin_ids[nb++] = i;
+        /* equality auto-detection (daqp_check_bounds, utils.c:457-478) */
+        diff = bupper[i] - blower[i];
+        if (!(sb & DAQP_TPU_IMMUTABLE)) {
+            if (diff < -w->ptol) w->err0 = DAQP_TPU_INFEASIBLE;
+            if (diff < w->ztol && !(sb & DAQP_TPU_SOFT))
+                sb |= DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE;
+        }
+        /* row normalization (utils.c:480-524) */
+        for (j = 0; j < n; j++) nrm2 += w->M[i * n + j] * w->M[i * n + j];
+        if (nrm2 < w->ztol) {
+            if (!(sb & (DAQP_TPU_IMMUTABLE | DAQP_TPU_SOFT))
+                && (bupper[i] < -w->ztol || blower[i] > w->ztol))
+                w->err0 = DAQP_TPU_INFEASIBLE;
+            w->scaling[i] = 1.0;
+            for (j = 0; j < n; j++) w->M[i * n + j] = 0.0;
+            sb = (sb | DAQP_TPU_IMMUTABLE) & ~DAQP_TPU_ACTIVE;
+        } else {
+            double sc = 1.0 / sqrt(nrm2);
+            w->scaling[i] = sc;
+            for (j = 0; j < n; j++) w->M[i * n + j] *= sc;
+        }
+        w->sense0[i] = sb;
+        w->sense[i] = sb;
+    }
+    /* d = b*scaling + M v */
+    for (i = 0; i < m; i++) {
+        double mv = 0.0;
+        for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
+        w->du[i] = bupper[i] * w->scaling[i] + mv;
+        w->dl[i] = blower[i] * w->scaling[i] + mv;
+        w->du0[i] = w->du[i]; w->dl0[i] = w->dl[i];
+    }
+    w->m_price = m;
+    return w;
+}
+
+void daqp_tpu_update(DAQPTpuWork *w, const double *f,
+                     const double *bupper, const double *blower)
+{
+    int i, j;
+    int n = w->n, m = w->m;
+    if (f)
+        for (i = 0; i < n; i++) {
+            double s = 0.0;
+            for (j = 0; j < n; j++) s += w->Rinv[j * n + i] * f[j];
+            w->v[i] = s;
+        }
+    for (i = 0; i < m; i++) {
+        double mv = 0.0;
+        for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
+        if (bupper) w->du[i] = bupper[i] * w->scaling[i] + mv;
+        if (blower) w->dl[i] = blower[i] * w->scaling[i] + mv;
+    }
+}
+
+int daqp_tpu_set(DAQPTpuWork *w, const char *name, double value)
+{
+    if (!strcmp(name, "primal_tol")) w->ptol = value;
+    else if (!strcmp(name, "dual_tol")) w->dtol = value;
+    else if (!strcmp(name, "zero_tol")) w->ztol = value;
+    else if (!strcmp(name, "pivot_tol")) w->pivtol = value;
+    else if (!strcmp(name, "progress_tol")) w->progtol = value;
+    else if (!strcmp(name, "sing_tol")) w->singtol = value;
+    else if (!strcmp(name, "refactor_tol")) w->rftol = value;
+    else if (!strcmp(name, "rho_soft")) w->rho_soft = value;
+    else if (!strcmp(name, "fval_bound")) w->fval_bound = value;
+    else if (!strcmp(name, "rel_subopt")) w->rel_subopt = value;
+    else if (!strcmp(name, "abs_subopt")) w->abs_subopt = value;
+    else if (!strcmp(name, "cycle_tol")) w->cyc_tol = (int)value;
+    else if (!strcmp(name, "iter_limit")) w->iter_limit = (int)value;
+    else return -1;
+    return 0;
+}
+
+void daqp_tpu_free(DAQPTpuWork *w)
+{
+    if (!w) return;
+    free(w->M); free(w->Rinv); free(w->scaling);
+    free(w->du); free(w->dl); free(w->du0); free(w->dl0);
+    free(w->v); free(w->sense); free(w->sense0); free(w->bin_ids);
+    free(w->E); free(w->Mw); free(w->lam); free(w->lam_star);
+    free(w->WS); free(w->u); free(w->sdir);
+    free(w->scr1); free(w->scr2); free(w->iscr);
+    free(w);
+}
+
+/* ---------- core loop (daqp.c / auxiliary.c / factorization.c) --------- */
+
+static void reset_ws(DAQPTpuWork *w)
+{
+    int i;
+    w->n_active = 0; w->ns_active = 0; w->sing_flag = 0;
+    memset(w->E, 0, sizeof(double) * (size_t)w->K * w->K);
+    for (i = 0; i < w->m; i++) w->sense[i] &= ~DAQP_TPU_ACTIVE;
+}
+
+void daqp_tpu_reset(DAQPTpuWork *w) { reset_ws(w); }
+
+/* bordered-inverse addition (factorization.c:7-98 role; explicit-inverse
+ * realization).  k >= K-1 is the defensive full-table backstop. */
+static int add_constraint(DAQPTpuWork *w, int id, double lam0)
+{
+    int i, j, k = w->n_active, n = w->n, K = w->K;
+    int is_soft = (w->sense[id] & DAQP_TPU_SOFT) != 0;
+    const double *mi = &w->M[id * n];
+    double dii = 0.0, sval;
+    double *g = w->scr1, *a = w->scr2;
+    for (i = 0; i < n; i++) dii += mi[i] * mi[i];
+    if (is_soft) dii += w->rho_soft;
+    for (i = 0; i < k; i++) {
+        double s = 0.0;
+        for (j = 0; j < n; j++) s += w->Mw[i * n + j] * mi[j];
+        g[i] = s;
+    }
+    for (i = 0; i < k; i++) {
+        double s = 0.0;
+        for (j = 0; j < k; j++) s += w->E[i * K + j] * g[j];
+        a[i] = s;
+    }
+    sval = dii;
+    for (i = 0; i < k; i++) sval -= g[i] * a[i];
+
+    w->WS[k] = id; w->lam[k] = lam0;
+    for (i = 0; i < n; i++) w->Mw[k * n + i] = mi[i];
+    w->sense[id] |= DAQP_TPU_ACTIVE;
+    w->n_active = k + 1;
+    w->ns_active += is_soft;
+    if (sval < w->singtol || k >= n + w->ns_active || k >= K - 1) {
+        for (i = 0; i < k; i++) w->sdir[i] = -a[i];
+        w->sdir[k] = 1.0;
+        if (w->sense[id] & DAQP_TPU_LOWER)
+            for (i = 0; i <= k; i++) w->sdir[i] = -w->sdir[i];
+        w->sing_flag = 1;
+        return 1;
+    }
+    for (i = 0; i < k; i++) {
+        for (j = 0; j < k; j++)
+            w->E[i * K + j] += a[i] * a[j] / sval;
+        w->E[i * K + k] = -a[i] / sval;
+        w->E[k * K + i] = -a[i] / sval;
+    }
+    w->E[k * K + k] = 1.0 / sval;
+    w->sing_flag = 0;
+    return 0;
+}
+
+static void remove_constraint(DAQPTpuWork *w, int pos)
+{
+    int i, j, k = w->n_active, n = w->n, K = w->K;
+    int was_sing = w->sing_flag;
+    int k_ns = k - (was_sing ? 1 : 0);
+    w->ns_active -= (w->sense[w->WS[pos]] & DAQP_TPU_SOFT) != 0;
+    w->sense[w->WS[pos]] &= ~DAQP_TPU_ACTIVE;
+    if (pos < k_ns) {                 /* deletion-inverse update */
+        double err = w->E[pos * K + pos];
+        double *e_ = w->scr1;
+        for (i = 0; i < k_ns; i++) e_[i] = w->E[i * K + pos];
+        for (i = 0; i < k_ns; i++)
+            for (j = 0; j < k_ns; j++)
+                w->E[i * K + j] -= e_[i] * e_[j] / err;
+        for (i = pos; i < k_ns - 1; i++)
+            for (j = 0; j < k_ns; j++)
+                w->E[i * K + j] = w->E[(i + 1) * K + j];
+        for (j = pos; j < k_ns - 1; j++)
+            for (i = 0; i < k_ns; i++)
+                w->E[i * K + j] = w->E[i * K + (j + 1)];
+    }
+    for (i = pos; i < k - 1; i++) {
+        w->WS[i] = w->WS[i + 1]; w->lam[i] = w->lam[i + 1];
+        for (j = 0; j < n; j++)
+            w->Mw[i * n + j] = w->Mw[(i + 1) * n + j];
+    }
+    w->n_active = k - 1;
+    w->sing_flag = 0;
+    if (was_sing && pos < k - 1) {    /* re-add the parked entry */
+        int last = w->n_active - 1;
+        int id2 = w->WS[last];
+        double l2 = w->lam[last];
+        w->n_active = last;
+        w->ns_active -= (w->sense[id2] & DAQP_TPU_SOFT) != 0;
+        w->sense[id2] &= ~DAQP_TPU_ACTIVE;
+        add_constraint(w, id2, l2);
+    }
+}
+
+static void refactor_ws(DAQPTpuWork *w)
+{
+    int i, k = w->n_active;
+    int *ids = w->iscr; double *lams = w->scr2;
+    for (i = 0; i < k; i++) { ids[i] = w->WS[i]; lams[i] = w->lam[i]; }
+    w->n_active = 0; w->ns_active = 0; w->sing_flag = 0;
+    memset(w->E, 0, sizeof(double) * (size_t)w->K * w->K);
+    for (i = 0; i < k; i++) w->sense[ids[i]] &= ~DAQP_TPU_ACTIVE;
+    for (i = 0; i < k && !w->sing_flag; i++)
+        add_constraint(w, ids[i], lams[i]);
+}
+
+static void fix_senses_from_lam(DAQPTpuWork *w)
+{
+    int i;
+    for (i = 0; i < w->n_active; i++) {
+        if (w->sense[w->WS[i]] & DAQP_TPU_IMMUTABLE) continue;
+        if (w->lam[i] < 0) w->sense[w->WS[i]] |= DAQP_TPU_LOWER;
+        else w->sense[w->WS[i]] &= ~DAQP_TPU_LOWER;
+    }
+}
+
+static void refine_active(DAQPTpuWork *w)
+{
+    int i, j, l, k = w->n_active, n = w->n, K = w->K;
+    double *r = w->scr1;
+    for (i = 0; i < k; i++) {
+        double acc = (w->sense[w->WS[i]] & DAQP_TPU_LOWER)
+            ? w->dl[w->WS[i]] : w->du[w->WS[i]];
+        for (j = 0; j < k; j++) {
+            double g = 0.0;
+            for (l = 0; l < n; l++)
+                g += w->Mw[i * n + l] * w->Mw[j * n + l];
+            if (i == j && (w->sense[w->WS[i]] & DAQP_TPU_SOFT))
+                g += w->rho_soft;
+            acc += g * w->lam_star[j];
+        }
+        r[i] = -acc;
+    }
+    for (i = 0; i < k; i++) {
+        double corr = 0.0;
+        for (j = 0; j < k; j++) corr += w->E[i * K + j] * r[j];
+        w->sdir[i] = corr;
+    }
+    for (i = 0; i < k; i++) w->lam_star[i] += w->sdir[i];
+}
+
+static void compute_u(DAQPTpuWork *w)
+{
+    int i, j, k = w->n_active, n = w->n;
+    for (j = 0; j < n; j++) w->u[j] = 0.0;
+    for (i = 0; i < k; i++)
+        for (j = 0; j < n; j++)
+            w->u[j] -= w->Mw[i * n + j] * w->lam_star[i];
+    w->last_ss = 0.0;
+    for (i = 0; i < k; i++)
+        if (w->sense[w->WS[i]] & DAQP_TPU_SOFT)
+            w->last_ss += w->lam_star[i] * w->lam_star[i];
+    w->last_ss *= w->rho_soft;
+    w->last_fv = w->last_ss;
+    for (j = 0; j < n; j++) w->last_fv += w->u[j] * w->u[j];
+}
+
+static int in_ws(DAQPTpuWork *w, int id)
+{
+    int i;
+    for (i = 0; i < w->n_active; i++) if (w->WS[i] == id) return 1;
+    return 0;
+}
+
+/* Dantzig pricing (daqp_add_infeasible, auxiliary.c:88-166) */
+static int price_worst(DAQPTpuWork *w, int *blower)
+{
+    int i, j, jbest = -1, n = w->n;
+    double worst = 0.0;
+    for (i = 0; i < w->m_price; i++) {
+        double mu = 0.0, vu, vl;
+        if (w->sense[i] & (DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE)) continue;
+        for (j = 0; j < n; j++) mu += w->M[i * n + j] * w->u[j];
+        vu = w->du[i] - mu;
+        vl = mu - w->dl[i];
+        if (vu < -w->ptol * w->scaling[i] && vu < worst) {
+            worst = vu; jbest = i; *blower = 0;
+        } else if (vl < -w->ptol * w->scaling[i] && vl < worst) {
+            worst = vl; jbest = i; *blower = 1;
+        }
+    }
+    return jbest;
+}
+
+/* warm/equality activation (daqp_activate_constraints,
+ * auxiliary.c:398-478) with redundant-equality consistency */
+static int activate_warm(DAQPTpuWork *w, int start, int end)
+{
+    int i, j;
+    for (i = start; i < end; i++) {
+        if (!(w->sense[i] & DAQP_TPU_ACTIVE) || in_ws(w, i)) continue;
+        w->sense[i] &= ~DAQP_TPU_ACTIVE;
+        add_constraint(w, i, (w->sense[i] & DAQP_TPU_LOWER) ? -1.0 : 1.0);
+        if (w->sing_flag) {
+            if (w->sense[i] & DAQP_TPU_IMMUTABLE) {
+                double viol = 0.0;
+                for (j = 0; j < w->n_active; j++) {
+                    int id2 = w->WS[j];
+                    viol += w->sdir[j] * ((w->sense[id2] & DAQP_TPU_LOWER)
+                            ? w->dl[id2] : w->du[id2]);
+                }
+                if (fabs(viol) > w->ptol) return DAQP_TPU_OVERDETERMINED;
+            }
+            w->n_active--; w->sing_flag = 0;
+            w->ns_active -= (w->sense[i] & DAQP_TPU_SOFT) != 0;
+            w->sense[i] &= ~DAQP_TPU_ACTIVE;
+        }
+    }
+    return 0;
+}
+
+/* main loop (daqp_ldp, daqp.c:6-108) incl. dominance cut, cycling guard
+ * with one-shot repair, ill-conditioning refactor, refinement + re-price */
+static int solve_inner(DAQPTpuWork *w, int *iters, double fbound)
+{
+    int it, i, j, K = w->K;
+    double best_fv = -DINF;
+    int cycle_ct = 0, tried_repair = 0;
+    for (it = 0; it < w->iter_limit; it++) {
+        int k = w->n_active, rm = -1;
+        double amin = DINF;
+        if (!w->sing_flag) {          /* CSP: lam* = -E d_W */
+            for (i = 0; i < k; i++) {
+                double d = (w->sense[w->WS[i]] & DAQP_TPU_LOWER)
+                    ? w->dl[w->WS[i]] : w->du[w->WS[i]];
+                w->lam_star[i] = d;
+            }
+            for (i = 0; i < k; i++) {
+                double s = 0.0;
+                for (j = 0; j < k; j++)
+                    s += w->E[i * K + j] * w->lam_star[j];
+                w->sdir[i] = -s;
+            }
+            for (i = 0; i < k; i++) w->lam_star[i] = w->sdir[i];
+        }
+        for (i = 0; i < k; i++) {     /* blocking min-ratio */
+            double dir = w->sing_flag ? w->sdir[i] : w->lam_star[i];
+            double del = w->sing_flag ? w->sdir[i]
+                                      : w->lam_star[i] - w->lam[i];
+            int lower = w->sense[w->WS[i]] & DAQP_TPU_LOWER;
+            if (w->sense[w->WS[i]] & DAQP_TPU_IMMUTABLE) continue;
+            if ((lower && dir > w->dtol) || (!lower && dir < -w->dtol)) {
+                double r = (del != 0.0) ? -w->lam[i] / del : DINF;
+                if (r < amin) { amin = r; rm = i; }
+            }
+        }
+        if (rm >= 0) {
+            for (i = 0; i < k; i++)
+                w->lam[i] += amin * (w->sing_flag ? w->sdir[i]
+                                     : w->lam_star[i] - w->lam[i]);
+            remove_constraint(w, rm);
+            continue;
+        }
+        if (w->sing_flag) { *iters = it + 1; return DAQP_TPU_INFEASIBLE; }
+
+        compute_u(w);
+        if (w->last_fv > fbound) {    /* dominance cut, daqp.c:20-23 */
+            *iters = it + 1; return DAQP_TPU_INFEASIBLE;
+        }
+        if (w->last_fv - best_fv < w->progtol * (1.0 + fabs(w->last_fv))) {
+            if (++cycle_ct > w->cyc_tol) {
+                if (tried_repair) { *iters = it + 1; return DAQP_TPU_CYCLE; }
+                tried_repair = 1; cycle_ct = 0;
+                fix_senses_from_lam(w);
+                refactor_ws(w);
+                continue;
+            }
+        } else { cycle_ct = 0; best_fv = w->last_fv; }
+
+        {
+            int blower = 0, jbest = price_worst(w, &blower);
+            if (jbest < 0) {
+                double max_diag = 0.0;
+                for (i = 0; i < k; i++)
+                    if (w->E[i * K + i] > max_diag)
+                        max_diag = w->E[i * K + i];
+                if (k > 0 && max_diag * w->rftol > 1.0 && !tried_repair) {
+                    tried_repair = 1;
+                    fix_senses_from_lam(w);
+                    refactor_ws(w);
+                    continue;
+                }
+                if (k > 0 && max_diag * w->pivtol > 1.0) {
+                    refine_active(w);
+                    compute_u(w);
+                    jbest = price_worst(w, &blower);   /* daqp.c:52-56 */
+                }
+                if (jbest < 0) {
+                    for (i = 0; i < k; i++) w->lam[i] = w->lam_star[i];
+                    *iters = it + 1;
+                    return w->last_ss > w->ptol ? DAQP_TPU_SOFT_OPTIMAL
+                                                : DAQP_TPU_OPTIMAL;
+                }
+            }
+            for (i = 0; i < k; i++) w->lam[i] = w->lam_star[i];
+            if (blower) w->sense[jbest] |= DAQP_TPU_LOWER;
+            else w->sense[jbest] &= ~DAQP_TPU_LOWER;
+            add_constraint(w, jbest, blower ? -1.0 : 1.0);
+        }
+    }
+    *iters = w->iter_limit;
+    return DAQP_TPU_ITERLIMIT;
+}
+
+/* x = Rinv(u - v); QP fval = 0.5(fldp - ||v||^2); duals rescaled */
+static void extract_sol(DAQPTpuWork *w, double *x, double *lam_out,
+                        double *fval)
+{
+    int i, j, n = w->n;
+    double fv = w->last_fv;
+    for (j = 0; j < n; j++) {
+        double s = 0.0;
+        for (i = 0; i < n; i++)
+            s += w->Rinv[j * n + i] * (w->u[i] - w->v[i]);
+        x[j] = s;
+        fv -= w->v[j] * w->v[j];
+    }
+    if (fval) *fval = 0.5 * fv;
+    if (lam_out) {
+        for (i = 0; i < w->m; i++) lam_out[i] = 0.0;
+        for (i = 0; i < w->n_active; i++)
+            lam_out[w->WS[i]] = w->lam_star[i] * w->scaling[w->WS[i]];
+    }
+}
+
+int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
+                   int *iters)
+{
+    int flag, it = 0;
+    if (w->err0) { if (iters) *iters = 0; return w->err0; }
+    flag = activate_warm(w, 0, w->m);
+    if (flag < 0) { if (iters) *iters = 0; return flag; }
+    flag = solve_inner(w, &it, 2.0 * w->fval_bound);
+    if (iters) *iters = it;
+    if (flag > 0) extract_sol(w, x, lam, fval);
+    return flag;
+}
+
+int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
+                        double *fval, int *iters, int *nodes)
+{
+    /* DFS BnB over BINARY rows (bnb.c:23-156 semantics; see
+     * codegen.py _C_BNB for the single-problem twin).  Dominance bound
+     * with rel/abs suboptimality folding (bnb.c:29-31,68). */
+    int nb = w->nb, n = w->n, K = w->K;
+    int *stack_id, *stack_side, *stack_depth, *path_id, *path_side;
+    int *inc_ws;
+    double *inc_u, *inc_lam;
+    int n_nodes = 1, total_iters = 0, total_nodes = 0, have_inc = 0;
+    int i, l, inc_k = 0, flag_out;
+    double inc_ss = 0.0, inc_fv = 0.0;
+    double eps_r = 1.0 / (1.0 + w->rel_subopt);
+    double bound = (2.0 * w->fval_bound - 2.0 * w->abs_subopt) * eps_r;
+    if (w->err0) { if (iters) *iters = 0; return w->err0; }
+    if (nb == 0) return daqp_tpu_solve(w, x, lam_out, fval, iters);
+    stack_id = (int *)malloc(sizeof(int) * (2 * nb + 2));
+    stack_side = (int *)malloc(sizeof(int) * (2 * nb + 2));
+    stack_depth = (int *)malloc(sizeof(int) * (2 * nb + 2));
+    path_id = (int *)malloc(sizeof(int) * (nb + 1));
+    path_side = (int *)malloc(sizeof(int) * (nb + 1));
+    inc_ws = (int *)malloc(sizeof(int) * K);
+    inc_u = (double *)malloc(sizeof(double) * n);
+    inc_lam = (double *)malloc(sizeof(double) * K);
+    if (!stack_id || !stack_side || !stack_depth || !path_id || !path_side
+        || !inc_ws || !inc_u || !inc_lam) {
+        free(stack_id); free(stack_side); free(stack_depth);
+        free(path_id); free(path_side); free(inc_ws); free(inc_u);
+        free(inc_lam);
+        return DAQP_TPU_NONCONVEX;
+    }
+    stack_id[0] = -1; stack_side[0] = 0; stack_depth[0] = 0;
+    while (n_nodes > 0) {
+        int bid, side, d, ok = 1, flag, it2 = 0;
+        n_nodes--;
+        bid = stack_id[n_nodes]; side = stack_side[n_nodes];
+        d = stack_depth[n_nodes];
+        if (bid >= 0) { path_id[d - 1] = bid; path_side[d - 1] = side; }
+        reset_ws(w);
+        for (i = 0; i < nb; i++)
+            w->sense[w->bin_ids[i]] &= ~DAQP_TPU_IMMUTABLE;
+        for (i = 0; i < d; i++) {
+            int b = path_id[i];
+            if (path_side[i]) w->sense[b] |= DAQP_TPU_LOWER;
+            else w->sense[b] &= ~DAQP_TPU_LOWER;
+            add_constraint(w, b, path_side[i] ? -1.0 : 1.0);
+            w->sense[b] |= DAQP_TPU_IMMUTABLE;
+            if (w->sing_flag) { ok = 0; break; }
+        }
+        total_nodes++;
+        if (!ok) continue;
+        flag = solve_inner(w, &it2, bound);
+        total_iters += it2;
+        if (flag < 0) continue;
+        {
+            int jb = -1, near_lower = 0, side_first;
+            double bestdist = DINF;
+            for (i = 0; i < nb; i++) {
+                int b = w->bin_ids[i];
+                double mu = 0.0, mid;
+                if (w->sense[b] & DAQP_TPU_IMMUTABLE) continue;
+                for (l = 0; l < n; l++)
+                    mu += w->M[b * n + l] * w->u[l];
+                if (w->du[b] - mu < w->ptol || mu - w->dl[b] < w->ptol)
+                    continue;
+                mid = 0.5 * (w->du[b] + w->dl[b]);
+                if (fabs(mu - mid) < bestdist) {
+                    bestdist = fabs(mu - mid);
+                    jb = b; near_lower = (mu < mid);
+                }
+            }
+            if (jb < 0) {             /* integer feasible: incumbent */
+                if (w->last_fv < bound) {
+                    inc_fv = w->last_fv;
+                    bound = (w->last_fv - 2.0 * w->abs_subopt) * eps_r;
+                    have_inc = 1; inc_ss = w->last_ss;
+                    for (i = 0; i < n; i++) inc_u[i] = w->u[i];
+                    inc_k = w->n_active;
+                    for (i = 0; i < inc_k; i++) {
+                        inc_ws[i] = w->WS[i];
+                        inc_lam[i] = w->lam_star[i];
+                    }
+                }
+                continue;
+            }
+            if (d >= nb) continue;
+            side_first = near_lower ? 1 : 0;
+            stack_id[n_nodes] = jb; stack_side[n_nodes] = 1 - side_first;
+            stack_depth[n_nodes] = d + 1; n_nodes++;
+            stack_id[n_nodes] = jb; stack_side[n_nodes] = side_first;
+            stack_depth[n_nodes] = d + 1; n_nodes++;
+        }
+    }
+    for (i = 0; i < nb; i++)
+        w->sense[w->bin_ids[i]] &= ~DAQP_TPU_IMMUTABLE;
+    if (iters) *iters = total_iters;
+    if (nodes) *nodes = total_nodes;
+    if (!have_inc) {
+        reset_ws(w);
+        flag_out = DAQP_TPU_INFEASIBLE;
+    } else {
+        for (i = 0; i < n; i++) w->u[i] = inc_u[i];
+        w->last_fv = inc_ss + 0.0; w->last_ss = inc_ss;
+        for (i = 0; i < n; i++) w->last_fv += inc_u[i] * inc_u[i];
+        w->n_active = inc_k;
+        for (i = 0; i < inc_k; i++) {
+            w->WS[i] = inc_ws[i];
+            w->lam_star[i] = inc_lam[i];
+        }
+        extract_sol(w, x, lam_out, fval);
+        /* leave a clean warm start on the incumbent (E/Mw belong to the
+         * last explored node) */
+        reset_ws(w);
+        for (i = 0; i < inc_k; i++) {
+            w->sense[inc_ws[i]] |= DAQP_TPU_ACTIVE;
+            if (inc_lam[i] < 0) w->sense[inc_ws[i]] |= DAQP_TPU_LOWER;
+            else w->sense[inc_ws[i]] &= ~DAQP_TPU_LOWER;
+        }
+        flag_out = DAQP_TPU_OPTIMAL;
+        (void)inc_fv;
+    }
+    free(stack_id); free(stack_side); free(stack_depth);
+    free(path_id); free(path_side); free(inc_ws); free(inc_u);
+    free(inc_lam);
+    return flag_out;
+}

@@ -1,0 +1,85 @@
+/* daqp_tpu native C binding — a runtime-parameterized C implementation of
+ * the framework's explicit-inverse dual active-set solver.
+ *
+ * Role: the C-consumer surface of the framework (the reference ships its
+ * core AS a C library with Julia/MATLAB/Simulink/Eigen bindings layered on
+ * top, interfaces/; here the JAX/Pallas path is the native compute surface
+ * and this library serves host-side / embedded C callers with RUNTIME
+ * problem data — complementing codegen.render_c, which bakes ONE problem
+ * into a malloc-free file).  Same algorithm family as the JAX core
+ * (bordered-inverse add / deletion-inverse remove; reference semantics
+ * anchored at src/daqp.c, src/auxiliary.c, src/factorization.c,
+ * src/utils.c, src/bnb.c) — an independent realization, not a copy of the
+ * reference's packed-LDL code.
+ *
+ * API shape mirrors the reference's C API (include/api.h: setup / solve /
+ * update / settings / free).  Thread-safety: one DAQPTpuWork per thread.
+ */
+#ifndef DAQP_TPU_C_H
+#define DAQP_TPU_C_H
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct DAQPTpuWork DAQPTpuWork;
+
+/* sense bits (types.py / reference constants.h) */
+#define DAQP_TPU_ACTIVE      1
+#define DAQP_TPU_LOWER       2
+#define DAQP_TPU_IMMUTABLE   4
+#define DAQP_TPU_SOFT        8
+#define DAQP_TPU_BINARY     16
+
+/* exit flags */
+#define DAQP_TPU_SOFT_OPTIMAL   2
+#define DAQP_TPU_OPTIMAL        1
+#define DAQP_TPU_INFEASIBLE    -1
+#define DAQP_TPU_CYCLE         -2
+#define DAQP_TPU_ITERLIMIT     -4
+#define DAQP_TPU_NONCONVEX     -5
+#define DAQP_TPU_OVERDETERMINED -6
+
+/* Allocate + transform: QP  min 0.5 x'Hx + f'x
+ *   s.t. blower <= [x[0:ms]; A x] <= bupper   (A is (m-ms) x n row-major)
+ * sense: m ints (bits above) or NULL.  Semidefinite H gets the reference's
+ * retry-doubling full proximal shift (utils.c:253-283) baked into the
+ * factorization (single-shift approximation of the outer loop; exact for
+ * PD H).  Returns NULL on allocation failure; a factorization failure is
+ * reported by daqp_tpu_solve as NONCONVEX. */
+DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
+                            const double *H, const double *f,
+                            const double *A, const double *bupper,
+                            const double *blower, const int *sense);
+
+/* Solve from the current workspace state (warm if a previous solve left an
+ * active set and only v/d changed via daqp_tpu_update).  x: n, lam: m (or
+ * NULL), fval/iters: scalars. */
+int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
+                   int *iters);
+
+/* Branch-and-bound over the BINARY-flagged rows (bnb.c semantics: DFS,
+ * midpoint branching, nearest endpoint first, incumbent dominance bound,
+ * rel/abs suboptimality folding via settings). */
+int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam,
+                        double *fval, int *iters, int *nodes);
+
+/* v/d-only re-update for MPC loops (UPDATE_v | UPDATE_d, utils.c:410-455):
+ * factorization, working set and E persist. */
+void daqp_tpu_update(DAQPTpuWork *w, const double *f,
+                     const double *bupper, const double *blower);
+
+/* Named settings: primal_tol, dual_tol, zero_tol, pivot_tol, progress_tol,
+ * sing_tol, refactor_tol, rho_soft, fval_bound, rel_subopt, abs_subopt,
+ * cycle_tol, iter_limit.  Returns 0, or -1 for an unknown name. */
+int daqp_tpu_set(DAQPTpuWork *w, const char *name, double value);
+
+/* Reset the working set (cold restart). */
+void daqp_tpu_reset(DAQPTpuWork *w);
+
+void daqp_tpu_free(DAQPTpuWork *w);
+
+#ifdef __cplusplus
+}
+#endif
+#endif

@@ -1,0 +1,127 @@
+"""Native C binding (native/daqp_c.c via daqp_tpu.native): the C-consumer
+surface with runtime problem data — differentially tested against the JAX
+core on every family it supports (QP, equalities, soft, warm re-update,
+MIQP, infeasible/nonconvex probes)."""
+import shutil
+
+import numpy as np
+import pytest
+
+import daqp_tpu
+from daqp_tpu.native import NativeModel
+from tests.gen import generate_test_qp
+
+requires_cc = pytest.mark.skipif(shutil.which("cc") is None
+                                 and shutil.which("gcc") is None,
+                                 reason="no C compiler")
+
+
+@requires_cc
+def test_native_qp_differential():
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n, m, ms = 8, 20, 3
+        x, H, f, A, bu, bl, sense = generate_test_qp(n, m, ms, 6, 1e2,
+                                                     rng)
+        mdl = NativeModel(H, f, A, bu, bl, sense, ms=ms)
+        out = mdl.solve()
+        ref = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=ms)
+        assert out['exitflag'] == int(ref.exitflag), trial
+        assert np.linalg.norm(out['x'] - np.asarray(ref.x)) < 1e-8, trial
+        assert abs(out['fval'] - float(ref.fval)) < 1e-8, trial
+        # dual stationarity through the C duals
+        grad = H @ out['x'] + f
+        grad[:ms] += out['lam'][:ms]
+        grad += A.T @ out['lam'][ms:]
+        assert np.linalg.norm(grad) < 1e-7, trial
+
+
+@requires_cc
+def test_native_equalities_and_soft():
+    rng = np.random.default_rng(13)
+    n, m = 6, 14
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 4, 1e2, rng)
+    # two equality rows (auto-detected) + two soft rows
+    bu, bl, sense = bu.copy(), bl.copy(), sense.copy()
+    mid = 0.5 * (bu[0] + bl[0])
+    bu[0] = bl[0] = mid
+    sense[5] |= daqp_tpu.SOFT
+    sense[6] |= daqp_tpu.SOFT
+    mdl = NativeModel(H, f, A, bu, bl, sense, ms=0)
+    out = mdl.solve()
+    ref = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=0)
+    assert out['exitflag'] == int(ref.exitflag)
+    assert np.linalg.norm(out['x'] - np.asarray(ref.x)) < 1e-7
+
+
+@requires_cc
+def test_native_mpc_update_warm():
+    rng = np.random.default_rng(17)
+    n, m = 8, 20
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 5, 1e2, rng)
+    mdl = NativeModel(H, f, A, bu, bl, ms=0)
+    out = mdl.solve()
+    assert out['exitflag'] == 1
+    f2 = f * 1.0001
+    mdl.update(f=f2, bupper=bu, blower=bl)
+    out2 = mdl.solve()
+    assert out2['exitflag'] == 1
+    assert out2['iterations'] <= 3, out2['iterations']
+    ref = daqp_tpu.quadprog(H, f2, A, bu, bl, ms=0)
+    assert np.linalg.norm(out2['x'] - np.asarray(ref.x)) < 1e-7
+
+
+@requires_cc
+def test_native_miqp():
+    rng = np.random.default_rng(19)
+    for trial in range(3):
+        n, m, nb = 6, 14, 4
+        Mx = rng.standard_normal((n, n))
+        H = Mx.T @ Mx + 0.1 * np.eye(n)
+        f = 10 * rng.standard_normal(n)
+        A = rng.standard_normal((m, n))
+        bu = 15 * rng.random(m)
+        bl = -15 * rng.random(m)
+        A[:nb] = 0.0
+        A[np.arange(nb), np.arange(nb)] = 1.0
+        bu[:nb] = 1.0
+        bl[:nb] = 0.0
+        sense = np.zeros(m, np.int32)
+        sense[:nb] = daqp_tpu.BINARY
+        mdl = NativeModel(H, f, A, bu, bl, sense, ms=0)
+        out = mdl.solve_miqp()
+        ref = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=0)
+        assert out['exitflag'] == int(ref.exitflag), trial
+        if out['exitflag'] == 1:
+            assert abs(out['fval'] - float(ref.fval)) < 1e-6, trial
+            assert np.linalg.norm(out['x'] - np.asarray(ref.x)) < 1e-5
+        # a plain solve after the MIQP must give the clean relaxation
+        out3 = mdl.solve()
+        relax = daqp_tpu.quadprog(H, f, A, bu, bl, ms=0)
+        assert out3['exitflag'] == 1
+        assert abs(out3['fval'] - float(relax.fval)) < 1e-7, trial
+
+
+@requires_cc
+def test_native_probes():
+    n = 2
+    H = np.eye(n)
+    # geometric infeasibility: x0 <= -1 and x0 >= 1
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    bu = np.array([-1.0, 30.0])
+    bl = np.array([-30.0, 1.0])
+    mdl = NativeModel(H, np.zeros(n), A, bu, bl, ms=0)
+    assert mdl.solve()['exitflag'] == -1
+    # nonconvex H
+    mdl2 = NativeModel(-np.eye(n), np.zeros(n), A,
+                       np.array([1.0, 1.0]), np.array([-1.0, -1.0]), ms=0)
+    assert mdl2.solve()['exitflag'] == -5
+    # fval_bound dominance cut + suboptimality settings accepted
+    x, H3, f3, A3, bu3, bl3, sense3 = generate_test_qp(
+        4, 10, 0, 3, 1e2, np.random.default_rng(3))
+    ref = daqp_tpu.quadprog(H3, f3, A3, bu3, bl3, ms=0)
+    mdl3 = NativeModel(H3, f3, A3, bu3, bl3, ms=0,
+                       settings={"fval_bound": float(ref.fval) - 1.0})
+    assert mdl3.solve()['exitflag'] == -1
+    with pytest.raises(ValueError):
+        NativeModel(H3, f3, A3, bu3, bl3, ms=0, settings={"bogus": 1.0})
