@@ -406,7 +406,11 @@ static int solve_inner(int *iters)
             int lower = PNAME_sense[WS[i]] & 2;
             if (PNAME_sense[WS[i]] & 4) continue;
             if ((lower && dir > dtol) || (!lower && dir < -dtol)) {
-                double r = (del != 0.0) ? -lam[i] / del : PNAME_INF;
+                /* an eligible (dual-infeasible) entry must always be a
+                 * candidate; del ~ 0 / negative ratios clamp to a
+                 * zero-step removal (auxiliary.c:283-287 exit gate) */
+                double r = (del != 0.0) ? -lam[i] / del : 0.0;
+                if (r < 0.0) r = 0.0;
                 if (r < amin) { amin = r; rm = i; }
             }
         }

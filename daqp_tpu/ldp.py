@@ -354,7 +354,12 @@ def remove_blocking(state: LDPState, st: Settings
                            direction < -st.dual_tol)
         elig = mask & ~immut & infeas
         cand = -state.lam / delta
-        cand = jnp.where(elig & jnp.isfinite(cand), cand, _BIG)
+        # eligible entries always participate; nonfinite/negative ratios
+        # clamp to a zero-step removal — the reference's exit gate is
+        # "no dual-infeasible lam* entry" (auxiliary.c:283-287), and
+        # dropping them can declare a dual-infeasible point optimal
+        cand = jnp.where(jnp.isfinite(cand), jnp.maximum(cand, 0.0), 0.0)
+        cand = jnp.where(elig, cand, _BIG)
         rm_pos = jnp.argmin(cand).astype(jnp.int32)
         found = cand[rm_pos] < _BIG
 
@@ -413,7 +418,8 @@ def remove_blocking(state: LDPState, st: Settings
         -jnp.where(free, d_us_w, jnp.where(p > 0, d_us_w, 0.0)))
     elig = mask & ~immut & ~skip
     cand = jnp.maximum(-lam_slack / p, 0.0)
-    cand = jnp.where(elig & jnp.isfinite(cand), cand, _BIG)
+    cand = jnp.where(jnp.isfinite(cand), cand, 0.0)
+    cand = jnp.where(elig, cand, _BIG)
     rm_pos = jnp.argmin(cand).astype(jnp.int32)
     found = cand[rm_pos] < _BIG
 

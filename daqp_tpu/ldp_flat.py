@@ -271,7 +271,13 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
                            signv < -st.dual_tol)
         elig = used & ~immut & infeas
         ratio = -s.lam / delta
-        cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
+        # eligible slots always participate; nonfinite/negative ratios
+        # clamp to a zero-step removal — the reference's exit gate is
+        # "no dual-infeasible lam* entry" (auxiliary.c:283-287), and
+        # dropping them let a dual-infeasible point exit as optimal
+        ratio = jnp.where(jnp.isfinite(ratio),
+                          jnp.maximum(ratio, 0.0), 0.0)
+        cand = jnp.where(elig, ratio, BIG)
     else:
         d_ls_w = s.sw.d_ls[s.sid]
         d_us_w = s.sw.d_us[s.sid]
@@ -309,7 +315,8 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
             -jnp.where(free_w, d_us_w, jnp.where(p > 0, d_us_w, 0.0)))
         elig = used & ~immut & ~skip
         ratio = jnp.maximum(-lam_slack / p, 0.0)
-        cand = jnp.where(elig & jnp.isfinite(ratio), ratio, BIG)
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.0)
+        cand = jnp.where(elig, ratio, BIG)
     rm_slot = jnp.argmin(cand).astype(jnp.int32)
     do_remove = running & (cand[rm_slot] < BIG)
 
@@ -605,7 +612,17 @@ def flat_polish(s: FlatState, st: Settings) -> FlatState:
     blocked = (s.sense & (ACTIVE | IMMUTABLE)) > 0
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
             | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
-    reopen = ok & jnp.any(viol)
+    # dual re-check (see pallas_slot.polish): the refined lam* can reveal
+    # a dual-infeasible working set the drifted E had accepted — re-open.
+    # SOFT_WEIGHTS rows follow the slack-bound rules instead; plain-soft
+    # rows keep the hard sign convention.
+    is_lo_w = (sw & LOWER) > 0
+    immut_w = (sw & IMMUTABLE) > 0
+    dual_bad_slots = used & ~immut_w & jnp.where(
+        is_lo_w, lam_star > st.dual_tol, lam_star < -st.dual_tol)
+    if s.sw is not None:
+        dual_bad_slots = dual_bad_slots & ((sw & SOFT) == 0)
+    reopen = ok & (jnp.any(viol) | jnp.any(dual_bad_slots))
     status = jnp.where(reopen, EXIT_RUNNING, s.status).astype(jnp.int32)
     return s._replace(
         lam_star=lam_star, u=u2, status=status,

@@ -280,7 +280,12 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
             + (1.0 - al) * (signv < -dtol).astype(f32)
         elig = infeas * act * (1.0 - im)
         ratio = -lam / delta
-        cand = jnp.where((elig > 0) & jnp.isfinite(ratio), ratio, BIG)
+        # eligible slots always participate; nonfinite/negative ratios
+        # clamp to a zero-step removal (see pallas_slot.py — dropping
+        # them let a dual-infeasible point exit as optimal)
+        ratio = jnp.where(jnp.isfinite(ratio),
+                          jnp.maximum(ratio, 0.0), 0.0)
+        cand = jnp.where(elig > 0, ratio, BIG)
         oh_rm, rmin = first_min_onehot(cand)
         do_rm0 = run * (rmin < BIG).astype(f32)           # pre-guard
 
@@ -751,7 +756,15 @@ def polish(s: DenseState, st: Settings) -> DenseState:
     blocked = (act > 0) | (s.immut > 0)
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
             | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
-    reopen = okl & jnp.any(viol, axis=0)
+    # dual re-check (see pallas_slot.polish): a refined lam* with the
+    # wrong sign on a mutable active row reveals a working set the
+    # drifted E had wrongly accepted — re-open the lane
+    up_bad = (lam_star < -st.dual_tol).astype(act.dtype)
+    lo_bad = (lam_star > st.dual_tol).astype(act.dtype)
+    dual_bad = jnp.any(
+        ((s.act_lo * lo_bad + s.act_up * up_bad)
+         * (1.0 - s.immut)) > 0, axis=0)
+    reopen = okl & (jnp.any(viol, axis=0) | dual_bad)
     return s._replace(
         lam_star=jnp.where(okl[None, :], lam_star, s.lam_star),
         u=u2,

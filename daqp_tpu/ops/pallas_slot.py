@@ -259,7 +259,17 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
             + (1.0 - slo) * (signv < -dtol).astype(f32)
         elig = infeas * used * (1.0 - simm)
         ratio = -lam / delta
-        cand = jnp.where((elig > 0) & jnp.isfinite(ratio), ratio, BIG)
+        # An ELIGIBLE (dual-infeasible lam*) slot must ALWAYS be a
+        # blocking candidate — the reference's exit gate is "no
+        # dual-infeasible lam* entry" (auxiliary.c:283-287), and dropping
+        # nonfinite-ratio candidates (delta ~ 0 <=> lam itself at/past
+        # the boundary) let a dual-infeasible point exit as optimal
+        # (observed: a Bland trajectory returning x 1.5e-2 off with a
+        # clean flag).  Nonfinite/negative ratios clamp to a ZERO-step
+        # removal — the method's own recovery for a boundary dual.
+        ratio = jnp.where(jnp.isfinite(ratio),
+                          jnp.maximum(ratio, 0.0), 0.0)
+        cand = jnp.where(elig > 0, ratio, BIG)
         oh_rm, rmin = first_min_onehot(cand, iota_K)
         do_rm0 = run * (rmin < BIG).astype(f32)
         rm_id = jnp.sum(sid * oh_rm, axis=0, keepdims=True)
@@ -278,6 +288,10 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         up_ok = (v_up < bound) & ~blocked
         lo_ok = (v_lo < bound) & ~blocked & ~up_ok
         cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
+        if int(st.pricing) == 1:
+            # Bland's rule (anti-cycling: lowest violated index); a
+            # compile-time variant — settings are static in the kernel
+            cand2 = jnp.where(up_ok | lo_ok, iota_mf - BIG, BIG)
         oh_j, vmin = first_min_onehot(cand2, iota_m)
         found = (vmin < 0).astype(f32)
         j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
@@ -674,7 +688,19 @@ def polish(s: SlotState, st: Settings) -> SlotState:
     blocked = (act > 0) | (s.immut > 0)
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
             | ((mu - s.dlower) < -st.primal_tol * s.scaling)) & ~blocked
-    reopen = okl & jnp.any(viol, axis=0)
+    # dual re-check: the refinement corrects lam* through the
+    # Newton-polished (near-exact) inverse, so it can REVEAL a
+    # dual-infeasible working set the drifted in-kernel E had accepted
+    # (observed: a lane exiting optimal with a lower-active dual at
+    # +0.06).  Such a lane must re-open so the next round's blocking
+    # search removes the offending slot — the dual analogue of the
+    # primal re-price.
+    up_bad = (lam_star < -st.dual_tol).astype(s.slo.dtype)
+    lo_bad = (lam_star > st.dual_tol).astype(s.slo.dtype)
+    dual_bad = jnp.any(
+        ((s.slo * lo_bad + (1.0 - s.slo) * up_bad)
+         * s.used * (1.0 - s.simm)) > 0, axis=0)
+    reopen = okl & (jnp.any(viol, axis=0) | dual_bad)
     return s._replace(
         lam_star=jnp.where(okl[None, :], lam_star, s.lam_star),
         u=u2,

@@ -509,7 +509,11 @@ static int solve_inner(DAQPTpuWork *w, int *iters, double fbound)
             int lower = w->sense[w->WS[i]] & DAQP_TPU_LOWER;
             if (w->sense[w->WS[i]] & DAQP_TPU_IMMUTABLE) continue;
             if ((lower && dir > w->dtol) || (!lower && dir < -w->dtol)) {
-                double r = (del != 0.0) ? -w->lam[i] / del : DINF;
+                /* an eligible (dual-infeasible) entry must always be a
+                 * candidate; del ~ 0 / negative ratios clamp to a
+                 * zero-step removal (auxiliary.c:283-287 exit gate) */
+                double r = (del != 0.0) ? -w->lam[i] / del : 0.0;
+                if (r < 0.0) r = 0.0;
                 if (r < amin) { amin = r; rm = i; }
             }
         }

@@ -75,3 +75,26 @@ def test_slot_matches_flat_tier():
     dx = np.linalg.norm(np.asarray(rs.x) - np.asarray(rf.x),
                         axis=1)[both]
     assert dx.max() < 2e-3, dx.max()
+
+
+def test_slot_bland_pricing():
+    # Bland's rule compiled into the kernel (Settings.pricing=1).  In f32
+    # Bland's slow degenerate pivots can legitimately trip the
+    # progress-based cycle guard on a marginal lane (the flat tier shows
+    # the same rate under identical settings — measured 1/128 on this
+    # batch, different lanes); optimal lanes must be accurate and the
+    # rate must match the flat tier's.
+    B, n, m = 128, 10, 24
+    d = generate_test_qp_batch(B, n, m, 0, 6, 1e2, rng=71,
+                               dtype=np.float32)
+    stb = _as_settings({"iter_limit": 500, "pricing": 1}, jnp.float32)
+    r = _solve(d, stb)
+    flags = np.asarray(r.exitflag)
+    err = np.linalg.norm(np.asarray(r.x) - d['x'], axis=1)
+    ok = flags == 1
+    assert ok.mean() >= 0.97, np.unique(flags, return_counts=True)
+    assert err[ok].max() < 2e-3, err[ok].max()
+    args = [jnp.asarray(d[k]) for k in
+            ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
+    rf = batch_mod.solve_batch_flat_jit(*args, st=stb, ms=0)
+    assert ok.mean() >= (np.asarray(rf.exitflag) == 1).mean() - 0.02
