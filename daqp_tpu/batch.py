@@ -881,8 +881,12 @@ def kkt_residuals(H, f, A, bupper, blower, sense, x, lam, ms: int = 0):
     Returns ``(stationarity, violation)``:
       * stationarity — relative ||H x + f + A' lam||_inf (the dual
         residual the reference's tests assert, core_tests.jl:210);
-      * violation   — worst relative primal violation over HARD rows
-        (soft rows are allowed to violate by contract).
+      * violation   — worst over HARD rows of: relative primal violation,
+        AND complementarity/dual-sign violation — min(|lam_i|, slack of
+        the side lam_i's sign claims active).  A wrong-working-set point
+        can pass stationarity + feasibility while violating
+        complementarity (observed before the polish dual re-check), so
+        the backstop gate must include it.
     """
     H = np.asarray(H, float)
     f = np.asarray(f, float)
@@ -913,7 +917,16 @@ def kkt_residuals(H, f, A, bupper, blower, sense, x, lam, ms: int = 0):
     viol = np.maximum(vals - bu, bl - vals) / bscale
     from .types import SOFT
     hard = (sense & SOFT) == 0
-    viol = np.where(hard, viol, -np.inf).max(-1)
+    # complementarity: lam_i > 0 claims the UPPER side active (slack
+    # bu - a'x ~ 0), lam_i < 0 the LOWER side; min(|lam|, claimed slack)
+    # must vanish.  Normalized by the dual scale so it composes with the
+    # same kkt_tol gate.
+    lscale = 1.0 + np.abs(lam).max(-1, keepdims=True)
+    slack_claim = np.where(lam > 0, bu - vals, vals - bl)
+    slack_claim = np.minimum(np.abs(slack_claim) / bscale,
+                             np.abs(lam) / lscale)
+    comp = np.where(hard, slack_claim, 0.0)
+    viol = np.maximum(np.where(hard, viol, -np.inf), comp).max(-1)
     return stat, viol
 
 

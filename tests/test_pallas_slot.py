@@ -98,3 +98,28 @@ def test_slot_bland_pricing():
             ('H', 'f', 'A', 'bupper', 'blower', 'sense')]
     rf = batch_mod.solve_batch_flat_jit(*args, st=stb, ms=0)
     assert ok.mean() >= (np.asarray(rf.exitflag) == 1).mean() - 0.02
+
+
+def test_slot_stress_kkt_gate():
+    # harsher conditioning + bigger K, gated on the FULL KKT residual
+    # (stationarity, feasibility, complementarity/dual signs — the
+    # complementarity term is what catches wrong-working-set exits)
+    for (n, m, kappa, seed) in [(24, 60, 1e4, 91), (16, 48, 1e3, 92)]:
+        B = 128
+        d = generate_test_qp_batch(B, n, m, 0, max(4, n // 2), kappa,
+                                   rng=seed, dtype=np.float32)
+        st = _as_settings({"iter_limit": 800}, jnp.float32)
+        r = _solve(d, st)
+        flags = np.asarray(r.exitflag)
+        ok = flags == 1
+        assert ok.mean() >= 0.97, (n, m, np.unique(flags,
+                                                   return_counts=True))
+        stat, viol = batch_mod.kkt_residuals(
+            d['H'], d['f'], d['A'], d['bupper'], d['blower'], d['sense'],
+            np.asarray(r.x), np.asarray(r.lam), ms=0)
+        # f32 stationarity degrades with conditioning (~eps * kappa);
+        # the complementarity/feasibility part of viol is
+        # conditioning-independent and stays at the tight gate
+        tol_stat = 1e-5 * np.sqrt(kappa)
+        assert stat[ok].max() < tol_stat, (n, m, float(stat[ok].max()))
+        assert viol[ok].max() < 1e-4, (n, m, float(viol[ok].max()))
