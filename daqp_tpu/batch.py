@@ -569,14 +569,17 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "bin_ids",
                                              "interpret", "max_waves",
-                                             "warm_ws"))
+                                             "warm_ws",
+                                             "report_kernel_iters"))
 def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 bin_ids: tuple = (),
                                 interpret: bool = False,
                                 max_waves: int = 512,
                                 deadline=None,
-                                warm_ws: bool = True) -> BatchResult:
+                                warm_ws: bool = True,
+                                report_kernel_iters: bool = False
+                                ) -> BatchResult:
     """Batched MIQP branch-and-bound with node relaxations solved as
     whole-batch Pallas kernel WAVES.
 
@@ -635,7 +638,8 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, bin_ids=bin_ids, interpret=interpret,
-            max_waves=max_waves, deadline=deadline, warm_ws=warm_ws)
+            max_waves=max_waves, deadline=deadline, warm_ws=warm_ws,
+            report_kernel_iters=report_kernel_iters)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
 
     f32 = jnp.float32
@@ -704,7 +708,8 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
 
         def wave(c):
             (k, stack_fx, stack_lo, stack_wu, stack_wl, sp, best_fldp,
-             bound_fldp, best_u, best_lam, found, nodes, lane_err) = c
+             bound_fldp, best_u, best_lam, found, nodes, kit,
+             lane_err) = c
             live = (sp > 0) & (lane_err == 0)
             idx = jnp.maximum(sp - 1, 0)
             fx = jnp.take_along_axis(stack_fx, idx[:, None], 1)[:, 0]
@@ -769,6 +774,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
 
             flag = s.status[0]
             fldp = s.fval[0]
+            kit = kit + jnp.where(live, s.iterations[0], 0.0)
             u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
             viable = live & (flag > 0) & (fldp < bound_fldp)
             hard_fail = live & (flag < 0) & (flag != EXIT_INFEASIBLE) \
@@ -823,7 +829,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             sp = sp + 2 * push.astype(jnp.int32)
             return (k + 1, stack_fx, stack_lo, stack_wu, stack_wl, sp,
                     best_fldp, bound_fldp, best_u, best_lam, found, nodes,
-                    lane_err)
+                    kit, lane_err)
 
         def cond(c):
             k, sp, lane_err = c[0], c[5], c[-1]
@@ -837,10 +843,10 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
               jnp.broadcast_to(bound0, (B,)).astype(f32),
               jnp.zeros((B, n), f32),
               jnp.zeros((B, m), f32), jnp.zeros((B,), bool),
-              jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), f32),
               jnp.where(err0 < 0, err0, 0).astype(jnp.int32))
         (k, _, _, _, _, sp, best_fldp, _, best_u, best_lam, found, nodes,
-         lane_err) = lax.while_loop(cond, wave, c0)
+         kit, lane_err) = lax.while_loop(cond, wave, c0)
 
         x = jnp.einsum('bij,bj->bi', ldpd.Rinv, best_u - ldpd.v,
                        precision=_HIP)
@@ -851,10 +857,14 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
                       jnp.where(sp > 0, EXIT_ITERLIMIT, EXIT_OPTIMAL),
                       jnp.where(sp > 0, EXIT_ITERLIMIT,
                                 EXIT_INFEASIBLE)))
+        # report_kernel_iters: measurement aid — ``iterations`` carries
+        # the ACCUMULATED KERNEL ITERATIONS across node waves instead of
+        # node counts (quantifies the warm-start effect per node)
         return BatchResult(
             x=x, lam=best_lam, fval=fval,
             exitflag=exitflag.astype(jnp.int32),
-            iterations=nodes.astype(jnp.int32),
+            iterations=(kit if report_kernel_iters
+                        else nodes).astype(jnp.int32),
             soft_slack=jnp.zeros((B,), f32))
 
 
