@@ -595,6 +595,14 @@ def slot_activate(s: SlotState, up_mask, lo_mask, st: Settings,
                      * jnp.ones((1, B), dtype), precision=_HI)
     used = (iota_K[:, None] < jnp.minimum(nact, K)[None, :]).astype(dtype)
     sid = sid * used - (1.0 - used)
+    # rows ranked beyond the slot capacity are dropped from the TABLE;
+    # they must also leave the m-space act masks, or pricing would treat
+    # them as active forever and the lane could exit with an unchecked
+    # violation (the flat tier's full-table backstop re-prices the same
+    # way)
+    placed = jnp.sum(S, axis=1)                           # (m, B)
+    up = up * placed
+    lo = lo * placed
     slo = jnp.einsum('mkb,mb->kb', S, lo, precision=_HI)
     simm = jnp.einsum('mkb,mb->kb', S, s.immut, precision=_HI)
     lam0_src = (up - lo) if lam0_m is None else lam0_m

@@ -123,3 +123,28 @@ def test_slot_stress_kkt_gate():
         tol_stat = 1e-5 * np.sqrt(kappa)
         assert stat[ok].max() < tol_stat, (n, m, float(stat[ok].max()))
         assert viol[ok].max() < 1e-4, (n, m, float(viol[ok].max()))
+
+
+def test_slot_overcapacity_warm_start():
+    # more sense-ACTIVE rows than slots: rows beyond capacity must leave
+    # the act masks (else they'd be excluded from pricing forever and a
+    # violation could go unchecked) — the lane either solves correctly
+    # after re-pricing or fails LOUDLY, never a silent wrong answer
+    from daqp_tpu.types import ACTIVE
+    B, n, m = 128, 4, 16
+    d = generate_test_qp_batch(B, n, m, 0, 3, 1e2, rng=83,
+                               dtype=np.float32)
+    sense = d['sense'].copy()
+    sense[:, :10] |= ACTIVE          # 10 > K = n+1 (padded 8)
+    d2 = dict(d)
+    d2['sense'] = sense
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    r = _solve(d2, st)
+    flags = np.asarray(r.exitflag)
+    err = np.linalg.norm(np.asarray(r.x) - d['x'], axis=1)
+    ok = flags == 1
+    assert (err[ok] < 2e-3).all(), float(err[ok].max())
+    stat, viol = batch_mod.kkt_residuals(
+        d['H'], d['f'], d['A'], d['bupper'], d['blower'], d['sense'],
+        np.asarray(r.x), np.asarray(r.lam), ms=0)
+    assert (viol[ok] < 1e-4).all(), float(viol[ok].max())
