@@ -1004,9 +1004,15 @@ def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
 
 
 def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
-                settings: Optional[Settings] = None) -> BatchResult:
+                settings: Optional[Settings] = None,
+                soft_weights=None) -> BatchResult:
     """Convenience wrapper: batched dense strictly-convex QP solve on the
     flat (slot-table) hot path.
+
+    ``soft_weights``: optional SOFT_WEIGHTS slack data — a ``SoftWeights``
+    with (B, m) fields or a dict of them (same keys as the single-
+    instance ``solve``; auxiliary.c:199-274 semantics on the batched
+    tier).
 
     The Pallas VMEM kernel (``solve_batch_pallas_jit``) is 10-30x faster
     at steady state but is deliberately NOT the convenience default: a
@@ -1038,7 +1044,23 @@ def solve_batch(H, f, A, bupper, blower, sense=None, ms: int = 0,
         import time
         deadline = jnp.asarray(time.perf_counter()
                                + float(settings.time_limit), jnp.float64)
+    sw = None
+    if soft_weights is not None:
+        from .types import SoftWeights
+        if isinstance(soft_weights, dict):
+            zm = jnp.zeros((B, int(m)), dtype)
+            rm_ = jnp.full((B, int(m)), float(settings.rho_soft), dtype)
+            sw = SoftWeights(
+                d_ls=jnp.asarray(soft_weights.get('d_ls', zm), dtype),
+                d_us=jnp.asarray(soft_weights.get('d_us', zm), dtype),
+                rho_ls=jnp.asarray(soft_weights.get('rho_ls', rm_), dtype),
+                rho_us=jnp.asarray(soft_weights.get('rho_us', rm_),
+                                   dtype))
+        else:
+            sw = SoftWeights(*(jnp.asarray(v, dtype)
+                               for v in soft_weights))
     return solve_batch_flat_jit(H, jnp.asarray(f), jnp.asarray(A),
                                 jnp.asarray(bupper), jnp.asarray(blower),
                                 jnp.asarray(sense), settings, ms=ms,
-                                K=int(n) + max_ns + 1, deadline=deadline)
+                                K=int(n) + max_ns + 1, deadline=deadline,
+                                sw=sw)
