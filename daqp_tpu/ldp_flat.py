@@ -413,7 +413,13 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     viol_any = up_ok | lo_ok
     bland_key = jnp.where(viol_any,
                           jnp.arange(m, dtype=candv.dtype), BIG)
-    pkey = jnp.where(jnp.asarray(st.pricing) == 1, bland_key, candv)
+    # anti-cycling escalation: a lane that needed the one-shot cycle
+    # repair switches to Bland's rule for the rest of the solve (the
+    # classic anti-cycling pivot rule; breaks the degenerate orbits the
+    # reference can only exit with EXIT_CYCLE — observed a period-5
+    # remove/re-add orbit on a SOFT_WEIGHTS instance in f64)
+    use_bland = (jnp.asarray(st.pricing) == 1) | s.repaired
+    pkey = jnp.where(use_bland, bland_key, candv)
     j = jnp.argmin(pkey).astype(jnp.int32)
     found_viol = viol_any[j]
 
@@ -477,6 +483,17 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     s = _try_add(s, st, do_add, add_id, add_lam, add_row, add_lower,
                  sw_free=None if s.sw is None
                  else (sw_readd, rm_was_fixed))
+    # KNOWN LIMITATION (SOFT_WEIGHTS + singular pend): when a pending
+    # retry and a soft blocking re-add coincide, the reference performs
+    # BOTH adds in one iteration (the parked entry re-enters inside
+    # remove_constraint, auxiliary.c:264-273 after factorization.c:92-97)
+    # and its parked entry keeps blocking at its own slack transitions;
+    # the flat pend is held OUT of the table and misses those
+    # transitions.  A measured attempt to emulate the double add here
+    # re-introduced a zero-step flip-flop on kink instances; on the rare
+    # degenerate lanes where the divergence matters the flat tier exits
+    # EXIT_CYCLE (loud, ~1/16 on adversarial random SW batches in f64)
+    # and the single-instance path solves them — see ROUND3.md.
 
     return s._replace(
         status=status,
