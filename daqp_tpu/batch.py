@@ -942,14 +942,18 @@ def kkt_residuals(H, f, A, bupper, blower, sense, x, lam, ms: int = 0):
 
 def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
                      ms: int = 0, settings: Optional[dict] = None,
-                     kkt_tol: float = 1e-4) -> BatchResult:
+                     kkt_tol: float = 1e-4, sw=None) -> BatchResult:
     """f32 outlier backstop: re-solve the lanes whose exit flag is
     non-optimal or whose f64 KKT residual exceeds ``kkt_tol`` through the
     f64 NumPy oracle (the loop-based executable spec with full reference
     semantics).  Exit flags identify exactly the lanes that need
     escalation; on well-conditioned batches this is a no-op.
 
-    Lanes carrying BINARY bits are left untouched (the oracle has no BnB).
+    Lanes carrying BINARY bits are left untouched (the oracle has no
+    BnB).  If the batch was solved with SOFT_WEIGHTS slack data, pass the
+    same ``sw`` here: the oracle has no SW semantics, so those lanes are
+    escalated through the f64 SINGLE-INSTANCE solver instead (which has
+    full SW support) rather than silently re-solved as plain-soft.
     Returns a new ``BatchResult`` with the repaired lanes substituted.
     """
     from oracle import daqp_numpy as oracle
@@ -988,6 +992,24 @@ def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
     fvals = np.array(np.asarray(res.fval, float))
     flags2 = np.array(flags)
     for b in np.where(bad)[0]:
+        if sw is not None and np.any(sense_arr[b] & 8):
+            # SW lanes: the oracle has no slack-bound semantics — use
+            # the f64 single-instance solver (full SW support)
+            import daqp_tpu as _pkg
+            one = _pkg.quadprog(
+                Hn[b], fn[b], An[b], bun[b], bln[b],
+                np.array(sense_arr[b]), ms=ms, settings=st or None,
+                soft_weights={'d_ls': np.asarray(sw.d_ls, float)[b],
+                              'd_us': np.asarray(sw.d_us, float)[b],
+                              'rho_ls': np.asarray(sw.rho_ls, float)[b],
+                              'rho_us': np.asarray(sw.rho_us, float)[b]})
+            fl = int(one.exitflag)
+            if fl in (EXIT_OPTIMAL, EXIT_SOFT_OPTIMAL):
+                xs[b] = np.asarray(one.x, float)
+                lams[b] = np.asarray(one.lam, float)
+                fvals[b] = float(one.fval)
+            flags2[b] = fl
+            continue
         out = oracle.quadprog(Hn[b], fn[b], An[b], bun[b], bln[b],
                               sense=np.array(sense_arr[b]), ms=ms,
                               settings=st)

@@ -224,3 +224,55 @@ def test_soft_weights_batched_flat_tier():
                         d_ls[b], d_us[b], rho_ls[b], rho_us[b])
         assert int(flags[b]) == int(one.exitflag), b
         assert np.abs(xs[b] - np.asarray(one.x)).max() < 1e-7, b
+
+
+def test_soft_weights_backstop_escalation():
+    # A degenerate SW lane that exits EXIT_CYCLE on the flat tier (the
+    # documented singular-pend transition limitation) must be repaired by
+    # backstop_resolve through the f64 SINGLE-instance solver (full SW
+    # support) — never silently re-solved as plain-soft by the oracle.
+    import jax.numpy as jnp
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from daqp_tpu.types import SoftWeights
+
+    rng = np.random.default_rng(170010)
+    n = int(rng.integers(3, 10)); m = int(rng.integers(n + 3, 2 * n + 8))
+    ns = int(rng.integers(1, max(2, m // 3)))
+    B = 16
+    soft_rows = sorted(rng.choice(m, ns, replace=False).tolist())
+    Hs = np.empty((B, n, n)); fs = np.empty((B, n))
+    As = np.empty((B, m, n)); bus = np.empty((B, m)); bls = np.empty((B, m))
+    d_ls = np.zeros((B, m)); d_us = np.zeros((B, m))
+    rho_ls = np.ones((B, m)); rho_us = np.ones((B, m))
+    for b in range(B):
+        Q = rng.standard_normal((n, n))
+        Hs[b] = Q @ Q.T + 0.5 * np.eye(n)
+        fs[b] = 3 * rng.standard_normal(n)
+        As[b] = rng.standard_normal((m, n))
+        bus[b] = 0.3 * rng.random(m)
+        bls[b] = bus[b] - 0.3 - 0.5 * rng.random(m)
+        d_ls[b, soft_rows] = 0.4 * rng.random(ns)
+        d_us[b, soft_rows] = 0.4 * rng.random(ns)
+        rho_ls[b, soft_rows] = 0.5 + rng.random(ns)
+        rho_us[b, soft_rows] = 0.5 + rng.random(ns)
+    sense = np.zeros((B, m), np.int32)
+    sense[:, soft_rows] = SOFT
+    st = _as_settings({"iter_limit": 2000}, jnp.float64)
+    sw = SoftWeights(jnp.asarray(d_ls), jnp.asarray(d_us),
+                     jnp.asarray(rho_ls), jnp.asarray(rho_us))
+    res = batch_mod.solve_batch_flat_jit(
+        jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+        jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), st,
+        ms=0, K=n + ns + 1, sw=sw)
+    flags0 = np.asarray(res.exitflag)
+    assert (flags0 == -2).any(), flags0   # the documented degenerate lane
+    rep = batch_mod.backstop_resolve(res, Hs, fs, As, bus, bls, sense,
+                                     ms=0, sw=sw)
+    flags1 = np.asarray(rep.exitflag)
+    assert (flags1 > 0).all(), flags1
+    # the repaired lane matches the single-instance SW solve
+    b = int(np.flatnonzero(flags0 == -2)[0])
+    one = _solve_sw(Hs[b], fs[b], As[b], bus[b], bls[b], sense[b],
+                    d_ls[b], d_us[b], rho_ls[b], rho_us[b])
+    assert np.abs(np.asarray(rep.x)[b] - np.asarray(one.x)).max() < 1e-9
