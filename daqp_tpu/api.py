@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core as solve_mod
-from .types import (BINARY, Settings, Result, default_settings_f32)
+from .types import (BINARY, EXIT_TIMELIMIT, Settings, Result,
+                    default_settings_f32)
 
 
 def _as_settings(settings, dtype) -> Settings:
@@ -70,7 +71,8 @@ def _solve_jit(H, f, A, bupper, blower, sense, st: Settings, ms: int,
 def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
           ms: Optional[int] = None, break_points=None, settings=None,
           dtype=None, is_avi: bool = False, primal_start=None,
-          dual_start=None, prefactored: bool = False, soft_weights=None):
+          dual_start=None, prefactored: bool = False, soft_weights=None,
+          f64_backstop: Optional[bool] = None):
     """One-shot solve; returns a ``Result``.
 
     Matches ``daqp.solve`` in the reference Python binding
@@ -81,6 +83,17 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
     ``primal_start``/``dual_start`` warm-start the active set
     (``daqp_primal_init_active``/``daqp_dual_init_active``,
     api.c:555-609).
+
+    ``f64_backstop``: when the f32 solve exits with a negative flag
+    (other than the time limit), re-solve once in f64 — on TPU via
+    XLA's emulated f64, exactly like ``batch.backstop_resolve`` for the
+    batch tiers.  Default (None) enables it for LPs only: the adaptive
+    proximal LP path drives the inner dual active-set through hundreds
+    of near-degenerate projections where f32 legitimately runs out of
+    precision (measured: half the reference LP grid's n=50 instances
+    fail in f32 on CPU and TPU alike, and all pass in f64), while the
+    QP paths are f32-robust.  Costs one host read of ``exitflag`` per
+    call; pass False for pipelined latency-critical callers.
     """
     bupper = np.atleast_1d(np.asarray(bupper))
     blower = (np.full_like(bupper, -1e30) if blower is None
@@ -153,14 +166,53 @@ def solve(H=None, f=None, A=None, bupper=None, blower=None, sense=None,
                      jnp.asarray(bupper, dtype), jnp.asarray(blower, dtype),
                      jnp.asarray(sense_arr), st, int(ms), is_lp, bin_ids,
                      bp, is_avi, x0, deadline, int(n) + ns + 1, Rinv, sw)
-    out = jax.tree_util.tree_map(lambda x: x.block_until_ready()
-                                 if hasattr(x, 'block_until_ready') else x,
-                                 out)
+    # No forced device sync here: a per-leaf block_until_ready cost one
+    # tunnel round trip PER RESULT FIELD on a remote TPU (measured ~850 ms
+    # per 10-var solve through the axon tunnel, i.e. ~50x the compute),
+    # and serialized pipelined callers.  Results are JAX arrays; touching
+    # them (np.asarray) syncs naturally.  ``solve_time`` is therefore
+    # enqueue time; for device-accurate stage timing use
+    # scripts/profile_stages.py (the reference's PROFILING flag analogue).
     t1 = time.perf_counter()
-    return Result(x=out.x, lam=out.lam, fval=out.fval, exitflag=out.exitflag,
-                  iterations=out.iterations, soft_slack=out.soft_slack,
-                  nodes=getattr(out, 'nodes', jnp.ones((), jnp.int32)),
-                  solve_time=t1 - t0, setup_time=0.0)
+    res = Result(x=out.x, lam=out.lam, fval=out.fval, exitflag=out.exitflag,
+                 iterations=out.iterations, soft_slack=out.soft_slack,
+                 nodes=getattr(out, 'nodes', jnp.ones((), jnp.int32)),
+                 solve_time=t1 - t0, setup_time=0.0)
+    if f64_backstop is None:
+        f64_backstop = is_lp
+    escalate = False
+    if f64_backstop and dtype == jnp.float32:
+        flag = int(res.exitflag)
+        escalate = flag < 0 and flag != EXIT_TIMELIMIT
+        if not escalate and flag > 0 and is_lp:
+            # An f32 LP can exit CLEAN at a wrong vertex (observed
+            # 5.6e-3 primal error with flag 1 on the reference grid's
+            # n=50 LPs): verify every clean f32 LP exit with the f64
+            # host KKT gate used by batch.backstop_resolve and escalate
+            # dubious ones.
+            from .batch import kkt_residuals
+            Hz = np.zeros((1, n, n))
+            stat, viol = kkt_residuals(
+                Hz, np.asarray(f, float)[None] if f is not None
+                else np.zeros((1, n)),
+                A[None], np.asarray(bupper, float)[None],
+                np.asarray(blower, float)[None], sense_arr[None],
+                np.asarray(res.x, float)[None],
+                np.asarray(res.lam, float)[None], ms=int(ms))
+            # 1e-5, tighter than the batch backstop's 1e-4: at a nearly
+            # degenerate LP vertex an f32 exit with stat ~3e-5 was a
+            # KKT-certified NEIGHBOR vertex 5.6e-3 away in x — within
+            # weak-duality tolerance but not the vertex the reference
+            # (in f64) returns.  Honest f32 exits sit at stat ~1e-6.
+            escalate = bool(max(stat[0], viol[0]) > 1e-5)
+    if escalate:
+        with jax.enable_x64(True):
+            return solve(H=H, f=f, A=A, bupper=bupper, blower=blower,
+                         sense=sense_arr, ms=ms, break_points=break_points,
+                         settings=settings, dtype=jnp.float64,
+                         is_avi=is_avi, prefactored=prefactored,
+                         soft_weights=soft_weights, f64_backstop=False)
+    return res
 
 
 def quadprog(H, f, A, bupper, blower, sense=None, ms=None, **kw):

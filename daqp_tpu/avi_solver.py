@@ -165,7 +165,7 @@ def avi_core(H, f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
             dlower=blower * ldpd.scaling + Mv,
             status=jnp.asarray(EXIT_RUNNING, jnp.int32),
             iterations=jnp.zeros((), jnp.int32),
-            tried_repair=jnp.zeros((), bool),
+            tried_repair=jnp.zeros((), jnp.int32),
             cycle_counter=jnp.zeros((), jnp.int32),
             best_fval=jnp.asarray(-1.0, dtype))
         s = ldp_mod.ldp_solve(s, st, reset=False, deadline=deadline)

@@ -270,7 +270,7 @@ def bnb_run(c0: BnBCarry, bin_ids, st: Settings, node_budget=None,
         st_node = st._replace(fval_bound=c.bound)
         s = c.state._replace(
             status=jnp.asarray(EXIT_RUNNING, jnp.int32),
-            tried_repair=jnp.zeros((), bool),
+            tried_repair=jnp.zeros((), jnp.int32),
             cycle_counter=jnp.zeros((), jnp.int32),
             best_fval=jnp.asarray(-1.0, dtype))
         s = ldp_mod.ldp_solve(s, st_node, deadline=deadline)
@@ -281,7 +281,7 @@ def bnb_run(c0: BnBCarry, bin_ids, st: Settings, node_budget=None,
             c = _rebuild_node(c, depth, st)
             s = c.state._replace(
                 status=jnp.asarray(EXIT_RUNNING, jnp.int32),
-                tried_repair=jnp.zeros((), bool),
+                tried_repair=jnp.zeros((), jnp.int32),
                 cycle_counter=jnp.zeros((), jnp.int32),
                 best_fval=jnp.asarray(-1.0, dtype))
             s = ldp_mod.ldp_solve(s, st_node, deadline=deadline)

@@ -86,7 +86,7 @@ class LDPState(NamedTuple):
     # --- control ---
     iterations: jnp.ndarray    # () int32
     cycle_counter: jnp.ndarray  # () int32
-    tried_repair: jnp.ndarray  # () bool
+    tried_repair: jnp.ndarray  # () int32 repair count (0: none; 1: repaired, Dantzig; >=2: repaired, Bland escalation)
     best_fval: jnp.ndarray     # ()
     status: jnp.ndarray        # () int32 (EXIT_RUNNING while iterating)
     in_bnb: jnp.ndarray        # () bool  cycling exits instead of repairing
@@ -127,7 +127,7 @@ def init_state(M, dupper, dlower, sense, scaling=None, K=None,
         u=jnp.zeros((n,), dtype), fval=z, soft_slack=z,
         iterations=jnp.zeros((), jnp.int32),
         cycle_counter=jnp.zeros((), jnp.int32),
-        tried_repair=jnp.zeros((), bool), best_fval=z - 1.0,
+        tried_repair=jnp.zeros((), jnp.int32), best_fval=z - 1.0,
         status=jnp.full((), EXIT_RUNNING, jnp.int32),
         in_bnb=jnp.zeros((), bool),
         sw=sw,
@@ -487,7 +487,12 @@ def add_infeasible(state: LDPState, st: Settings
     bland_key = jnp.where(viol_any,
                           jnp.arange(cand.shape[0], dtype=cand.dtype),
                           _BIG)
-    key = jnp.where(jnp.asarray(st.pricing) == 1, bland_key, cand)
+    # anti-cycling escalation (as in ldp_flat.flat_step): a solve that
+    # needed the one-shot cycle repair switches to Bland's rule for the
+    # rest of the run — breaks f32 degenerate orbits the reference can
+    # only exit with EXIT_CYCLE
+    use_bland = (jnp.asarray(st.pricing) == 1) | (state.tried_repair >= 2)
+    key = jnp.where(use_bland, bland_key, cand)
     j = jnp.argmin(key).astype(jnp.int32)
     found = viol_any[j]
     isupper = up_ok[j]
@@ -501,6 +506,45 @@ def add_infeasible(state: LDPState, st: Settings
         return add_constraint(s, j, jnp.where(isupper, 1.0, -1.0), st)
 
     return found, lax.cond(found, do_add, lambda s: s, state)
+
+
+def newton_refresh_E(state: LDPState, st: Settings) -> LDPState:
+    """One Newton polish E <- E(2I - G E) against the exactly rebuilt
+    working-set Gram, guarded by the contraction condition ||GE - I|| < 1/2.
+
+    The flat/slot tiers' hard-won rule (ROUND3.md): refinement through a
+    DRIFTED inverse silently accepts wrong answers — ``refine_active``'s
+    correction dlam = E r and the optimal-path re-price are only as good
+    as E.  On a v5e at K = 501 (reference grid n = 500, ~2900 rank-one
+    updates) the unrefreshed single-instance path exited "optimal" at a
+    working set 2 rows short of the true active set (x error 5.6e-4,
+    where CPU f32 reaches 5e-6); with the refresh the re-price sees the
+    true weakly-violated rows.  Two K^2(k) GEMMs, only on
+    optimal-candidate iterations."""
+    K = state.E.shape[0]
+    dtype = state.E.dtype
+    mask = _mask1(K, state.n_active)
+    Mw_m = jnp.where(mask[:, None], state.Mw, 0)
+    G = Mw_m @ Mw_m.T
+    sw = state.sense[state.WS]
+    soft = mask & ((sw & SOFT) > 0)
+    if state.sw is not None:
+        soft = soft & ((sw & SLACK_FIXED) == 0)
+        rho_w = jnp.where((sw & LOWER) > 0, state.sw.rho_ls[state.WS],
+                          state.sw.rho_us[state.WS])
+        G = G + jnp.diag(jnp.where(soft, rho_w, 0))
+    else:
+        G = G + jnp.diag(jnp.where(soft,
+                                   jnp.asarray(st.rho_soft, dtype), 0))
+    G = jnp.where(mask[:, None] & mask[None, :], G, 0)
+    G = G + jnp.diag(jnp.where(mask, 0.0, 1.0).astype(dtype))
+    Iu = jnp.diag(mask.astype(dtype))
+    P = G @ state.E
+    resid = jnp.max(jnp.abs(P - Iu))
+    E_new = state.E @ (2 * Iu - P)
+    E_new = jnp.where(mask[:, None] & mask[None, :], E_new, 0)
+    ok = (resid < 0.5) & jnp.all(jnp.isfinite(E_new)) & ~state.sing
+    return state._replace(E=jnp.where(ok, E_new, state.E))
 
 
 def refine_active(state: LDPState, st: Settings) -> LDPState:
@@ -564,7 +608,7 @@ def _optimal_path(state, st, batch_mode=False):
         return _declare_optimal(state, st)
     k = state.n_active
     max_diag = _max_diag_E(state)
-    do_repair = ((k > 2) & ~state.tried_repair
+    do_repair = ((k > 2) & (state.tried_repair == 0)
                  & (max_diag * st.refactor_tol > 1.0))
 
     def repair(s):
@@ -579,15 +623,44 @@ def _optimal_path(state, st, batch_mode=False):
         idx = jnp.where(mask, s.WS, m)
         sense = s.sense.at[idx].set(sw_new.astype(jnp.int32), mode='drop')
         s = refactor(s._replace(sense=sense), st)
-        return s._replace(tried_repair=jnp.ones((), bool))
+        return s._replace(tried_repair=jnp.maximum(s.tried_repair, 1))
 
     def no_repair(s):
-        do_refine = (k > 0) & (max_diag * st.pivot_tol > 1.0)
+        # The reference refines only under detected ill-conditioning
+        # (min_D < pivot_tol, daqp.c:52); that gate assumes f64, where
+        # E-drift is negligible at benign conditioning.  In f32 the
+        # drift after thousands of rank-one updates misprices weakly
+        # active rows even at kappa = 1e2 (measured on a v5e at n = 500:
+        # "optimal" exit 2 rows short of the true active set, x error
+        # 5.6e-4 vs 5e-6 with the refresh) — so every optimal candidate
+        # refreshes + refines in f32.  Static on dtype: compiled out of
+        # f64 solves entirely.
+        always = state.E.dtype == jnp.float32
+        do_refine = (k > 0) & (always | (max_diag * st.pivot_tol > 1.0))
 
         def refine_then(s):
+            # refresh E against the rebuilt Gram FIRST: refining (and
+            # re-pricing) through a drifted inverse accepts wrong answers
+            s = newton_refresh_E(s, st)
+            s = compute_csp(s)
+            s = compute_primal_and_fval(s, st)
             s = refine_active(s, st)
             added, s = add_infeasible(s, st)
-            return lax.cond(added, lambda q: q,
+            # dual re-check (flat_polish rule): a refined lam* that is
+            # dual-infeasible on a non-immutable row means the working
+            # set is wrong — stay RUNNING so the next iteration's
+            # blocking search removes the offender instead of exiting
+            # "optimal" at it (auxiliary.c:283-287 exit gate).
+            K_ = s.E.shape[0]
+            mask_ = _mask1(K_, s.n_active)
+            sw_ = s.sense[s.WS]
+            bad = mask_ & ((sw_ & IMMUTABLE) == 0) & jnp.where(
+                (sw_ & LOWER) > 0, s.lam_star > st.dual_tol,
+                s.lam_star < -st.dual_tol)
+            if s.sw is not None:
+                # SOFT_WEIGHTS rows follow slack-bound rules instead
+                bad = bad & ((sw_ & SOFT) == 0)
+            return lax.cond(added | jnp.any(bad), lambda q: q,
                             lambda q: _declare_optimal(q, st), s)
 
         return lax.cond(do_refine, refine_then,
@@ -606,14 +679,14 @@ def _cycle_guard(state, st, batch_mode=False):
     cc = jnp.where(no_progress, state.cycle_counter + 1, 0)
     best = jnp.where(no_progress, state.best_fval, state.fval)
     trip = no_progress & (cc > st.cycle_tol)
-    give_up = trip & (batch_mode | state.tried_repair | state.in_bnb)
+    give_up = trip & (batch_mode | (state.tried_repair >= 2) | state.in_bnb)
 
     def cycle_exit(s):
         return s._replace(status=jnp.full((), EXIT_CYCLE, jnp.int32))
 
     def repair(s):
         s = refactor(s, st)
-        return s._replace(tried_repair=jnp.ones((), bool),
+        return s._replace(tried_repair=s.tried_repair + 1,
                           cycle_counter=jnp.zeros((), jnp.int32),
                           best_fval=jnp.asarray(-1.0, s.fval.dtype))
 
@@ -649,10 +722,30 @@ def _nonsingular_step(state, st, batch_mode=False):
 
 def _singular_step(state, st):
     removed, state = remove_blocking(state, st)
-    return lax.cond(
-        removed, lambda s: s,
-        lambda s: s._replace(status=jnp.full((), EXIT_INFEASIBLE, jnp.int32)),
-        state)
+
+    def stuck(s):
+        # Singular direction with no blocker = infeasible (daqp.c:88-94).
+        # In f32 a SPURIOUSLY singular add (drifted E) can reach this
+        # state on a feasible problem (observed on a v5e: the reference
+        # LP grid's n=50 inner LDPs exited -1 at iteration ~280), so the
+        # first occurrence drops the parked entry, refactorizes exactly
+        # and re-opens — the ldp_flat ladder (flat_step "stuck" path).
+        # Only a repaired state declares infeasibility.
+        def repair(q):
+            q = remove_constraint(q, q.n_active - 1, st)
+            q = refactor(q, st)
+            return q._replace(
+                tried_repair=jnp.maximum(q.tried_repair, 1),
+                cycle_counter=jnp.zeros((), jnp.int32),
+                best_fval=jnp.asarray(-1.0, q.fval.dtype))
+
+        def infeas(q):
+            return q._replace(
+                status=jnp.full((), EXIT_INFEASIBLE, jnp.int32))
+
+        return lax.cond(s.tried_repair >= 1, infeas, repair, s)
+
+    return lax.cond(removed, lambda s: s, stuck, state)
 
 
 def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
@@ -674,6 +767,20 @@ def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
     def body(s):
         s = lax.cond(s.sing, lambda q: _singular_step(q, st),
                      lambda q: _nonsingular_step(q, st, batch_mode), s)
+        if s.E.dtype == jnp.float32 and not batch_mode:
+            # Scheduled numerical maintenance (the single-instance
+            # analogue of the flat tier's between-chunk flat_refresh):
+            # in f32 the inverse-Gram drift across hundreds of rank-one
+            # updates causes spurious singular adds and mispriced
+            # working sets (observed on LP subproblems at n=50: clean
+            # -1/-2 exits on feasible problems, on CPU f32 and TPU
+            # alike).  One guarded Newton polish every 64 iterations
+            # keeps E inside its contraction basin.  f64 drift is
+            # negligible — compiled out (static on dtype).
+            s = lax.cond((s.iterations % 64 == 63)
+                         & (s.status == EXIT_RUNNING),
+                         lambda q: newton_refresh_E(q, st),
+                         lambda q: q, s)
         if deadline is not None:
             from .utils.timers import now_callback
             from .types import EXIT_TIMELIMIT
@@ -713,6 +820,10 @@ def batch_post_pass(state: LDPState, st: Settings) -> LDPState:
               | (state.status == EXIT_SOFT_OPTIMAL)) & (state.n_active > 0)
 
     def fix_opt(s):
+        # refresh E before refining (see _optimal_path.refine_then)
+        s = newton_refresh_E(s, st)
+        s = compute_csp(s)
+        s = compute_primal_and_fval(s, st)
         s = refine_active(s, st)
         added, s = add_infeasible(s, st)
         return s._replace(status=jnp.where(
@@ -721,12 +832,12 @@ def batch_post_pass(state: LDPState, st: Settings) -> LDPState:
     state = lax.cond(is_opt, fix_opt, lambda s: s, state)
 
     from .types import EXIT_CYCLE as _CYC
-    do_cyc = (state.status == _CYC) & ~state.tried_repair & ~state.in_bnb
+    do_cyc = (state.status == _CYC) & (state.tried_repair < 2) & ~state.in_bnb
 
     def fix_cycle(s):
         s = refactor(s, st)
         return s._replace(status=jnp.full((), EXIT_RUNNING, jnp.int32),
-                          tried_repair=jnp.ones((), bool),
+                          tried_repair=s.tried_repair + 1,
                           cycle_counter=jnp.zeros((), jnp.int32),
                           best_fval=jnp.asarray(-1.0, s.fval.dtype))
 

@@ -98,7 +98,7 @@ class FlatState(NamedTuple):
     iterations: jnp.ndarray   # () int32
     cycle: jnp.ndarray        # () int32
     best_fval: jnp.ndarray    # ()
-    repaired: jnp.ndarray     # () bool — one-shot exact-repair used
+    repaired: jnp.ndarray     # () int32 exact-repair count (0: none; 1: repaired, Dantzig; >=2: repaired, Bland escalation)
     status: jnp.ndarray       # () int32
     # Optional SOFT_WEIGHTS slack data (reference optional build,
     # types.h:168-180): scaling-NORMALIZED per-row slack bounds and
@@ -137,7 +137,7 @@ def flat_init(M, dupper, dlower, sense, scaling=None, K=None,
         u=jnp.zeros((n,), dtype), fval=z, soft_slack=z,
         iterations=jnp.zeros((), jnp.int32),
         cycle=jnp.zeros((), jnp.int32), best_fval=z - 1.0,
-        repaired=jnp.zeros((), bool),
+        repaired=jnp.zeros((), jnp.int32),
         status=jnp.full((), EXIT_RUNNING, jnp.int32),
         sw=sw)
 
@@ -317,8 +317,54 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
         ratio = jnp.maximum(-lam_slack / p, 0.0)
         ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.0)
         cand = jnp.where(elig, ratio, BIG)
-    rm_slot = jnp.argmin(cand).astype(jnp.int32)
-    do_remove = running & (cand[rm_slot] < BIG)
+        # --- pend-transition candidate (SOFT_WEIGHTS + singular pend).
+        # The reference's parked singular entry sits IN the working set
+        # (factorization.c:92-97), so the SW line search
+        # (auxiliary.c:199-274) naturally blocks at the parked entry's OWN
+        # slack-bound transition — crossing it flips FIXED -> FREE, the
+        # re-add gains its per-side rho on the Gram diagonal and the add
+        # is no longer singular.  The flat pend is held OUT of the slot
+        # table, so search it explicitly as a virtual K-th candidate.
+        # Its dual moves at rate pend_sign and its direction value is
+        # pend_sign (ldp.add_constraint: sing_dir[k] = +-1), so the same
+        # per-side skip/kink/lam_slack formulas apply; the fixed-side
+        # skips carry ~pend and so never fire for the pend itself.
+        pid = jnp.clip(s.pend_id, 0, m - 1)
+        psw = s.sense[pid]
+        p_free = (psw & SLACK_FIXED) == 0
+        p_was_fixed = ~p_free
+        p_dls = s.sw.d_ls[pid]
+        p_dus = s.sw.d_us[pid]
+        pp = pend_sign
+        pskip = jnp.where(
+            s.pend_lower,
+            p_free & ((pp < st.dual_tol) | (pp <= -p_dls + st.dual_tol)),
+            p_free & ((pp > -st.dual_tol) | (pp >= p_dus)))
+        pktol_us = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(p_dus)))
+        pktol_ls = jnp.maximum(st.dual_tol, eps_k * (1 + jnp.abs(p_dls)))
+        p_at_us = jnp.abs(s.pend_lam - p_dus) <= pktol_us
+        p_at_ls = jnp.abs(s.pend_lam + p_dls) <= pktol_ls
+        p_soft = (psw & SOFT) > 0
+        pkink = p_soft & jnp.where(
+            s.pend_lower,
+            p_at_ls & jnp.where(p_free, True, pp < 0),
+            p_at_us & jnp.where(p_free, True, pp > 0))
+        p_lam_slack = s.pend_lam + jnp.where(
+            s.pend_lower,
+            jnp.where(p_free, p_dls, jnp.where(pp < 0, p_dls, 0.0)),
+            -jnp.where(p_free, p_dus, jnp.where(pp > 0, p_dus, 0.0)))
+        p_immut = (psw & IMMUTABLE) > 0
+        p_elig = s.pend & ~p_immut & ~(pskip | pkink)
+        p_cand = jnp.maximum(-p_lam_slack / pp, 0.0)
+        p_cand = jnp.where(jnp.isfinite(p_cand), p_cand, 0.0)
+        pend_cand = jnp.where(p_elig, p_cand, BIG)
+        cand = jnp.concatenate([cand, pend_cand[None]])
+    # a hard pend never transitions: without sw, cand stays length K and
+    # rmx == K is unreachable, so pend_block is identically False
+    rmx = jnp.argmin(cand).astype(jnp.int32)
+    pend_block = running & (rmx == K) & (cand[rmx] < BIG)
+    rm_slot = jnp.where(rmx == K, 0, rmx).astype(jnp.int32)
+    do_remove = running & ~pend_block & (cand[rmx] < BIG)
 
     # Deletion-pivot stability guard: the downdate E -= e e'/e_rr amplifies
     # accumulated f32 error by ||e||^2/e_rr; a small pivot means E must be
@@ -331,7 +377,7 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
 
     # --- masked deletion (daqp_update_LDL_remove, factorization.c:99-138:
     #     the rank-one E -= e e'/e_rr zeroes the freed row/col exactly) ---
-    alpha = jnp.where(do_remove, cand[rm_slot], 0)
+    alpha = jnp.where(do_remove | pend_block, cand[rmx], 0)
     if s.sw is not None:
         # step just past the slack-bound transition so the blocker
         # re-enters with the flipped FIXED/FREE state (auxiliary.c:254)
@@ -378,9 +424,9 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     # refactorizes, drops the pending constraint and re-opens); only a
     # repaired lane declares infeasibility — the one-shot repair ladder of
     # daqp.c:66-85 applied to the singular exit. ---
-    stuck = running & s.pend & ~do_remove
+    stuck = running & s.pend & ~do_remove & ~pend_block
     status = jnp.where(stuck,
-                       jnp.where(s.repaired, EXIT_INFEASIBLE, EXIT_CYCLE),
+                       jnp.where(s.repaired >= 1, EXIT_INFEASIBLE, EXIT_CYCLE),
                        s.status).astype(jnp.int32)
 
     # --- primal + pricing on the non-removal, non-pending path ---
@@ -418,7 +464,7 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     # classic anti-cycling pivot rule; breaks the degenerate orbits the
     # reference can only exit with EXIT_CYCLE — observed a period-5
     # remove/re-add orbit on a SOFT_WEIGHTS instance in f64)
-    use_bland = (jnp.asarray(st.pricing) == 1) | s.repaired
+    use_bland = (jnp.asarray(st.pricing) == 1) | (s.repaired >= 2)
     pkey = jnp.where(use_bland, bland_key, candv)
     j = jnp.argmin(pkey).astype(jnp.int32)
     found_viol = viol_any[j]
@@ -458,17 +504,50 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
         crossed = jnp.where(rm_was_lower, ls_rm > 0, ls_rm < 0)
         sw_readd = do_remove & ~s.pend & rm_was_soft & ~crossed
         rm_id_c = jnp.clip(rm_id, 0, m - 1)
-        do_add = retry_pend | sw_readd | price_add
-        add_id = jnp.where(retry_pend, s.pend_id,
-                           jnp.where(sw_readd, rm_id_c, j))
-        add_row = jnp.where(retry_pend, s.pend_row,
-                            jnp.where(sw_readd, s.M[rm_id_c], s.M[j]))
-        add_lower = jnp.where(retry_pend, s.pend_lower,
-                              jnp.where(sw_readd, rm_was_lower, lo_ok[j]))
+        # pend blocked at its OWN slack transition: re-enter with the
+        # FLIPPED FIXED/FREE state (ldp.remove_blocking's do_remove_sw on
+        # the parked entry; auxiliary.c:264-273 after factorization.c:92-97)
+        # — a FIXED pend re-adds FREE, gaining rho on the Gram diagonal,
+        # so the add is no longer singular.  A pend whose stepped dual
+        # crossed zero deactivated instead and is dropped.
+        pend_crossed = jnp.where(s.pend_lower, s.pend_lam > 0,
+                                 s.pend_lam < 0)
+        pend_readd = pend_block & ~pend_crossed
+        pend_drop = pend_block & pend_crossed
+        pend_take = retry_pend | pend_readd
+        # Double add (reference parity): when a pend retry coincides with
+        # a soft blocking re-add, the reference performs BOTH in one
+        # iteration — remove_constraint re-adds the flipped soft blocker
+        # (auxiliary.c:264-273) and THEN the parked entry re-enters
+        # (factorization.c:92-97).  The FIXED -> FREE flip gains the
+        # blocker's rho on the Gram diagonal and raises the rank cap, so
+        # without it the pend retry parks singular again and the pair
+        # orbits (observed period-5 EXIT_CYCLE on an adversarial f64 SW
+        # batch where the single-instance path solves in 15 iterations).
+        # Only the FIXED -> FREE direction is performed eagerly: it is
+        # structurally nonsingular (rho > sing_tol), so it cannot clobber
+        # the parked pend state; the FREE -> FIXED coincidence keeps the
+        # pend-retry-first order and lets pricing re-select the blocker.
+        both = retry_pend & rm_was_soft & ~crossed & rm_was_fixed
+        s = _try_add(s, st, both, rm_id_c, ls_rm, s.M[rm_id_c],
+                     rm_was_lower, sw_free=(both, rm_was_fixed))
+        use_sw_readd = sw_readd & ~pend_take & ~both
+        do_add = pend_take | use_sw_readd | price_add
+        add_id = jnp.where(pend_take, s.pend_id,
+                           jnp.where(use_sw_readd, rm_id_c, j))
+        add_row = jnp.where(pend_take, s.pend_row,
+                            jnp.where(use_sw_readd, s.M[rm_id_c], s.M[j]))
+        add_lower = jnp.where(pend_take, s.pend_lower,
+                              jnp.where(use_sw_readd, rm_was_lower,
+                                        lo_ok[j]))
         add_lam = jnp.where(
-            retry_pend, s.pend_lam,
-            jnp.where(sw_readd, ls_rm,
+            pend_take, s.pend_lam,
+            jnp.where(use_sw_readd, ls_rm,
                       jnp.where(lo_ok[j], -one, one)))
+        sense_pd = s.sense.at[jnp.where(pend_drop, pid, m)].set(
+            (s.sense[pid] & ~ACTIVE).astype(jnp.int32), mode='drop')
+        s = s._replace(sense=sense_pd,
+                       pend=s.pend & ~pend_drop)
     else:
         do_add = retry_pend | price_add
         add_id = jnp.where(retry_pend, s.pend_id, j)
@@ -479,21 +558,22 @@ def flat_step(s: FlatState, st: Settings) -> FlatState:
     # On the new-lam path the reference promotes lam <- lam* before adding
     # (auxiliary.c:158-159)
     lam2 = jnp.where(price_add, jnp.where(s.used, lam_star, 0), s.lam)
-    s = s._replace(lam=lam2, pend=s.pend & ~retry_pend)
+    s = s._replace(lam=lam2, pend=s.pend & ~retry_pend & ~pend_block)
     s = _try_add(s, st, do_add, add_id, add_lam, add_row, add_lower,
                  sw_free=None if s.sw is None
-                 else (sw_readd, rm_was_fixed))
-    # KNOWN LIMITATION (SOFT_WEIGHTS + singular pend): when a pending
+                 else (use_sw_readd | pend_readd,
+                       jnp.where(pend_readd, p_was_fixed, rm_was_fixed)))
+    # Residual divergence (SOFT_WEIGHTS + singular pend): when a pending
     # retry and a soft blocking re-add coincide, the reference performs
     # BOTH adds in one iteration (the parked entry re-enters inside
-    # remove_constraint, auxiliary.c:264-273 after factorization.c:92-97)
-    # and its parked entry keeps blocking at its own slack transitions;
-    # the flat pend is held OUT of the table and misses those
-    # transitions.  A measured attempt to emulate the double add here
-    # re-introduced a zero-step flip-flop on kink instances; on the rare
-    # degenerate lanes where the divergence matters the flat tier exits
-    # EXIT_CYCLE (loud, ~1/16 on adversarial random SW batches in f64)
-    # and the single-instance path solves them — see ROUND3.md.
+    # remove_constraint, auxiliary.c:264-273 after factorization.c:92-97);
+    # the flat mux performs the pend retry first and lets pricing
+    # re-select the soft blocker on a later iteration — a different but
+    # valid active-set trajectory.  The parked entry's own slack-bound
+    # transitions ARE searched (the virtual pend candidate above closes
+    # the former EXIT_CYCLE limitation); a measured attempt to emulate
+    # the double add instead re-introduced a zero-step flip-flop on kink
+    # instances and was reverted — see ROUND3.md.
 
     return s._replace(
         status=status,
@@ -554,7 +634,7 @@ def flat_refresh(s: FlatState, st: Settings) -> FlatState:
     # escape hatch for a drifted E outside the Newton basin).  Cholesky,
     # not LU: G is SPD by construction (identity on free slots) and TPU's
     # LU expander is orders of magnitude slower than the native Cholesky.
-    cyc = (s.status == EXIT_CYCLE) & ~s.repaired
+    cyc = (s.status == EXIT_CYCLE) & (s.repaired < 2)
     parked = s.status == EXIT_REFACTOR   # unstable deletion pivot
     need_exact = cyc | parked
     cF = jnp.linalg.cholesky(G)
@@ -578,7 +658,7 @@ def flat_refresh(s: FlatState, st: Settings) -> FlatState:
     return s._replace(
         E=E2, status=status, sense=sense,
         pend=s.pend & ~drop_pend,
-        repaired=s.repaired | cyc,
+        repaired=s.repaired + cyc.astype(jnp.int32),
         cycle=jnp.where(cyc, 0, s.cycle).astype(jnp.int32),
         best_fval=jnp.where(cyc, jnp.asarray(-1.0, dtype), s.best_fval))
 

@@ -66,7 +66,7 @@ def _warm_resolve(ldpd, state, st: Settings):
             dupper=ldpd.dupper, dlower=ldpd.dlower,
             status=jnp.asarray(EXIT_RUNNING, jnp.int32),
             iterations=jnp.zeros((), jnp.int32),
-            tried_repair=jnp.zeros((), bool),
+            tried_repair=jnp.zeros((), jnp.int32),
             cycle_counter=jnp.zeros((), jnp.int32),
             best_fval=jnp.asarray(-1.0, state.fval.dtype))
         state = ldp_mod.ldp_solve(state, st, reset=False)

@@ -167,7 +167,7 @@ def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
                 dupper=ldpd.dupper, dlower=ldpd.dlower,
                 status=jnp.asarray(EXIT_RUNNING, jnp.int32),
                 iterations=jnp.zeros((), jnp.int32),
-                repaired=jnp.zeros((), bool),
+                repaired=jnp.zeros((), jnp.int32),
                 cycle=jnp.zeros((), jnp.int32),
                 best_fval=jnp.asarray(-1.0, state.fval.dtype))
             # One Newton polish of the warm inverse Gram, E <- E(2I - GE)

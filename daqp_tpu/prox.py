@@ -74,7 +74,7 @@ def _reset_for_resolve(state, dupper, dlower):
         dupper=dupper, dlower=dlower,
         status=jnp.asarray(EXIT_RUNNING, jnp.int32),
         iterations=jnp.zeros((), jnp.int32),
-        tried_repair=jnp.zeros((), bool),
+        tried_repair=jnp.zeros((), jnp.int32),
         cycle_counter=jnp.zeros((), jnp.int32),
         best_fval=jnp.asarray(-1.0, state.fval.dtype))
 
@@ -267,9 +267,19 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
 
     def outer_body(c: _Carry):
         # Adaptive eps (daqp_prox.c:55-63): first iteration keeps eps = 1.
+        # The x10 growth exists to escape slow INTERIOR progress; a
+        # stalled solve AT a vertex (n_active == n) can only fail the
+        # eta*eps gate through the f32 arithmetic floor (exact arithmetic
+        # gives diff = 0 there), and since that floor scales linearly
+        # with eps, growing eps at a stalled vertex just amplifies it
+        # until the inner solver exits spuriously infeasible (observed on
+        # a v5e at eps ~ 8e2).  Shrink instead and let the stagnation
+        # acceptance below certify the fixed point.
         stalled = c.state.iterations == 1
+        at_vertex_prev = c.state.n_active == n
+        grow = stalled & ~at_vertex_prev
         eps = jnp.where(c.total_iter > 0,
-                        jnp.minimum(c.eps * jnp.where(stalled, 10.0, 0.9),
+                        jnp.minimum(c.eps * jnp.where(grow, 10.0, 0.9),
                                     1e3),
                         c.eps)
         v = f_ * eps - c.x
@@ -283,7 +293,32 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
 
         inner_failed = s.status < 0
         tol_stat = eta * eps
-        converged = jnp.max(jnp.abs(x - c.x)) < tol_stat
+        max_diff = jnp.max(jnp.abs(x - c.x))
+        converged = max_diff < tol_stat
+
+        # Arithmetic-floor stagnation (LP analogue of the QP acceptance
+        # above): in f32 — on TPU in particular — the inner solve's
+        # fixed-point residual floors at ~kappa * eps_f32 * ||d||, which
+        # scales LINEARLY with eps, while the stall rule multiplies eps
+        # by 10 (daqp_prox.c:55-63).  Exact arithmetic would give diff = 0
+        # at a stalled vertex; in f32 the eta*eps gate is never met, eps
+        # climbs to its cap, the absolute errors grow with it, and the
+        # inner solver eventually exits spuriously infeasible (observed on
+        # the reference benchmark grid on a v5e: err 25 after eps reached
+        # 8.1e2).  The eps-NORMALIZED residual diff/eps is eps-invariant
+        # at the floor, so consecutive stalled vertex solves with no
+        # improvement in it certify the fixed point to arithmetic
+        # accuracy; the three-stage vertex cleanup below then recovers the
+        # exact vertex (measured 4e-8), and doubtful lanes are caught by
+        # the f64 KKT backstop.
+        ndiff = max_diff / eps
+        improved = ndiff < 0.9 * c.best_diff
+        best_next = jnp.minimum(ndiff, c.best_diff)
+        at_vertex_stall = (s.iterations == 1) & (s.n_active == n)
+        stall_next = jnp.where(improved | ~at_vertex_stall,
+                               0, c.stall_ct + 1)
+        stagnated = (~inner_failed) & (stall_next >= 3)
+        converged = converged | stagnated
 
         # Not at a vertex after a 1-iteration solve: take a gradient step
         need_grad = (s.iterations == 1) & (s.n_active != n) & (~converged)
@@ -310,7 +345,8 @@ def linprog_core(f, A, bupper, blower, sense, ms: int, st: Settings, K=None,
         return _Carry(state=s, v=v, x=x, xold=c.x, eps=eps,
                       center_relaxed=jnp.zeros((), bool), total_iter=total,
                       status=status.astype(jnp.int32),
-                      best_diff=c.best_diff, stall_ct=c.stall_ct)
+                      best_diff=best_next.astype(c.best_diff.dtype),
+                      stall_ct=stall_next.astype(jnp.int32))
 
     z = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     init_status = jnp.where(ldpd.error < 0, ldpd.error,
