@@ -767,20 +767,15 @@ def ldp_solve(state: LDPState, st: Settings, batch_mode: bool = False,
     def body(s):
         s = lax.cond(s.sing, lambda q: _singular_step(q, st),
                      lambda q: _nonsingular_step(q, st, batch_mode), s)
-        if s.E.dtype == jnp.float32 and not batch_mode:
-            # Scheduled numerical maintenance (the single-instance
-            # analogue of the flat tier's between-chunk flat_refresh):
-            # in f32 the inverse-Gram drift across hundreds of rank-one
-            # updates causes spurious singular adds and mispriced
-            # working sets (observed on LP subproblems at n=50: clean
-            # -1/-2 exits on feasible problems, on CPU f32 and TPU
-            # alike).  One guarded Newton polish every 64 iterations
-            # keeps E inside its contraction basin.  f64 drift is
-            # negligible — compiled out (static on dtype).
-            s = lax.cond((s.iterations % 64 == 63)
-                         & (s.status == EXIT_RUNNING),
-                         lambda q: newton_refresh_E(q, st),
-                         lambda q: q, s)
+        # NOTE a mid-loop periodic Newton refresh of E was tried here
+        # (every 64 f32 iterations) and REGRESSED the reference grid's
+        # n=500 QPs from all-optimal (err <= 1.7e-4) to all-EXIT_CYCLE:
+        # at k ~ 400 active rows the incrementally maintained inverse
+        # tracks the true inverse better than a Newton snap toward the
+        # inverse of the f32-COMPUTED Gram, and the snap's interaction
+        # with the optimal-path dual re-check churned the working set.
+        # Drift is instead handled at optimal candidates
+        # (newton_refresh_E in _optimal_path) and by the repair ladders.
         if deadline is not None:
             from .utils.timers import now_callback
             from .types import EXIT_TIMELIMIT
