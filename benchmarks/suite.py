@@ -106,8 +106,22 @@ def _bench_lp(sizes, repeats, rows):
                 res = daqp_tpu.linprog(f, A, bu, bl, sense, ms=ms)
             np.asarray(res.x)           # true sync (see _bench_qp note)
             per = (time.perf_counter() - t0) / repeats
-            err = float(np.linalg.norm(np.asarray(res.x) - x))
-            assert err < tol, (n, m, err)
+            xs = np.asarray(res.x, float)
+            err = float(np.linalg.norm(xs - x))
+            if err >= tol:
+                # A degenerate LP can have a non-unique optimal face;
+                # a solver landing on a different point of that face is
+                # optimal even though ||x - xref|| is large (observed:
+                # obj match to 1e-6 with x 3.7e-2 away).  Accept iff the
+                # objective matches AND the point is feasible to tol.
+                I = np.zeros((ms, n)); I[np.arange(ms), np.arange(ms)] = 1
+                Afull = np.vstack([I, np.asarray(A, float)])
+                vals = Afull @ xs
+                feas = max(float((vals - bu).max()),
+                           float((bl - vals).max()))
+                gap = abs(float(f @ xs) - float(f @ x)) \
+                    / (1.0 + abs(float(f @ x)))
+                assert gap < tol and feas < tol, (n, m, err, gap, feas)
             med_times.append(per)
             errs.append(err)
         rows.append(dict(kind="lp", n=n, m=m, ms=ms, nAct=0,

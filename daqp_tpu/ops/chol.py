@@ -316,6 +316,131 @@ def _tile_chol_kernel_loop(n: int, tiny: float, H_ref, X_ref, Hc):
     pl.run_scoped(store, pltpu.SemaphoreType.DMA(()))
 
 
+def _tile_chol_kernel_blk(n: int, nch: int, tiny: float, H_ref, X_ref, Hc):
+    """Blocked (panel-8) variant of ``_tile_chol_kernel_loop``: same
+    math and layout, ~8x fewer full-buffer passes.
+
+    The rank-1 kernel reads+writes the whole (n, n, SUB, 128) buffer at
+    every pivot (~3 passes x n pivots) and runs at ~5% VPU utilization —
+    the cost is buffer traffic and per-step floors, not arithmetic.
+    Blocking by a panel of PB = 8 pivots:
+
+      phase 1 per block: factor the 8-column panel with 8 micro-steps
+      that touch only (n, <=8) slices, then apply the rank-8 Schur
+      downdate to the trailing matrix in ONE chunked read-modify-write
+      pass (8 fused FMAs per element);
+      phase 2 per block: accumulate the off-block substitution
+      sum_{k<i0} L[i,k] X[k,:] for all 8 rows in ONE chunked pass over
+      the finished X rows, then solve the 8x8 lower-triangular block
+      sequentially on (n,)-row values (micro work).
+
+    Both dims 0/1 of the tile layout are MAJOR (untiled), so panel
+    slices at dynamic offsets are legal on either dim — none of the
+    one-hot extraction passes the dense-mask kernel needs.
+    MEASURED (v5e, B=1024, n=50->56 padded): see profile_stages.py.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    SUB = Hc.shape[2]
+    PB = 8
+    assert n % PB == 0
+    CH = n // nch
+    idx = (slice(None), slice(None),
+           pl.ds(pl.multiple_of(g * SUB, SUB), SUB), slice(None))
+
+    def load(sem):
+        cp = pltpu.make_async_copy(H_ref.at[idx], Hc, sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(load, pltpu.SemaphoreType.DMA(()))
+
+    f = Hc.dtype
+    one = jnp.asarray(1.0, f)
+    eps = jnp.asarray(tiny, f)
+    iota_r = lax.broadcasted_iota(jnp.int32, (n, 1, 1, 1), 0)
+    iota_c = lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1)
+    iota_p = lax.broadcasted_iota(jnp.int32, (1, PB, 1, 1), 1)
+
+    # --- phase 1: blocked right-looking Cholesky ---
+    def chol_blk(jb, _):
+        j0 = jb * PB
+        # factor the panel: micro-steps touch only (n, <=PB) slices
+        for t in range(PB):
+            j = j0 + t
+            piv = jnp.sqrt(jnp.maximum(
+                Hc[pl.ds(j, 1), pl.ds(j, 1)][0, 0], eps))    # (SUB, 128)
+            colfull = Hc[:, pl.ds(j, 1)][:, 0]               # (n, SUB, 128)
+            col = jnp.where(iota_r[:, 0] > j, colfull / piv, 0.0)
+            Hc[:, pl.ds(j, 1)] = \
+                (col + (iota_r[:, 0] == j).astype(f) * piv)[:, None]
+            if t + 1 < PB:
+                # downdate the REMAINING panel columns only
+                rest = Hc[:, pl.ds(j + 1, PB - 1 - t)]       # (n, r, S, 128)
+                cpan = lax.dynamic_slice_in_dim(col, j + 1, PB - 1 - t, 0)
+                Hc[:, pl.ds(j + 1, PB - 1 - t)] = \
+                    rest - col[:, None] * cpan[None]
+        # one rank-PB trailing downdate (cols >= j0 + PB only)
+        pan = Hc[:, pl.ds(j0, PB)]                           # (n, PB, S, 128)
+        pan = pan * (iota_r > (j0 + iota_p)).astype(f)       # strictly-below
+        cmask = (iota_c[0] >= j0 + PB).astype(f)             # (n, 1, 1)
+        for c in range(nch):
+            r0 = c * CH
+            blk = Hc[r0:r0 + CH]
+            for t in range(PB):
+                blk = blk - pan[r0:r0 + CH, t][:, None] \
+                    * (pan[:, t] * cmask)[None]
+            Hc[r0:r0 + CH] = blk
+        return 0
+
+    lax.fori_loop(0, n // PB, chol_blk, 0)
+    # zero the strictly-upper garbage once (phase 2 reads full rows)
+    for c in range(nch):
+        r0 = c * CH
+        Hc[r0:r0 + CH] = jnp.where(iota_r[r0:r0 + CH] >= iota_c,
+                                   Hc[r0:r0 + CH], 0.0)
+
+    # --- phase 2: blocked in-place X = L^{-1} ---
+    iota_ch = lax.broadcasted_iota(jnp.int32, (1, CH, 1, 1), 1)
+
+    def inv_blk(ib, _):
+        i0 = ib * PB
+        P = Hc[pl.ds(i0, PB)]                # (PB, n, S, 128) L-rows
+        # off-block substitution in one chunked pass over finished X rows
+        acc = jnp.zeros((PB, n, SUB, 128), f)
+        for c in range(nch):
+            r0 = c * CH
+            Xc = Hc[r0:r0 + CH]              # (CH, n, S, 128)
+            C = P[:, r0:r0 + CH] * ((r0 + iota_ch) < i0).astype(f)
+            for t in range(CH):
+                acc = acc + C[:, t][:, None] * Xc[t][None]
+        # within-block sequential solve on (n,)-row values
+        Pb = lax.dynamic_slice_in_dim(P, i0, PB, 1)   # (PB, PB, S, 128)
+        rows = []
+        for t in range(PB):
+            i = i0 + t
+            inv = one / Pb[t, t]                      # (S, 128)
+            r = acc[t]
+            for s in range(t):
+                r = r + Pb[t, s][None] * rows[s]
+            row_new = jnp.where(iota_c[0] == i, inv[None],
+                                -inv[None] * r)
+            rows.append(jnp.where(iota_c[0] > i, 0.0, row_new))
+        Hc[pl.ds(i0, PB)] = jnp.stack(rows, axis=0)
+        return 0
+
+    lax.fori_loop(0, n // PB, inv_blk, 0)
+
+    def store(sem):
+        cp = pltpu.make_async_copy(Hc, X_ref.at[idx], sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(store, pltpu.SemaphoreType.DMA(()))
+
+
 def _chol_kernel_dense(n: int, nch: int, tiny: float, H_ref, X_ref, Hc):
     """Dense-mask lanes-last Cholesky + in-place triangular inversion:
     the formulation that finally beats the XLA expander.
@@ -510,6 +635,54 @@ def batched_chol_rinv_tile(H_bnn: jnp.ndarray, tiny: float = 1e-30,
     )(Hl)
     # X[i, j, g, l] = L^{-1}[i, j] for lane g*128+l; Rinv = X' per lane
     return jnp.transpose(out, (2, 3, 1, 0)).reshape(B, n, n)
+
+
+def batched_chol_rinv_blk(H_bnn: jnp.ndarray, tiny: float = 1e-30,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) upper-triangular Rinv with H = R'R via
+    the BLOCKED tile kernel (``_tile_chol_kernel_blk``).  B must be a
+    multiple of 128.  Non-PD lanes produce clamped-pivot factors whose
+    inverse diagonal is huge — same caller contract as
+    ``batched_chol_rinv_tile``."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = H_bnn.shape
+    assert B % 128 == 0, B
+    G = B // 128
+    dtype = H_bnn.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    n0 = n
+    pad = (-n) % 8
+    if pad:
+        # panel width 8: pad with a decoupled identity block
+        eye_pad = jnp.zeros((n + pad, n + pad), dtype).at[
+            jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+        H_bnn = jnp.pad(H_bnn, ((0, 0), (0, pad), (0, pad))) + eye_pad
+        n = n + pad
+    SUB = 8
+    # tighter VMEM budget than the rank-1 kernel: the blocked body keeps
+    # ~4 (8, n, SUB, 128) panel temporaries alive alongside Hc
+    while SUB > 1 and ((G % SUB) or (n * n * SUB * 128 * itemsize
+                                     > 8 * 2 ** 20)):
+        SUB //= 2
+    assert G % SUB == 0, (B, SUB)
+    nch = 1
+    while (n % nch) or (n // nch) % 8 or \
+            (n // nch) * n * SUB * 128 * itemsize > 2 ** 22:
+        nch += 1
+    Hl = jnp.transpose(H_bnn.reshape(G, 128, n, n), (2, 3, 0, 1))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        functools.partial(_tile_chol_kernel_blk, n, nch, tiny),
+        grid=(G // SUB,),
+        in_specs=[any_spec], out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n, G, 128), dtype),
+        scratch_shapes=[pltpu.VMEM((n, n, SUB, 128), dtype)],
+        interpret=interpret,
+    )(Hl)
+    return jnp.transpose(out, (2, 3, 1, 0)).reshape(B, n, n)[:, :n0, :n0]
 
 
 def batched_rinv_regularized(H_bnn: jnp.ndarray, st, interpret: bool = False):
