@@ -227,10 +227,14 @@ def test_soft_weights_batched_flat_tier():
 
 
 def test_soft_weights_backstop_escalation():
-    # A degenerate SW lane that exits EXIT_CYCLE on the flat tier (the
-    # documented singular-pend transition limitation) must be repaired by
-    # backstop_resolve through the f64 SINGLE-instance solver (full SW
-    # support) — never silently re-solved as plain-soft by the oracle.
+    # Historically this seed produced flat-tier EXIT_CYCLE lanes (the
+    # singular-pend transition limitation).  Round 3's fix — pend
+    # transitions participate in the blocking search — solves every lane
+    # cleanly, which part 1 pins as a regression test.  Part 2 then
+    # injects a failed lane to exercise backstop_resolve's SOFT_WEIGHTS
+    # escalation: a bad SW lane must be repaired through the f64
+    # SINGLE-instance solver (full SW support) — never silently
+    # re-solved as plain-soft by the oracle.
     import jax.numpy as jnp
     from daqp_tpu import batch as batch_mod
     from daqp_tpu.api import _as_settings
@@ -266,13 +270,26 @@ def test_soft_weights_backstop_escalation():
         jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), st,
         ms=0, K=n + ns + 1, sw=sw)
     flags0 = np.asarray(res.exitflag)
-    assert (flags0 == -2).any(), flags0   # the documented degenerate lane
-    rep = batch_mod.backstop_resolve(res, Hs, fs, As, bus, bls, sense,
-                                     ms=0, sw=sw)
+    # part 1 — regression: the round-3 pend-transition fix solves every
+    # lane of the formerly-degenerate batch cleanly on the flat tier
+    assert (flags0 > 0).all(), flags0
+
+    # part 2 — escalation: corrupt one SW lane (wrong x + EXIT_CYCLE
+    # flag) and verify backstop_resolve repairs it through the f64
+    # single-instance SW solver
+    b = 5
+    bad_flags = jnp.asarray(flags0).at[b].set(-2)
+    bad_x = jnp.asarray(res.x).at[b].set(1e3)
+    corrupted = res._replace(exitflag=bad_flags, x=bad_x)
+    rep = batch_mod.backstop_resolve(corrupted, Hs, fs, As, bus, bls,
+                                     sense, ms=0, sw=sw)
     flags1 = np.asarray(rep.exitflag)
     assert (flags1 > 0).all(), flags1
-    # the repaired lane matches the single-instance SW solve
-    b = int(np.flatnonzero(flags0 == -2)[0])
     one = _solve_sw(Hs[b], fs[b], As[b], bus[b], bls[b], sense[b],
                     d_ls[b], d_us[b], rho_ls[b], rho_us[b])
+    assert int(flags1[b]) == int(one.exitflag)
     assert np.abs(np.asarray(rep.x)[b] - np.asarray(one.x)).max() < 1e-9
+    # untouched lanes keep their flat-tier solution
+    others = np.ones(B, bool); others[b] = False
+    assert np.array_equal(np.asarray(rep.x)[others],
+                          np.asarray(res.x)[others])
