@@ -262,6 +262,62 @@ def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
                               deadline=deadline)
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "chunk",
+                                             "has_soft"))
+def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
+                                  st: Settings, ms: int = 0,
+                                  chunk: int = 256, has_soft: bool = False,
+                                  deadline=None) -> BatchResult:
+    """One-dispatch streaming variant of ``solve_batch_pallas_jit``: the
+    whole (large) batch is processed in ``chunk``-lane kernel waves
+    inside a single jitted program via ``lax.map``.
+
+    Why this exists (measured on v5e through the axon tunnel, round 4):
+    each separately-enqueued jit call costs ~0.5-1.5 ms of host/tunnel
+    dispatch and the final sync fetch ~25 ms of round-trip latency —
+    40 x 256-lane calls in bench.py paid ~45 ms of a 154 ms wall in
+    pure dispatch overhead.  One dispatch + one fetch makes host wall
+    track device compute.  Chunking inside the program keeps the
+    per-wave tile-convergence dynamics of small batches (a chunk's
+    tiles stop at the CHUNK's own max iteration, and the 128-lane tiles
+    within it at their own — see the kernel early exit) while the map
+    serializes waves back-to-back with no host involvement.
+
+    ``B`` need not divide ``chunk``: the remainder is padded with
+    trivial instances inside ``_pallas_batch_core``'s own lane padding
+    by rounding B up to a chunk multiple here.
+    """
+    B = H.shape[0]
+    n = A.shape[-1]
+    pad = (-B) % chunk
+    if pad:
+        mg, mm = A.shape[1], bupper.shape[-1]
+
+        def padded(x, fill):
+            blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                   (pad,) + x.shape[1:])
+            return jnp.concatenate([x, blk], axis=0)
+
+        out = solve_batch_pallas_stream_jit(
+            padded(H, jnp.eye(n)), padded(f, jnp.zeros((n,))),
+            padded(A, jnp.zeros((mg, n))), padded(bupper, jnp.ones((mm,))),
+            padded(blower, -jnp.ones((mm,))),
+            padded(sense, jnp.zeros((mm,), jnp.int32)),
+            st, ms=ms, chunk=chunk, has_soft=has_soft, deadline=deadline)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
+    C = B // chunk
+    data = tuple(x.reshape((C, chunk) + x.shape[1:])
+                 for x in (H, f, A, bupper, blower, sense))
+
+    def one(args):
+        return _pallas_batch_core(*args, st=st, ms=ms, has_soft=has_soft,
+                                  deadline=deadline)
+
+    parts = lax.map(one, data)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((B,) + x.shape[2:]), parts)
+
+
 def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                        ms: int = 0, interpret: bool = False,
                        has_soft: bool = False,

@@ -377,9 +377,12 @@ def _tile_chol_kernel_blk(n: int, nch: int, tiny: float, H_ref, X_ref, Hc):
             Hc[:, pl.ds(j, 1)] = \
                 (col + (iota_r[:, 0] == j).astype(f) * piv)[:, None]
             if t + 1 < PB:
-                # downdate the REMAINING panel columns only
+                # downdate the REMAINING panel columns only; the panel
+                # rows of the finished column are re-read from the ref
+                # (dims 0/1 are major: dynamic ref offsets are legal,
+                # dynamic_slice on VALUES is not lowerable in Mosaic)
                 rest = Hc[:, pl.ds(j + 1, PB - 1 - t)]       # (n, r, S, 128)
-                cpan = lax.dynamic_slice_in_dim(col, j + 1, PB - 1 - t, 0)
+                cpan = Hc[pl.ds(j + 1, PB - 1 - t), pl.ds(j, 1)][:, 0]
                 Hc[:, pl.ds(j + 1, PB - 1 - t)] = \
                     rest - col[:, None] * cpan[None]
         # one rank-PB trailing downdate (cols >= j0 + PB only)
@@ -416,8 +419,9 @@ def _tile_chol_kernel_blk(n: int, nch: int, tiny: float, H_ref, X_ref, Hc):
             C = P[:, r0:r0 + CH] * ((r0 + iota_ch) < i0).astype(f)
             for t in range(CH):
                 acc = acc + C[:, t][:, None] * Xc[t][None]
-        # within-block sequential solve on (n,)-row values
-        Pb = lax.dynamic_slice_in_dim(P, i0, PB, 1)   # (PB, PB, S, 128)
+        # within-block sequential solve on (n,)-row values; the diagonal
+        # block is re-read from the ref (P is a value: no dynamic_slice)
+        Pb = Hc[pl.ds(i0, PB), pl.ds(i0, PB)]         # (PB, PB, S, 128)
         rows = []
         for t in range(PB):
             i = i0 + t
@@ -683,6 +687,93 @@ def batched_chol_rinv_blk(H_bnn: jnp.ndarray, tiny: float = 1e-30,
         interpret=interpret,
     )(Hl)
     return jnp.transpose(out, (2, 3, 1, 0)).reshape(B, n, n)[:, :n0, :n0]
+
+
+def _chol_small_inv(A: jnp.ndarray, tiny: float):
+    """(B, p, p) SPD -> (R, Rinv), both upper, A = R'R.  Fully unrolled
+    classic Cholesky + back-substitution for SMALL static p (the 8-wide
+    diagonal blocks of the blocked MXU factorization).  Non-PD pivots
+    clamp to ``tiny`` (huge inverse diagonal; caller's pivot-ratio check
+    detects it, utils.c:253-283 contract)."""
+    B, p, _ = A.shape
+    dtype = A.dtype
+    col = jnp.arange(p)
+    rows = []
+    for i in range(p):
+        acc = A[:, i, :]                                   # (B, p)
+        for k in range(i):
+            acc = acc - rows[k][:, i:i + 1] * rows[k]
+        piv = jnp.sqrt(jnp.maximum(acc[:, i], tiny))       # (B,)
+        r = jnp.where(col >= i, acc / piv[:, None], 0.0)
+        rows.append(r.astype(dtype))
+    R = jnp.stack(rows, axis=1)
+    xrows = [None] * p
+    for i in reversed(range(p)):
+        inv = 1.0 / rows[i][:, i]                          # (B,)
+        acc = jnp.zeros((B, p), dtype)
+        for k in range(i + 1, p):
+            acc = acc + rows[i][:, k:k + 1] * xrows[k]
+        xi = jnp.where(col == i, inv[:, None], -inv[:, None] * acc)
+        xrows[i] = jnp.where(col >= i, xi, 0.0).astype(dtype)
+    Rinv = jnp.stack(xrows, axis=1)
+    return R, Rinv
+
+
+def batched_chol_rinv_mxu(H_bnn: jnp.ndarray,
+                          tiny: float = 1e-30) -> jnp.ndarray:
+    """(B, n, n) SPD -> (B, n, n) upper Rinv with H = R'R via a BLOCKED
+    right-looking Cholesky + blocked triangular inversion whose panel
+    and trailing updates are batched GEMMs (MXU), with only the 8x8
+    diagonal blocks factored by unrolled scalar-free vector ops.
+
+    Rationale: the lanes-last VPU kernels are ISSUE-limited (~6.5-8.5 ms
+    per 1024 x 50x50 on v5e; the blocked-panel VPU variant with 8x less
+    buffer traffic measures the SAME, so bandwidth is not the limit),
+    while the total factorization+inverse FLOP count (~2n^3/3 per lane)
+    is tiny for the MXU even at the measured ~0.24 TFLOP/s effective
+    rate of HIGHEST-precision batched small GEMMs.  All GEMMs pin
+    Precision.HIGHEST (f32-exact): this path feeds M/v/d and the
+    accuracy gates.  Reference semantics: ``daqp_update_Rinv``
+    (utils.c:137-297) fused factorization+inversion."""
+    hi = lax.Precision.HIGHEST
+    B, n0, _ = H_bnn.shape
+    dtype = H_bnn.dtype
+    PB = 8
+    pad = (-n0) % PB
+    if pad:
+        eye_pad = jnp.zeros((n0 + pad, n0 + pad), dtype).at[
+            jnp.arange(n0, n0 + pad), jnp.arange(n0, n0 + pad)].set(1.0)
+        H_bnn = jnp.pad(H_bnn, ((0, 0), (0, pad), (0, pad))) + eye_pad
+    n = n0 + pad
+    nb = n // PB
+
+    A22 = H_bnn
+    panels = []                       # (Rkk_inv, Rk_rest) per block row
+    for k in range(nb):
+        Akk = A22[:, :PB, :PB]
+        _, Rkk_inv = _chol_small_inv(Akk, tiny)
+        rest = A22[:, :PB, PB:]                            # (B, PB, r)
+        # Rk_rest = Rkk^{-T} @ rest  (Rkk upper => Rkk^{-T} = Rkk_inv')
+        Rk_rest = jnp.einsum('bki,bkj->bij', Rkk_inv, rest, precision=hi)
+        if Rk_rest.shape[-1]:
+            A22 = A22[:, PB:, PB:] - jnp.einsum(
+                'bki,bkj->bij', Rk_rest, Rk_rest, precision=hi)
+        panels.append((Rkk_inv, Rk_rest))
+
+    # blocked back-substitution for Rinv: bottom-up, X = R^{-1} upper;
+    # X[i, i] = Rkk_inv(i); X[i, >i] = -Rkk_inv(i) @ R[i, >i] @ X[>i, >i]
+    Xlow = panels[-1][0]
+    for i in reversed(range(nb - 1)):
+        Dinv, Ri_rest = panels[i]
+        T = jnp.einsum('bik,bkj->bij', Ri_rest, Xlow, precision=hi)
+        Xi = jnp.concatenate(
+            [Dinv, -jnp.einsum('bik,bkj->bij', Dinv, T, precision=hi)],
+            axis=2)
+        r = Xlow.shape[-1]
+        Xlow = jnp.concatenate(
+            [Xi, jnp.concatenate([jnp.zeros((B, r, PB), dtype), Xlow],
+                                 axis=2)], axis=1)
+    return Xlow[:, :n0, :n0]
 
 
 def batched_rinv_regularized(H_bnn: jnp.ndarray, st, interpret: bool = False):

@@ -99,7 +99,7 @@ class SlotState(NamedTuple):
 
 
 def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
-                 steps: int, always_copy: bool,
+                 steps: int, always_copy: bool, ablate: frozenset,
                  M_ref, du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                  au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref, sidr,
                  slor, lam_ref, ls_ref, pd_ref, pr_ref, plm_ref, plo_ref,
@@ -162,7 +162,7 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
                 cp.wait()
 
         pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
-        _solve_tile_live(st, m, n, K, n_true, steps,
+        _solve_tile_live(st, m, n, K, n_true, steps, ablate,
                          du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                          au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
                          ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
@@ -183,13 +183,19 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
 
 
 def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
-                     steps: int,
+                     steps: int, ablate,
                      du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                      au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
                      pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o,
                      bf_o, cy_o, rp_o, it_o, stt_o,
                      E_s, W_s, M_s):
-    """The live-tile solve loop (state already staged into VMEM)."""
+    """The live-tile solve loop (state already staged into VMEM).
+
+    ``ablate`` (frozenset of section names, normally empty) is DEV-ONLY
+    instrumentation: it stubs out named step sections with shape-matched
+    dummies so the per-step cost can be decomposed by differential
+    timing on the real chip (scripts/step_ablation.py).  Ablated kernels
+    compute WRONG results by design."""
     f32 = jnp.float32
     BIG = f32(DAQP_INF)
     dtol = f32(st.dual_tol)
@@ -240,15 +246,15 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         return oh, cmin
 
     def body(carry):
+        # lam_star (the CSP solve) and a_p (the pending null direction)
+        # are CARRIED: they are computed at the END of the previous step
+        # fused into the E/W update passes (write + contract in one
+        # buffer pass), saving one full E read and one full W read per
+        # step vs recomputing them here (~3 MB of the 19 MB step).
         (i, au, al, dsl, used, sid, slo, lam, ls, pd, prow, plm, plo,
-         pid, pdd, u, fv, bf, cy, rp, it, stt) = carry
+         pid, pdd, u, fv, bf, cy, rp, it, stt, lam_star, a_p) = carry
         run = (stt == EXIT_RUNNING).astype(f32)           # (1, L)
 
-        # W pass 1: pending Gram column (auxiliary.c:356)
-        g_p = rowdot_W(prow) * used                       # (K, L)
-        # E pass 1: CSP + pending null direction
-        lam_star_neg, a_p = contract2_E(dsl * used, g_p)
-        lam_star = -lam_star_neg
         sgn_p = 1.0 - 2.0 * plo                           # (1, L)
         sdir = -a_p * sgn_p
 
@@ -270,15 +276,19 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         ratio = jnp.where(jnp.isfinite(ratio),
                           jnp.maximum(ratio, 0.0), 0.0)
         cand = jnp.where(elig > 0, ratio, BIG)
-        oh_rm, rmin = first_min_onehot(cand, iota_K)
+        if 'argmin' in ablate:
+            oh_rm = (iota_K == 0).astype(f32)
+            rmin = jnp.min(cand[0:1], axis=0, keepdims=True)
+        else:
+            oh_rm, rmin = first_min_onehot(cand, iota_K)
         do_rm0 = run * (rmin < BIG).astype(f32)
         rm_id = jnp.sum(sid * oh_rm, axis=0, keepdims=True)
         rm_lo = jnp.sum(slo * oh_rm, axis=0, keepdims=True)
 
         # primal + pricing (W pass 2 + M passes)
-        u_new = -coldot_W(lam_star * used)                # (n, L)
+        u_new = u if 'unew' in ablate else -coldot_W(lam_star * used)
         fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True)
-        mu = rowdot_M(u_new)                              # (m, L)
+        mu = (du * 0.0) if 'mu' in ablate else rowdot_M(u_new)  # (m, L)
         bound = -ptol * sc
         v_up = du - mu
         v_lo = mu - dl
@@ -292,7 +302,11 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
             # Bland's rule (anti-cycling: lowest violated index); a
             # compile-time variant — settings are static in the kernel
             cand2 = jnp.where(up_ok | lo_ok, iota_mf - BIG, BIG)
-        oh_j, vmin = first_min_onehot(cand2, iota_m)
+        if 'argmin' in ablate:
+            oh_j = (iota_m == 0).astype(f32)
+            vmin = jnp.min(cand2[0:1], axis=0, keepdims=True)
+        else:
+            oh_j, vmin = first_min_onehot(cand2, iota_m)
         found = (vmin < 0).astype(f32)
         j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
         j_idx = jnp.sum(oh_j * iota_mf, axis=0, keepdims=True)
@@ -303,19 +317,22 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         retry = pd * do_rm0
         price0 = run * (1.0 - do_rm0) * (1.0 - pd)
         padd0 = price0 * found
-        mj = coldot_M(oh_j)                               # (n, L) M pass
+        mj = prow if 'mj' in ablate else coldot_M(oh_j)   # (n, L) M pass
         add_row = retry * prow + padd0 * mj
         add_lo = retry * plo + padd0 * j_lo
         add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
         add_id = retry * pid + padd0 * j_idx
         add_d = retry * pdd + padd0 * d_j
         # W pass 3: Gram column of the add
-        g = rowdot_W(add_row) * used
+        g = (used * 0.0) if 'gram' in ablate else rowdot_W(add_row) * used
         keep0 = 1.0 - oh_rm * do_rm0
         g_k = g * keep0
 
         # E pass 2: removed column + Schur vector
-        e, a_pre = contract2_E(oh_rm, g_k)
+        if 'epass2' in ablate:
+            e, a_pre = oh_rm, g_k
+        else:
+            e, a_pre = contract2_E(oh_rm, g_k)
         err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
         bad = (do_rm0 > 0) & (err < pivtol * jnp.max(jnp.abs(e), axis=0,
                                                      keepdims=True))
@@ -377,16 +394,20 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         # first free slot (post-removal)
         oh_free, _ = first_min_onehot(iota_Kf + used * BIG, iota_K)
         w = a_post * used - oh_free
-        # E pass 3: combined deletion + rescale + bordered addition
+        # deletion + rescale + bordered-addition coefficients; the E
+        # update itself is DEFERRED to the fused tail below (one RMW
+        # pass that also produces the next step's CSP/pending prefix)
         c_del = -do_rm / err_s
         c_add = ok / jnp.where(sval != 0, sval, 1.0)
-        E_s[:] = (E_s[:] + c_del[None, :, :] * e[:, None, :]
-                  * e[None, :, :]) \
-            * keep[:, None, :] * keep[None, :, :] \
-            + c_add[None, :, :] * w[:, None, :] * w[None, :, :]
-        # W pass 4: zero the freed slot row, write the added row
-        W_s[:] = W_s[:] * keep[:, None, :] \
-            + (ok * oh_free)[:, None, :] * add_row[None, :, :]
+        E_prev = E_s[:]
+        # W update: zero the freed slot row, write the added row (the
+        # new value feeds the fused pending-Gram contraction below)
+        if 'wupd' in ablate:
+            W_new = W_s[:]
+        else:
+            W_new = W_s[:] * keep[:, None, :] \
+                + (ok * oh_free)[:, None, :] * add_row[None, :, :]
+            W_s[:] = W_new
 
         used = jnp.minimum(used + ok * oh_free, 1.0)
         sid = sid + ok * oh_free * (add_id + 1.0)
@@ -405,22 +426,58 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         pid = jnp.where(mk_pend > 0, add_id, pid)
         pdd = jnp.where(mk_pend > 0, add_d, pdd)
 
+        # fused next-step prefix: the W/E updates produce their new
+        # values ONCE; the next step's CSP (lam* = -E (dsl o used)) and
+        # pending Gram direction (a_p = E W prow) contract against those
+        # values inside the same buffer passes.
+        g_p = used if 'gp' in ablate else \
+            jnp.sum(W_new * prow[None, :, :], axis=1) * used
+        rhs = dsl * used
+        if 'eupd' in ablate:
+            E_new = E_prev
+        else:
+            E_new = (E_prev + c_del[None, :, :] * e[:, None, :]
+                     * e[None, :, :]) \
+                * keep[:, None, :] * keep[None, :, :] \
+                + c_add[None, :, :] * w[:, None, :] * w[None, :, :]
+            E_s[:] = E_new
+        if 'csp' in ablate:
+            lam_star, a_p = rhs, g_p
+        else:
+            lam_star = -jnp.sum(E_new * rhs[None, :, :], axis=1)
+            a_p = jnp.sum(E_new * g_p[None, :, :], axis=1)
+        if 'noexit' in ablate:
+            stt = stt * 0 + EXIT_RUNNING
+
         it = it + run
         return (i + 1, au, al, dsl, used, sid, slo, lam, ls, pd, prow,
-                plm, plo, pid, pdd, u, fv, bf, cy, rp, it, stt)
+                plm, plo, pid, pdd, u, fv, bf, cy, rp, it, stt,
+                lam_star, a_p)
+
+    # prefix for the first step (the in-loop values are produced fused
+    # into the previous step's update passes)
+    g_p0 = jnp.sum(W_s[:] * pr_o[:][None, :, :], axis=1) * us_o[:]
+    ls0_neg, a_p0 = contract2_E(dsl_o[:] * us_o[:], g_p0)
 
     carry = (jnp.zeros((), jnp.int32),
              au_o[:], al_o[:], dsl_o[:], us_o[:], sid_o[:], slo_o[:],
              lam_o[:], ls_o[:], pd_o[:], pr_o[:], plm_o[:], plo_o[:],
              pid_o[:], pdd_o[:], u_o[:], fv_o[:], bf_o[:], cy_o[:],
-             rp_o[:], it_o[:], stt_o[:])
+             rp_o[:], it_o[:], stt_o[:], -ls0_neg, a_p0)
 
     def loop_cond(c):
-        return (c[0] < steps) & jnp.any(c[-1] == EXIT_RUNNING)
+        return (c[0] < steps) & jnp.any(c[21] == EXIT_RUNNING)
 
-    carry = lax.while_loop(loop_cond, body, carry)
+    # steps run in STATIC chunks of 8 inside the convergence-checked
+    # while: a masked step on a terminal lane is a no-op (run = 0), so
+    # up to 7 wasted masked steps trade against Mosaic scheduling a
+    # static-trip-count body (and 8x fewer cross-lane any() reductions)
+    def chunk_body(c):
+        return lax.fori_loop(0, 8, lambda _, cc: body(cc), c)
+
+    carry = lax.while_loop(loop_cond, chunk_body, carry)
     (_, au, al, dsl, used, sid, slo, lam, ls, pd, prow, plm, plo, pid,
-     pdd, u, fv, bf, cy, rp, it, stt) = carry
+     pdd, u, fv, bf, cy, rp, it, stt, _ls_c, _ap_c) = carry
     au_o[:] = au
     al_o[:] = al
     dsl_o[:] = dsl
@@ -446,7 +503,8 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
 
 def run_slot_round(s: SlotState, st: Settings, n_true: int,
                    steps: int = 192,
-                   interpret: bool = False) -> SlotState:
+                   interpret: bool = False,
+                   ablate: frozenset = frozenset()) -> SlotState:
     """One kernel round: ``steps`` masked iterations per lane, tiled over
     the batch in 128-lane programs."""
     from jax.experimental import pallas as pl
@@ -484,7 +542,7 @@ def run_slot_round(s: SlotState, st: Settings, n_true: int,
     aliases = {n_const + i: i for i in range(len(in_state))}
 
     kernel = functools.partial(_kernel_body, st, m, n, K, n_true, steps,
-                               bool(interpret))
+                               bool(interpret), frozenset(ablate))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -495,7 +553,7 @@ def run_slot_round(s: SlotState, st: Settings, n_true: int,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=24 * 1024 * 1024 * max(1, LANES // 128)),
     )(*const, *in_state)
     return s._replace(
         act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
