@@ -100,6 +100,7 @@ class SlotState(NamedTuple):
 
 def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
                  steps: int, always_copy: bool, ablate: frozenset,
+                 multi_add: int,
                  M_ref, du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                  au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref, sidr,
                  slor, lam_ref, ls_ref, pd_ref, pr_ref, plm_ref, plo_ref,
@@ -162,7 +163,7 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
                 cp.wait()
 
         pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
-        _solve_tile_live(st, m, n, K, n_true, steps, ablate,
+        _solve_tile_live(st, m, n, K, n_true, steps, ablate, multi_add,
                          du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                          au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
                          ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
@@ -183,7 +184,7 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
 
 
 def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
-                     steps: int, ablate,
+                     steps: int, ablate, multi_add,
                      du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
                      au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
                      pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o,
@@ -225,9 +226,20 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         o2 = jnp.sum(E * x2[None, :, :], axis=1)
         return o1, o2
 
+    def contractN_E(*xs):
+        # N RHS through one E pass
+        E = E_s[:]
+        return tuple(jnp.sum(E * x[None, :, :], axis=1) for x in xs)
+
     def rowdot_W(y):
         # out[k, l] = sum_j W[k, j, l] y[j, l]
         return jnp.sum(W_s[:] * y[None, :, :], axis=1)
+
+    def rowdot_W2(y1, y2):
+        # two RHS through one W pass
+        W = W_s[:]
+        return (jnp.sum(W * y1[None, :, :], axis=1),
+                jnp.sum(W * y2[None, :, :], axis=1))
 
     def coldot_W(w):
         # out[j, l] = sum_k W[k, j, l] w[k, l]
@@ -264,6 +276,8 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         infeas = slo * (signv > dtol).astype(f32) \
             + (1.0 - slo) * (signv < -dtol).astype(f32)
         elig = infeas * used * (1.0 - simm)
+        if 'block2' in ablate:
+            elig = used * 0.0
         ratio = -lam / delta
         # An ELIGIBLE (dual-infeasible lam*) slot must ALWAYS be a
         # blocking candidate — the reference's exit gate is "no
@@ -282,22 +296,30 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         else:
             oh_rm, rmin = first_min_onehot(cand, iota_K)
         do_rm0 = run * (rmin < BIG).astype(f32)
-        rm_id = jnp.sum(sid * oh_rm, axis=0, keepdims=True)
-        rm_lo = jnp.sum(slo * oh_rm, axis=0, keepdims=True)
+        if 'sred2' in ablate:
+            rm_id, rm_lo = pd * 0.0 - 1.0, pd * 0.0
+        else:
+            rm_id = jnp.sum(sid * oh_rm, axis=0, keepdims=True)
+            rm_lo = jnp.sum(slo * oh_rm, axis=0, keepdims=True)
 
         # primal + pricing (W pass 2 + M passes)
         u_new = u if 'unew' in ablate else -coldot_W(lam_star * used)
         fv_new = jnp.sum(u_new * u_new, axis=0, keepdims=True)
         mu = (du * 0.0) if 'mu' in ablate else rowdot_M(u_new)  # (m, L)
         bound = -ptol * sc
-        v_up = du - mu
-        v_lo = mu - dl
-        act = au + al
-        pblock = pd * (iota_mf == pid).astype(f32)
-        blocked = (act > 0) | (im > 0) | (pblock > 0)
-        up_ok = (v_up < bound) & ~blocked
-        lo_ok = (v_lo < bound) & ~blocked & ~up_ok
-        cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
+        if 'pmask2' in ablate:
+            up_ok = mu < bound
+            lo_ok = mu > -bound
+            cand2 = mu
+        else:
+            v_up = du - mu
+            v_lo = mu - dl
+            act = au + al
+            pblock = pd * (iota_mf == pid).astype(f32)
+            blocked = (act > 0) | (im > 0) | (pblock > 0)
+            up_ok = (v_up < bound) & ~blocked
+            lo_ok = (v_lo < bound) & ~blocked & ~up_ok
+            cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
         if int(st.pricing) == 1:
             # Bland's rule (anti-cycling: lowest violated index); a
             # compile-time variant — settings are static in the kernel
@@ -308,73 +330,132 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         else:
             oh_j, vmin = first_min_onehot(cand2, iota_m)
         found = (vmin < 0).astype(f32)
-        j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
-        j_idx = jnp.sum(oh_j * iota_mf, axis=0, keepdims=True)
-        d_j = j_lo * jnp.sum(oh_j * dl, axis=0, keepdims=True) \
-            + (1.0 - j_lo) * jnp.sum(oh_j * du, axis=0, keepdims=True)
+        if 'sred2' in ablate:
+            j_lo, j_idx, d_j = pd * 0.0, pd * 0.0, pd * 0.0 + 1.0
+        else:
+            j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0,
+                           keepdims=True)
+            j_idx = jnp.sum(oh_j * iota_mf, axis=0, keepdims=True)
+            d_j = j_lo * jnp.sum(oh_j * dl, axis=0, keepdims=True) \
+                + (1.0 - j_lo) * jnp.sum(oh_j * du, axis=0,
+                                         keepdims=True)
+        if multi_add >= 2:
+            # multiple pricing: the runner-up violated constraint is
+            # added in the SAME step by a chained bordered update (any
+            # primal-violated constraint is a valid add for the dual
+            # active-set method — Dantzig's most-violated is a
+            # heuristic, auxiliary.c:88-166; measured on the oracle:
+            # 0.70x iterations at full accuracy on BASELINE config 2)
+            cand2b = jnp.where(oh_j > 0, BIG, cand2)
+            if 'argmin' in ablate:
+                oh_j2 = (iota_m == 1).astype(f32)
+                vmin2 = jnp.min(cand2b[0:1], axis=0, keepdims=True)
+            else:
+                oh_j2, vmin2 = first_min_onehot(cand2b, iota_m)
+            found2 = (vmin2 < 0).astype(f32)
+            if 'sred2' in ablate:
+                j2_lo, j2_idx, d_j2 = pd * 0.0, pd * 0.0, pd * 0.0 + 1.0
+            else:
+                j2_lo = jnp.sum(oh_j2 * lo_ok.astype(f32), axis=0,
+                                keepdims=True)
+                j2_idx = jnp.sum(oh_j2 * iota_mf, axis=0, keepdims=True)
+                d_j2 = j2_lo * jnp.sum(oh_j2 * dl, axis=0,
+                                       keepdims=True) \
+                    + (1.0 - j2_lo) * jnp.sum(oh_j2 * du, axis=0,
+                                              keepdims=True)
 
         # add candidate: pending retry after a removal, or pricing winner
         retry = pd * do_rm0
         price0 = run * (1.0 - do_rm0) * (1.0 - pd)
         padd0 = price0 * found
-        mj = prow if 'mj' in ablate else coldot_M(oh_j)   # (n, L) M pass
+        if 'mj' in ablate:
+            mj = mj2 = prow
+        elif multi_add >= 2:
+            # both priced rows through ONE M pass
+            M_ = M
+            mj = jnp.sum(M_ * oh_j[:, None, :], axis=0)
+            mj2 = jnp.sum(M_ * oh_j2[:, None, :], axis=0)
+        else:
+            mj = coldot_M(oh_j)                           # (n, L) M pass
         add_row = retry * prow + padd0 * mj
         add_lo = retry * plo + padd0 * j_lo
         add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
         add_id = retry * pid + padd0 * j_idx
         add_d = retry * pdd + padd0 * d_j
-        # W pass 3: Gram column of the add
-        g = (used * 0.0) if 'gram' in ablate else rowdot_W(add_row) * used
+        # W pass 3: Gram column(s) of the add(s)
+        if 'gram' in ablate:
+            g = g2 = used * 0.0
+        elif multi_add >= 2:
+            g, g2 = rowdot_W2(add_row, mj2)
+            g = g * used
+            g2 = g2 * used
+        else:
+            g = rowdot_W(add_row) * used
         keep0 = 1.0 - oh_rm * do_rm0
         g_k = g * keep0
 
-        # E pass 2: removed column + Schur vector
+        # E pass 2: removed column + Schur vector(s)
         if 'epass2' in ablate:
             e, a_pre = oh_rm, g_k
+            a2_base = g2 if multi_add >= 2 else None
+        elif multi_add >= 2:
+            e, a_pre, a2_base = contractN_E(oh_rm, g_k, g2)
         else:
             e, a_pre = contract2_E(oh_rm, g_k)
-        err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
-        bad = (do_rm0 > 0) & (err < pivtol * jnp.max(jnp.abs(e), axis=0,
-                                                     keepdims=True))
+        if 'sred2' in ablate:
+            err = pd * 0.0 + 1.0
+            bad = pd > 2.0
+            ec = pd * 0.0
+        else:
+            err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
+            bad = (do_rm0 > 0) & (err < pivtol
+                                  * jnp.max(jnp.abs(e), axis=0,
+                                            keepdims=True))
+            ec = jnp.sum(e * g_k, axis=0, keepdims=True) \
+                / jnp.where(err != 0, err, 1.0)
         stt = jnp.where(bad, EXIT_REFACTOR, stt)
         do_rm = do_rm0 * (1.0 - bad.astype(f32))
         keep = 1.0 - oh_rm * do_rm
         err_s = jnp.where(err != 0, err, 1.0)
-        ec = jnp.sum(e * g_k, axis=0, keepdims=True) / err_s
         a_post = keep * (a_pre - do_rm * e * ec)
 
         # line-search dual update + masked removal bookkeeping
-        alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
-        lam = (lam + alpha * delta * used) * keep
-        plm = plm + alpha * sgn_p * pd
-        used = used * keep
-        dsl = dsl * keep
-        slo = slo * keep
-        sid = sid * keep - (1.0 - keep)     # freed slot -> -1
-        oh_rm_m = (iota_mf == rm_id).astype(f32) * do_rm
-        au = au * (1.0 - oh_rm_m * (1.0 - rm_lo))
-        al = al * (1.0 - oh_rm_m * rm_lo)
+        if 'book2' not in ablate:
+            alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
+            lam = (lam + alpha * delta * used) * keep
+            plm = plm + alpha * sgn_p * pd
+            used = used * keep
+            dsl = dsl * keep
+            slo = slo * keep
+            sid = sid * keep - (1.0 - keep)     # freed slot -> -1
+            oh_rm_m = (iota_mf == rm_id).astype(f32) * do_rm
+            au = au * (1.0 - oh_rm_m * (1.0 - rm_lo))
+            al = al * (1.0 - oh_rm_m * rm_lo)
 
-        # pending with no blocker: repair once, then infeasible
-        stuck = (stt == EXIT_RUNNING) & (pd > 0) & (do_rm == 0) & (run > 0)
-        stt = jnp.where(stuck,
-                        jnp.where(rp > 0, EXIT_INFEASIBLE, EXIT_CYCLE),
-                        stt)
+        if 'stat2' in ablate:
+            price = price0
+        else:
+            # pending with no blocker: repair once, then infeasible
+            stuck = (stt == EXIT_RUNNING) & (pd > 0) & (do_rm == 0) \
+                & (run > 0)
+            stt = jnp.where(stuck,
+                            jnp.where(rp > 0, EXIT_INFEASIBLE,
+                                      EXIT_CYCLE), stt)
 
-        # dominance bound cut on the priced path (daqp.c:20-23)
-        cut = (price0 > 0) & (stt == EXIT_RUNNING) & (fv_new > fb)
-        stt = jnp.where(cut, EXIT_INFEASIBLE, stt)
+            # dominance bound cut on the priced path (daqp.c:20-23)
+            cut = (price0 > 0) & (stt == EXIT_RUNNING) & (fv_new > fb)
+            stt = jnp.where(cut, EXIT_INFEASIBLE, stt)
 
-        price = price0 * (stt == EXIT_RUNNING).astype(f32)
-        stt = jnp.where((price > 0) & (found == 0), EXIT_OPTIMAL, stt)
+            price = price0 * (stt == EXIT_RUNNING).astype(f32)
+            stt = jnp.where((price > 0) & (found == 0), EXIT_OPTIMAL, stt)
 
-        # cycle guard (daqp.c:66-85; repair deferred to the driver)
-        no_prog = (fv_new - bf < progtol * (1.0 + jnp.abs(fv_new))
-                   ).astype(f32)
-        cy = price * (no_prog * (cy + 1.0)) + (1.0 - price) * cy
-        bf = jnp.where((price > 0) & (no_prog == 0), fv_new, bf)
-        stt = jnp.where((price > 0) & (cy > cyctol)
-                        & (stt == EXIT_RUNNING), EXIT_CYCLE, stt)
+            # cycle guard (daqp.c:66-85; repair deferred to the driver)
+            no_prog = (fv_new - bf < progtol * (1.0 + jnp.abs(fv_new))
+                       ).astype(f32)
+            cy = price * (no_prog * (cy + 1.0)) + (1.0 - price) * cy
+            bf = jnp.where((price > 0) & (no_prog == 0), fv_new, bf)
+            stt = jnp.where((price > 0) & (cy > cyctol)
+                            & (stt == EXIT_RUNNING), EXIT_CYCLE, stt)
 
         u = price * u_new + (1.0 - price) * u
         fv = price * fv_new + (1.0 - price) * fv
@@ -383,48 +464,125 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         # promote lam <- lam* before a priced add (auxiliary.c:158-159)
         lam = jnp.where(padd > 0, lam_star * used, lam)
 
-        # Schur complement & singularity (factorization.c:7-98)
-        dii = jnp.sum(add_row * add_row, axis=0, keepdims=True)
-        sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
-        kcnt = jnp.sum(used, axis=0, keepdims=True)
-        sing = ((sval < singtol) | (kcnt >= n_true)).astype(f32)
+        # Schur complement & singularity (factorization.c:7-98).  The
+        # singularity gate is RELATIVE to the row's Gram diagonal on
+        # top of the absolute sing_tol: in f32 a pivot of ~1e-6 passes
+        # the absolute gate but c = 1/s amplifies the rank-one update's
+        # rounding into the whole inverse (observed: one such add took
+        # ||G E - I|| from 3.7e-7 to 7e-2 and the lane later exited
+        # OPTIMAL at a wrong 8-active set, x off by 5e-2).  A gated add
+        # goes PENDING — the reference's own singular-add path.
+        if 'sred2' in ablate:
+            sval = pd * 0.0 + 1.0
+            sing = pd * 0.0
+        else:
+            dii = jnp.sum(add_row * add_row, axis=0, keepdims=True)
+            sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
+            kcnt = jnp.sum(used, axis=0, keepdims=True)
+            gate = jnp.maximum(singtol, f32(1e-4) * dii)
+            sing = ((sval < gate) | (kcnt >= n_true)).astype(f32)
         do_add = retry * (1.0 - bad.astype(f32)) + padd
         ok = do_add * (1.0 - sing)
 
         # first free slot (post-removal)
-        oh_free, _ = first_min_onehot(iota_Kf + used * BIG, iota_K)
+        if 'argmin' in ablate:
+            oh_free = (iota_K == 0).astype(f32)
+        else:
+            oh_free, _ = first_min_onehot(iota_Kf + used * BIG, iota_K)
         w = a_post * used - oh_free
         # deletion + rescale + bordered-addition coefficients; the E
         # update itself is DEFERRED to the fused tail below (one RMW
         # pass that also produces the next step's CSP/pending prefix)
         c_del = -do_rm / err_s
         c_add = ok / jnp.where(sval != 0, sval, 1.0)
+
+        if multi_add >= 2:
+            # chained SECOND bordered add (priced steps only: no removal
+            # or pend interplay — price0 excludes both).  With E1 =
+            # E + c1 w1 w1', the second Schur vector on used u {p1} is
+            #   a2 = E1 g2' = (E g2) + c1 (w1 . g2') w1,
+            # where g2' carries the new slot's Gram entry m12 = m_j1.m_j2
+            # and w1[p1] = -1 makes (w1 . g2') = (a_post o used).g2 - m12.
+            # A singular second pivot simply skips the add (the row is
+            # re-priced next step) — no pend state.  The accelerator is
+            # gated on PROGRESS (cy == 0): a marginal runner-up can
+            # churn add/remove without moving fval on degenerate lanes,
+            # so once the cycle counter is nonzero the lane falls back
+            # to the reference's conservative single Dantzig add.
+            # Both pivots must be COMFORTABLY nonsingular for the
+            # accelerator to fire: rows are unit-normalized so the
+            # Schur scale is O(1), and an s near the f64-era sing_tol
+            # (3.7e-11) in f32 makes c = 1/s blow the inverse apart —
+            # observed: a chained add through such a pivot left a lane
+            # at a wrong 8-active set with a CLEAN optimal flag, 5e-2
+            # off.  Skipping only costs one re-price next step.
+            PIV2 = f32(1e-3)
+            padd2 = padd * found2 * (1.0 - sing) \
+                * (cy == 0).astype(f32) * (rp == 0).astype(f32) \
+                * (sval >= PIV2).astype(f32)
+            m12 = jnp.sum(add_row * mj2, axis=0, keepdims=True)
+            dot1 = jnp.sum(a_post * used * g2, axis=0, keepdims=True)
+            t2 = c_add * (dot1 - m12)
+            a2_new = a2_base * keep + t2 * w
+            if 'sred2' in ablate:
+                s2 = pd * 0.0 + 1.0
+                sing2 = pd * 0.0
+            else:
+                d22 = jnp.sum(mj2 * mj2, axis=0, keepdims=True)
+                s2 = d22 - (jnp.sum(g2 * a2_new, axis=0, keepdims=True)
+                            - m12 * t2)
+                kcnt1 = kcnt + ok
+                sing2 = ((s2 < PIV2 * jnp.maximum(d22, 1.0))
+                         | (kcnt1 >= n_true)).astype(f32)
+            ok2 = padd2 * (1.0 - sing2) \
+                * (stt == EXIT_RUNNING).astype(f32)
+            used1 = jnp.minimum(used + ok * oh_free, 1.0)
+            if 'argmin' in ablate:
+                oh_free2 = (iota_K == 1).astype(f32)
+            else:
+                oh_free2, _ = first_min_onehot(iota_Kf + used1 * BIG,
+                                               iota_K)
+            w2 = a2_new * used1 - oh_free2
+            c_add2 = ok2 / jnp.where(s2 != 0, s2, 1.0)
+
         E_prev = E_s[:]
-        # W update: zero the freed slot row, write the added row (the
+        # W update: zero the freed slot row, write the added row(s) (the
         # new value feeds the fused pending-Gram contraction below)
         if 'wupd' in ablate:
             W_new = W_s[:]
         else:
             W_new = W_s[:] * keep[:, None, :] \
                 + (ok * oh_free)[:, None, :] * add_row[None, :, :]
+            if multi_add >= 2:
+                W_new = W_new \
+                    + (ok2 * oh_free2)[:, None, :] * mj2[None, :, :]
             W_s[:] = W_new
 
-        used = jnp.minimum(used + ok * oh_free, 1.0)
-        sid = sid + ok * oh_free * (add_id + 1.0)
-        slo = slo + ok * oh_free * add_lo
-        dsl = dsl + ok * oh_free * add_d
-        lam = lam + ok * oh_free * add_lam
-        add_oh_m = retry * (iota_mf == pid).astype(f32) + padd * oh_j
-        au = jnp.minimum(au + ok * add_oh_m * (1.0 - add_lo), 1.0)
-        al = jnp.minimum(al + ok * add_oh_m * add_lo, 1.0)
-
         mk_pend = do_add * sing
-        pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
-        prow = mk_pend * add_row + (1.0 - mk_pend) * prow
-        plm = jnp.where(mk_pend > 0, add_lam, plm)
-        plo = jnp.where(mk_pend > 0, add_lo, plo)
-        pid = jnp.where(mk_pend > 0, add_id, pid)
-        pdd = jnp.where(mk_pend > 0, add_d, pdd)
+        if 'book2' not in ablate:
+            used = jnp.minimum(used + ok * oh_free, 1.0)
+            sid = sid + ok * oh_free * (add_id + 1.0)
+            slo = slo + ok * oh_free * add_lo
+            dsl = dsl + ok * oh_free * add_d
+            lam = lam + ok * oh_free * add_lam
+            add_oh_m = retry * (iota_mf == pid).astype(f32) + padd * oh_j
+            au = jnp.minimum(au + ok * add_oh_m * (1.0 - add_lo), 1.0)
+            al = jnp.minimum(al + ok * add_oh_m * add_lo, 1.0)
+            if multi_add >= 2:
+                used = jnp.minimum(used + ok2 * oh_free2, 1.0)
+                sid = sid + ok2 * oh_free2 * (j2_idx + 1.0)
+                slo = slo + ok2 * oh_free2 * j2_lo
+                dsl = dsl + ok2 * oh_free2 * d_j2
+                lam = lam + ok2 * oh_free2 * (1.0 - 2.0 * j2_lo)
+                au = jnp.minimum(au + ok2 * oh_j2 * (1.0 - j2_lo), 1.0)
+                al = jnp.minimum(al + ok2 * oh_j2 * j2_lo, 1.0)
+
+            pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
+            prow = mk_pend * add_row + (1.0 - mk_pend) * prow
+            plm = jnp.where(mk_pend > 0, add_lam, plm)
+            plo = jnp.where(mk_pend > 0, add_lo, plo)
+            pid = jnp.where(mk_pend > 0, add_id, pid)
+            pdd = jnp.where(mk_pend > 0, add_d, pdd)
 
         # fused next-step prefix: the W/E updates produce their new
         # values ONCE; the next step's CSP (lam* = -E (dsl o used)) and
@@ -440,6 +598,9 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
                      * e[None, :, :]) \
                 * keep[:, None, :] * keep[None, :, :] \
                 + c_add[None, :, :] * w[:, None, :] * w[None, :, :]
+            if multi_add >= 2:
+                E_new = E_new + c_add2[None, :, :] * w2[:, None, :] \
+                    * w2[None, :, :]
             E_s[:] = E_new
         if 'csp' in ablate:
             lam_star, a_p = rhs, g_p
@@ -449,7 +610,7 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
         if 'noexit' in ablate:
             stt = stt * 0 + EXIT_RUNNING
 
-        it = it + run
+        it = it + run + (ok2 if multi_add >= 2 else 0.0)
         return (i + 1, au, al, dsl, used, sid, slo, lam, ls, pd, prow,
                 plm, plo, pid, pdd, u, fv, bf, cy, rp, it, stt,
                 lam_star, a_p)
@@ -504,7 +665,8 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
 def run_slot_round(s: SlotState, st: Settings, n_true: int,
                    steps: int = 192,
                    interpret: bool = False,
-                   ablate: frozenset = frozenset()) -> SlotState:
+                   ablate: frozenset = frozenset(),
+                   multi_add: int = 1) -> SlotState:
     """One kernel round: ``steps`` masked iterations per lane, tiled over
     the batch in 128-lane programs."""
     from jax.experimental import pallas as pl
@@ -542,7 +704,8 @@ def run_slot_round(s: SlotState, st: Settings, n_true: int,
     aliases = {n_const + i: i for i in range(len(in_state))}
 
     kernel = functools.partial(_kernel_body, st, m, n, K, n_true, steps,
-                               bool(interpret), frozenset(ablate))
+                               bool(interpret), frozenset(ablate),
+                               int(multi_add))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -777,7 +940,8 @@ def polish(s: SlotState, st: Settings) -> SlotState:
 
 def slot_solve(s: SlotState, st: Settings, n_true: int = None,
                steps: int = 192, max_rounds: int = 16,
-               interpret: bool = False, deadline=None) -> SlotState:
+               interpret: bool = False, deadline=None,
+               multi_add: int = 1) -> SlotState:
     """Kernel rounds until every lane is terminal; exact repair runs only
     when some lane needs it; refinement polish after convergence with up
     to two bounded re-open cycles (same round structure as
@@ -818,7 +982,7 @@ def slot_solve(s: SlotState, st: Settings, n_true: int = None,
         def body(c):
             r, s = c
             s = run_slot_round(s, st, nt, steps=steps,
-                               interpret=interpret)
+                               interpret=interpret, multi_add=multi_add)
             s = lax.cond(jnp.any(repair_needed(s)),
                          lambda s: exact_repair(s, st), lambda s: s, s)
             s = check_deadline(s)

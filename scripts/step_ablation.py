@@ -64,12 +64,27 @@ def time_variant(ablate, label):
     return per_step
 
 
-base = time_variant([], "full body")
-for sec in ('argmin', 'unew', 'mu', 'mj', 'gram', 'epass2', 'wupd',
-            'eupd', 'csp', 'gp'):
-    t = time_variant([sec], f"minus {sec}")
-    print(f"    -> {sec} share: {(base-t)*1e6:+.3f} us/step", flush=True)
-# everything big off at once: the irreducible small-op + loop floor
-t = time_variant(['argmin', 'unew', 'mu', 'mj', 'gram', 'epass2',
-                  'wupd', 'eupd', 'csp', 'gp'], "minus ALL sections")
-print(f"    -> floor: {t*1e6:.3f} us/step (base {base*1e6:.3f})")
+if not (len(sys.argv) > 1 and sys.argv[1] == "--floor"):
+    base = time_variant([], "full body")
+    for sec in ('argmin', 'unew', 'mu', 'mj', 'gram', 'epass2', 'wupd',
+                'eupd', 'csp', 'gp'):
+        t = time_variant([sec], f"minus {sec}")
+        print(f"    -> {sec} share: {(base-t)*1e6:+.3f} us/step",
+              flush=True)
+    # everything big off at once: the irreducible small-op + loop floor
+    t = time_variant(['argmin', 'unew', 'mu', 'mj', 'gram', 'epass2',
+                      'wupd', 'eupd', 'csp', 'gp'], "minus ALL sections")
+    print(f"    -> floor: {t*1e6:.3f} us/step (base {base*1e6:.3f})")
+
+# second level: decompose the small-op floor (run with --floor)
+if len(sys.argv) > 1 and sys.argv[1] == '--floor':
+    ALL = ['argmin', 'unew', 'mu', 'mj', 'gram', 'epass2', 'wupd',
+           'eupd', 'csp', 'gp']
+    base_all = time_variant(ALL, "floor (ALL big off)")
+    for sec in ('block2', 'pmask2', 'sred2', 'book2', 'stat2'):
+        t = time_variant(ALL + [sec], f"floor minus {sec}")
+        print(f"    -> {sec} share: {(base_all-t)*1e6:+.3f} us/step",
+              flush=True)
+    t = time_variant(ALL + ['block2', 'pmask2', 'sred2', 'book2',
+                            'stat2'], "floor minus ALL small")
+    print(f"    -> residual: {t*1e6:.3f} us/step")
