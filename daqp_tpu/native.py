@@ -79,20 +79,25 @@ class NativeModel:
 
     def __init__(self, H, f, A, bupper, blower, sense=None, ms: int = 0,
                  settings: Optional[dict] = None):
+        """``H=None`` selects LP mode (min f'x): the C library runs the
+        adaptive-eps proximal LP regime (api.c:175-177 +
+        daqp_prox.c:21-271); an unbounded LP returns exitflag -3."""
         lib = _load()
-        H = np.ascontiguousarray(H, np.float64)
         f = np.ascontiguousarray(f, np.float64)
         A = np.ascontiguousarray(np.atleast_2d(A), np.float64)
         bu = np.ascontiguousarray(bupper, np.float64)
         bl = np.ascontiguousarray(blower, np.float64)
-        n = H.shape[0]
+        n = f.shape[0] if H is None else np.asarray(H).shape[0]
         m = bu.shape[0]
         se = (np.zeros(m, np.int32) if sense is None
               else np.ascontiguousarray(sense, np.int32))
         self._lib = lib
         self.n, self.m = n, m
+        nul = ctypes.POINTER(ctypes.c_double)()
+        Hh = None if H is None else np.ascontiguousarray(H, np.float64)
         self._w = lib.daqp_tpu_setup(
-            n, m, ms, _dp(H), _dp(f), _dp(A), _dp(bu), _dp(bl),
+            n, m, ms, nul if Hh is None else _dp(Hh), _dp(f), _dp(A),
+            _dp(bu), _dp(bl),
             se.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         if not self._w:
             raise MemoryError("daqp_tpu_setup failed")

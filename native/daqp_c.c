@@ -8,10 +8,20 @@
 #include <math.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #include "daqp_c.h"
 
 #define DINF 1e30
+
+/* monotonic wall clock in seconds (reference PROFILING timers,
+ * utils.c:729-763) */
+static double now_sec(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
 
 struct DAQPTpuWork {
     int n, m, ms, K, nb;
@@ -37,9 +47,16 @@ struct DAQPTpuWork {
     int n_active, ns_active, sing_flag;
     double last_fv, last_ss;
     int m_price;
+    /* LP mode (H == NULL at setup: Rinv = I, proximal smoothing) */
+    int lp_mode;
+    double *f_user;           /* n: raw f for LP v re-forms + fval */
+    double *bu_user, *bl_user;  /* m: raw bounds for d re-forms */
+    double *x_lp;             /* n: outer iterate */
+    double lp_eps;            /* eps at exit (dual rescale) */
     /* settings (reference defaults, constants.h / types.py) */
     double ptol, dtol, ztol, pivtol, progtol, singtol, rftol, rho_soft;
-    double fval_bound, rel_subopt, abs_subopt;
+    double fval_bound, rel_subopt, abs_subopt, eps_prox, eta_prox;
+    double time_limit, deadline;
     int cyc_tol, iter_limit;
 };
 
@@ -95,7 +112,11 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     w->progtol = 1e-14; w->singtol = 3.7e-11; w->rftol = 1e-9;
     w->rho_soft = 1e-6; w->fval_bound = DINF;
     w->rel_subopt = 0.0; w->abs_subopt = 0.0;
+    w->eps_prox = 1e-6; w->eta_prox = -1.0;
+    w->time_limit = 0.0; w->deadline = DINF;
     w->cyc_tol = 10; w->iter_limit = 10000;
+    w->lp_mode = (H == NULL);
+    w->lp_eps = 1.0;
     for (i = 0; i < m; i++) {
         if (sense && (sense[i] & DAQP_TPU_SOFT)) ns++;
         if (sense && (sense[i] & DAQP_TPU_BINARY)) nb++;
@@ -113,6 +134,10 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     w->sense = (int *)calloc(m, sizeof(int));
     w->sense0 = (int *)calloc(m, sizeof(int));
     w->bin_ids = (int *)malloc(sizeof(int) * (nb ? nb : 1));
+    w->f_user = (double *)calloc(n, sizeof(double));
+    w->bu_user = (double *)malloc(sizeof(double) * m);
+    w->bl_user = (double *)malloc(sizeof(double) * m);
+    w->x_lp = (double *)calloc(n, sizeof(double));
     w->E = (double *)calloc((size_t)K * K, sizeof(double));
     w->Mw = (double *)malloc(sizeof(double) * K * n);
     w->lam = (double *)calloc(K, sizeof(double));
@@ -127,9 +152,13 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     if (!w->M || !w->Rinv || !w->scaling || !w->du || !w->dl || !w->du0
         || !w->dl0 || !w->v || !w->sense || !w->sense0 || !w->bin_ids
         || !w->E || !w->Mw || !w->lam || !w->lam_star || !w->WS || !w->u
-        || !w->sdir || !w->scr1 || !w->scr2 || !w->iscr || !R) {
+        || !w->sdir || !w->scr1 || !w->scr2 || !w->iscr || !R
+        || !w->f_user || !w->bu_user || !w->bl_user || !w->x_lp) {
         free(R); daqp_tpu_free(w); return NULL;
     }
+    if (f) memcpy(w->f_user, f, sizeof(double) * n);
+    memcpy(w->bu_user, bupper, sizeof(double) * m);
+    memcpy(w->bl_user, blower, sizeof(double) * m);
 
     /* factorization with retry-doubling shift (utils.c:253-283) */
     if (H) {
@@ -147,8 +176,10 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
             if (!ok) w->err0 = DAQP_TPU_NONCONVEX;
         }
     } else {
-        /* LP-shaped setup is not supported by the C binding */
-        w->err0 = DAQP_TPU_NONCONVEX;
+        /* LP mode: R = I (the proximal regularization IS the Hessian;
+         * api.c:175-177 + daqp_prox.c LP regime) */
+        for (i = 0; i < n * n; i++) R[i] = 0.0;
+        for (i = 0; i < n; i++) R[i * n + i] = 1.0;
     }
     if (!w->err0) inv_upper(n, R, w->Rinv);
     free(R);
@@ -217,6 +248,9 @@ void daqp_tpu_update(DAQPTpuWork *w, const double *f,
 {
     int i, j;
     int n = w->n, m = w->m;
+    if (f) memcpy(w->f_user, f, sizeof(double) * n);
+    if (bupper) memcpy(w->bu_user, bupper, sizeof(double) * m);
+    if (blower) memcpy(w->bl_user, blower, sizeof(double) * m);
     if (f)
         for (i = 0; i < n; i++) {
             double s = 0.0;
@@ -246,6 +280,9 @@ int daqp_tpu_set(DAQPTpuWork *w, const char *name, double value)
     else if (!strcmp(name, "abs_subopt")) w->abs_subopt = value;
     else if (!strcmp(name, "cycle_tol")) w->cyc_tol = (int)value;
     else if (!strcmp(name, "iter_limit")) w->iter_limit = (int)value;
+    else if (!strcmp(name, "eps_prox")) w->eps_prox = value;
+    else if (!strcmp(name, "eta_prox")) w->eta_prox = value;
+    else if (!strcmp(name, "time_limit")) w->time_limit = value;
     else return -1;
     return 0;
 }
@@ -255,6 +292,7 @@ void daqp_tpu_free(DAQPTpuWork *w)
     if (!w) return;
     free(w->M); free(w->Rinv); free(w->scaling);
     free(w->du); free(w->dl); free(w->du0); free(w->dl0);
+    free(w->f_user); free(w->bu_user); free(w->bl_user); free(w->x_lp);
     free(w->v); free(w->sense); free(w->sense0); free(w->bin_ids);
     free(w->E); free(w->Mw); free(w->lam); free(w->lam_star);
     free(w->WS); free(w->u); free(w->sdir);
@@ -488,6 +526,12 @@ static int solve_inner(DAQPTpuWork *w, int *iters, double fbound)
     for (it = 0; it < w->iter_limit; it++) {
         int k = w->n_active, rm = -1;
         double amin = DINF;
+        /* wall-clock check every 32 iterations (daqp.c:95-103) */
+        if (w->time_limit > 0.0 && (it & 31) == 31
+            && now_sec() > w->deadline) {
+            *iters = it + 1;
+            return DAQP_TPU_TIMELIMIT;
+        }
         if (!w->sing_flag) {          /* CSP: lam* = -E d_W */
             for (i = 0; i < k; i++) {
                 double d = (w->sense[w->WS[i]] & DAQP_TPU_LOWER)
@@ -596,13 +640,137 @@ static void extract_sol(DAQPTpuWork *w, double *x, double *lam_out,
     }
 }
 
+/* gradient_step (daqp_prox.c:201-271): ray xnew + alpha (xnew - xold) to
+ * the first blocking ORIGINAL-row bound, which is activated.  Returns 0
+ * when no constraint blocks (unbounded ray). */
+static int lp_gradient_step(DAQPTpuWork *w, double *xnew,
+                            const double *xold)
+{
+    int i, j, jbest = -1, is_lower = 0, n = w->n;
+    double best = DINF;
+    for (i = 0; i < w->m; i++) {
+        double ax = 0.0, ds = 0.0, a;
+        if (w->sense[i] & (DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE)) continue;
+        for (j = 0; j < n; j++) {
+            ax += w->M[i * n + j] * xnew[j];
+            ds += w->M[i * n + j] * (xnew[j] - xold[j]);
+        }
+        ax /= w->scaling[i];
+        ds /= w->scaling[i];
+        if (ds > 0.0 && w->bu_user[i] < DINF) {
+            a = (w->bu_user[i] - ax) / ds;
+            if (a < best) { best = a; jbest = i; is_lower = 0; }
+        } else if (ds < 0.0 && w->bl_user[i] > -DINF) {
+            a = (w->bl_user[i] - ax) / ds;
+            if (a < best) { best = a; jbest = i; is_lower = 1; }
+        }
+    }
+    if (jbest < 0) return 0;
+    for (j = 0; j < n; j++) {
+        double d = xnew[j] - xold[j];
+        xnew[j] += best * d;
+    }
+    if (is_lower) w->sense[jbest] |= DAQP_TPU_LOWER;
+    else w->sense[jbest] &= ~DAQP_TPU_LOWER;
+    add_constraint(w, jbest, is_lower ? -1.0 : 1.0);
+    return 1;
+}
+
+/* LP via adaptive proximal smoothing (daqp_prox.c:21-271 LP regime,
+ * selected by n_prox = n at api.c:175-177): outer loop re-forms
+ * v = f*eps - x, re-solves the warm LDP, fixed-point gate eta*eps,
+ * gradient-step ray jumps off non-vertex stalls, duals rescaled by eps
+ * at exit (daqp_prox.c:171-173).  eps grows x10 only on INTERIOR
+ * stalls and shrinks x0.9 otherwise (cap 1e3) — at a stalled vertex
+ * exact arithmetic already gives diff = 0 (see daqp_tpu/prox.py). */
+static int solve_lp(DAQPTpuWork *w, double *x_out, double *lam_out,
+                    double *fval, int *iters)
+{
+    int i, j, n = w->n, m = w->m;
+    int total = 0, outer = 0, flag = DAQP_TPU_ITERLIMIT;
+    double eps = 1.0;
+    double eta = (w->eta_prox < 0.0)
+        ? ((w->dtol != 1e-12 && 0.1 * w->dtol < 1e-6) ? 0.1 * w->dtol
+                                                      : 1e-6)
+        : w->eta_prox;
+    double *x = w->x_lp;
+    double *xnew = (double *)malloc(sizeof(double) * n);
+    if (!xnew) return DAQP_TPU_NONCONVEX;
+    memset(x, 0, sizeof(double) * n);
+    while (total < w->iter_limit) {
+        int it2 = 0, fl, stalled, at_vertex;
+        double diff = 0.0;
+        for (i = 0; i < n; i++) w->v[i] = w->f_user[i] * eps - x[i];
+        for (i = 0; i < m; i++) {
+            double mv = 0.0;
+            for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
+            w->du[i] = w->bu_user[i] * w->scaling[i] + mv;
+            w->dl[i] = w->bl_user[i] * w->scaling[i] + mv;
+        }
+        fl = solve_inner(w, &it2, DINF);   /* warm: WS + E persist */
+        total += it2;
+        if (fl < 0) { flag = fl; break; }
+        for (i = 0; i < n; i++) xnew[i] = w->u[i] - w->v[i];
+        for (i = 0; i < n; i++) {
+            double d = fabs(xnew[i] - x[i]);
+            if (d > diff) diff = d;
+        }
+        stalled = (it2 == 1);
+        at_vertex = (w->n_active == n);
+        if (diff < eta * eps) {
+            memcpy(x, xnew, sizeof(double) * n);
+            flag = DAQP_TPU_OPTIMAL;
+            break;
+        }
+        if (stalled && !at_vertex) {
+            if (!lp_gradient_step(w, xnew, x)) {
+                flag = DAQP_TPU_UNBOUNDED;
+                break;
+            }
+        }
+        if (outer > 0) {
+            eps *= (stalled && !at_vertex) ? 10.0 : 0.9;
+            if (eps > 1e3) eps = 1e3;
+        }
+        memcpy(x, xnew, sizeof(double) * n);
+        outer++;
+        if (w->time_limit > 0.0 && now_sec() > w->deadline) {
+            flag = DAQP_TPU_TIMELIMIT;
+            break;
+        }
+    }
+    free(xnew);
+    w->lp_eps = eps;
+    if (iters) *iters = total;
+    if (flag > 0) {
+        if (x_out) memcpy(x_out, x, sizeof(double) * n);
+        if (fval) {
+            double s = 0.0;
+            for (i = 0; i < n; i++) s += w->f_user[i] * x[i];
+            *fval = s;                      /* LP fval (api.c:462-465) */
+        }
+        if (lam_out) {
+            /* LDP duals of the eps-scaled objective: rescale by eps
+             * (daqp_prox.c:171-173) on top of the row normalization */
+            for (i = 0; i < m; i++) lam_out[i] = 0.0;
+            for (i = 0; i < w->n_active; i++)
+                lam_out[w->WS[i]] = w->lam_star[i]
+                    * w->scaling[w->WS[i]] / eps;
+        }
+    }
+    return flag;
+}
+
 int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
                    int *iters)
 {
     int flag, it = 0;
     if (w->err0) { if (iters) *iters = 0; return w->err0; }
+    if (w->time_limit > 0.0) w->deadline = now_sec() + w->time_limit;
     flag = activate_warm(w, 0, w->m);
     if (flag < 0) { if (iters) *iters = 0; return flag; }
+    if (w->lp_mode)
+        return solve_lp(w, x, lam, fval, iters);
     flag = solve_inner(w, &it, 2.0 * w->fval_bound);
     if (iters) *iters = it;
     if (flag > 0) extract_sol(w, x, lam, fval);
@@ -620,7 +788,7 @@ int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
     int *inc_ws;
     double *inc_u, *inc_lam;
     int n_nodes = 1, total_iters = 0, total_nodes = 0, have_inc = 0;
-    int i, l, inc_k = 0, flag_out;
+    int i, l, inc_k = 0, flag_out, timed_out = 0;
     double inc_ss = 0.0, inc_fv = 0.0;
     double eps_r = 1.0 / (1.0 + w->rel_subopt);
     double bound = (2.0 * w->fval_bound - 2.0 * w->abs_subopt) * eps_r;
@@ -641,9 +809,16 @@ int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
         free(inc_lam);
         return DAQP_TPU_NONCONVEX;
     }
+    if (w->time_limit > 0.0) w->deadline = now_sec() + w->time_limit;
     stack_id[0] = -1; stack_side[0] = 0; stack_depth[0] = 0;
     while (n_nodes > 0) {
         int bid, side, d, ok = 1, flag, it2 = 0;
+        /* tree-level wall-clock check every 32 nodes (bnb.c:51-59) */
+        if (w->time_limit > 0.0 && (total_nodes & 31) == 31
+            && now_sec() > w->deadline) {
+            timed_out = 1;
+            break;
+        }
         n_nodes--;
         bid = stack_id[n_nodes]; side = stack_side[n_nodes];
         d = stack_depth[n_nodes];
@@ -728,9 +903,10 @@ int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
             if (inc_lam[i] < 0) w->sense[inc_ws[i]] |= DAQP_TPU_LOWER;
             else w->sense[inc_ws[i]] &= ~DAQP_TPU_LOWER;
         }
-        flag_out = DAQP_TPU_OPTIMAL;
+        flag_out = timed_out ? DAQP_TPU_TIMELIMIT : DAQP_TPU_OPTIMAL;
         (void)inc_fv;
     }
+    if (timed_out) flag_out = DAQP_TPU_TIMELIMIT;
     free(stack_id); free(stack_side); free(stack_depth);
     free(path_id); free(path_side); free(inc_ws); free(inc_u);
     free(inc_lam);

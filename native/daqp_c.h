@@ -31,22 +31,27 @@ typedef struct DAQPTpuWork DAQPTpuWork;
 #define DAQP_TPU_SOFT        8
 #define DAQP_TPU_BINARY     16
 
-/* exit flags */
+/* exit flags (daqp_tpu/types.py) */
 #define DAQP_TPU_SOFT_OPTIMAL   2
 #define DAQP_TPU_OPTIMAL        1
 #define DAQP_TPU_INFEASIBLE    -1
 #define DAQP_TPU_CYCLE         -2
+#define DAQP_TPU_UNBOUNDED     -3
 #define DAQP_TPU_ITERLIMIT     -4
 #define DAQP_TPU_NONCONVEX     -5
 #define DAQP_TPU_OVERDETERMINED -6
+#define DAQP_TPU_TIMELIMIT     -7
 
 /* Allocate + transform: QP  min 0.5 x'Hx + f'x
  *   s.t. blower <= [x[0:ms]; A x] <= bupper   (A is (m-ms) x n row-major)
  * sense: m ints (bits above) or NULL.  Semidefinite H gets the reference's
  * retry-doubling full proximal shift (utils.c:253-283) baked into the
  * factorization (single-shift approximation of the outer loop; exact for
- * PD H).  Returns NULL on allocation failure; a factorization failure is
- * reported by daqp_tpu_solve as NONCONVEX. */
+ * PD H).  H == NULL selects LP mode: min f'x, solved by the adaptive-eps
+ * proximal smoothing regime with gradient-step ray jumps (the reference
+ * sets n_prox = n at api.c:175-177 and runs daqp_prox.c:21-271; unbounded
+ * LPs exit DAQP_TPU_UNBOUNDED).  Returns NULL on allocation failure; a
+ * factorization failure is reported by daqp_tpu_solve as NONCONVEX. */
 DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
                             const double *H, const double *f,
                             const double *A, const double *bupper,
@@ -71,7 +76,10 @@ void daqp_tpu_update(DAQPTpuWork *w, const double *f,
 
 /* Named settings: primal_tol, dual_tol, zero_tol, pivot_tol, progress_tol,
  * sing_tol, refactor_tol, rho_soft, fval_bound, rel_subopt, abs_subopt,
- * cycle_tol, iter_limit.  Returns 0, or -1 for an unknown name. */
+ * cycle_tol, iter_limit, eps_prox, eta_prox (< 0 = auto, daqp_prox.c:43-48),
+ * time_limit (seconds of wall clock, 0 = off; checked every 32 inner
+ * iterations / 32 BnB nodes, daqp.c:95-103 + bnb.c:51-59).
+ * Returns 0, or -1 for an unknown name. */
 int daqp_tpu_set(DAQPTpuWork *w, const char *name, double value);
 
 /* Reset the working set (cold restart). */

@@ -125,3 +125,79 @@ def test_native_probes():
     assert mdl3.solve()['exitflag'] == -1
     with pytest.raises(ValueError):
         NativeModel(H3, f3, A3, bu3, bl3, ms=0, settings={"bogus": 1.0})
+
+
+@requires_cc
+def test_native_lp_differential():
+    # H = NULL -> the adaptive-eps proximal LP regime (api.c:175-177 +
+    # daqp_prox.c:21-271), differential vs linprog_core on the reference
+    # LP grid construction (generate_test_lp)
+    from tests.gen import generate_test_lp
+    rng = np.random.default_rng(91)
+    for trial in range(6):
+        n, m, ms = 10, 50, 5
+        x_ref, f, A, bu, bl, _ = generate_test_lp(n, m, ms, rng)
+        ref = daqp_tpu.linprog(f, A, bu, bl, ms=ms)
+        assert int(ref.exitflag) == 1
+        mdl = NativeModel(None, f, A, bu, bl, ms=ms)
+        out = mdl.solve()
+        assert out['exitflag'] == 1, (trial, out['exitflag'])
+        assert np.abs(out['x'] - x_ref).max() < 1e-6, \
+            (trial, np.abs(out['x'] - x_ref).max())
+        assert abs(out['fval'] - float(f @ x_ref)) < 1e-6 * (
+            1 + abs(float(f @ x_ref)))
+        # dual feasibility + stationarity of the rescaled duals:
+        # f + [I_ms; A]' lam = 0
+        lam = out['lam']
+        G = np.vstack([np.eye(n)[:ms], A])
+        stat = np.abs(f + G.T @ lam).max()
+        assert stat < 1e-6, (trial, stat)
+
+
+@requires_cc
+def test_native_lp_unbounded():
+    # min -x0 with only an upper-free ray: unbounded
+    f = np.array([-1.0, 0.0])
+    A = np.array([[0.0, 1.0]])
+    bu = np.array([1.0])
+    bl = np.array([-1.0])
+    mdl = NativeModel(None, f, A, bu, bl, ms=0)
+    assert mdl.solve()['exitflag'] == -3
+
+
+@requires_cc
+def test_native_time_limit():
+    # an adversarially tiny wall-clock bound must exit -7, not hang
+    rng = np.random.default_rng(7)
+    x, H, f, A, bu, bl, sense = generate_test_qp(30, 120, 0, 25, 1e2, rng)
+    mdl = NativeModel(H, f, A, bu, bl, ms=0,
+                      settings={"time_limit": 1e-9})
+    out = mdl.solve()
+    assert out['exitflag'] == -7, out['exitflag']
+    # and a generous bound solves normally
+    mdl2 = NativeModel(H, f, A, bu, bl, ms=0,
+                       settings={"time_limit": 30.0})
+    out2 = mdl2.solve()
+    assert out2['exitflag'] == 1
+    assert np.abs(out2['x'] - x).max() < 1e-6
+
+
+@requires_cc
+def test_native_miqp_time_limit():
+    # BnB tree-level deadline (bnb.c:51-59): the check fires every 32
+    # nodes, so the tree must be forced deep — H = I with f = -0.5 on
+    # each binary puts every relaxation optimum at the midpoint and ties
+    # defeat the dominance cut (no pruning)
+    from daqp_tpu.types import BINARY
+    nb = 8
+    n = nb
+    H = np.eye(n)
+    f = np.full(n, -0.5)
+    A = np.eye(n)
+    bu = np.ones(n)
+    bl = np.zeros(n)
+    sense = np.full(n, BINARY, np.int32)
+    mdl = NativeModel(H, f, A, bu, bl, sense, ms=0,
+                      settings={"time_limit": 1e-9})
+    out = mdl.solve_miqp()
+    assert out['exitflag'] == -7, out['exitflag']
