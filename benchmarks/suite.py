@@ -155,6 +155,36 @@ def _bench_batch(rows):
         print(f"batch B={B}: {B/dt:.0f} solves/s, "
               f"optimal {(flags==1).sum()}/{B}", flush=True)
 
+    # batched LP tier (round-4: the scaling axis applied to the LP
+    # regime; previously LPs were benched one linprog call at a time)
+    from tests.gen import generate_test_lp
+    for B in (256, 1024):
+        n, m, ms = 10, 50, 0
+        rng = np.random.default_rng(17)
+        probs = [generate_test_lp(n, m, ms, rng) for _ in range(B)]
+        xs = np.stack([p[0] for p in probs])
+        fs = jnp.asarray(np.stack([p[1] for p in probs]), jnp.float32)
+        As = jnp.asarray(np.stack([p[2] for p in probs]), jnp.float32)
+        bus = jnp.asarray(np.stack([p[3] for p in probs]), jnp.float32)
+        bls = jnp.asarray(np.stack([p[4] for p in probs]), jnp.float32)
+        se = jnp.zeros((B, m), jnp.int32)
+        stl = _as_settings({"iter_limit": 3000}, jnp.float32)
+        res = batch_mod.solve_batch_lp_pallas_jit(fs, As, bus, bls, se,
+                                                  stl, ms=ms)
+        np.asarray(res.exitflag)
+        t0 = time.perf_counter()
+        res = batch_mod.solve_batch_lp_pallas_jit(fs, As, bus, bls, se,
+                                                  stl, ms=ms)
+        flags = np.asarray(res.exitflag)
+        dt = time.perf_counter() - t0
+        err = np.abs(np.asarray(res.x) - xs).max(axis=1)
+        rows.append(dict(kind="batch_lp", n=n, m=m, ms=ms, nAct=0,
+                         solve_ms=1e3 * dt / B,
+                         max_err=float(np.median(err)),
+                         median_iters=int(B / dt)))
+        print(f"batch LP B={B}: {B/dt:.0f} solves/s, "
+              f"optimal {(flags==1).sum()}/{B}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -623,6 +623,285 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
             soft_slack=jnp.zeros((B,), f32))
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
+                                             "max_outer"))
+def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
+                              ms: int = 0, interpret: bool = False,
+                              max_outer: int = 400,
+                              deadline=None) -> BatchResult:
+    """Batched LP solve: the adaptive-eps proximal LP regime
+    (daqp_prox.c:21-271; selected in the reference by n_prox = n at
+    api.c:175-177) carried by ONE outer loop over the whole-batch slot
+    kernel state — the same architecture as the batched prox/MIQP/MPC
+    drivers (never vmap(outer(single-lane))).
+
+    Per outer pass only v = f*eps - x and d are re-formed (batched
+    GEMMs); the warm kernel re-solves in a few iterations; per-lane
+    adaptive eps (x10 on interior stall / x0.9, cap 1e3,
+    daqp_prox.c:55-63) with the eps-normalized stagnation acceptance of
+    ``linprog_core`` (f32 arithmetic-floor fixed points); the gradient
+    step's ray search + blocking-row activation is batched
+    (``slot_add_row``); duals are rescaled by eps at exit
+    (daqp_prox.c:171-173).  A converged vertex lane (n active) gets an
+    exact solve of its active system through the inverse Gram with one
+    refinement pass (the vertex-polish stage of ``linprog_core``).
+
+    Scope: hard constraints.  Differential tests vs ``linprog_core``:
+    tests/test_flat_batch.py::test_batch_lp_*.
+    """
+    from .ops import pallas_slot as ps
+    from .ops import pallas_batch as pb
+    from .types import (EXIT_OPTIMAL, EXIT_ITERLIMIT, EXIT_UNBOUNDED,
+                        IMMUTABLE, ACTIVE, LOWER)
+    from .prox import _auto_eta
+
+    A = jnp.atleast_3d(A)
+    B, n = f.shape
+    m = bupper.shape[-1]
+    lane_pad = (-B) % pb.LANES
+    if lane_pad:
+        def padded(x, fill):
+            blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                   (lane_pad,) + x.shape[1:])
+            return jnp.concatenate([x, blk], axis=0)
+        out = solve_batch_lp_pallas_jit(
+            padded(f, jnp.zeros((n,))), padded(A, jnp.zeros((A.shape[1],
+                                                             n))),
+            padded(bupper, jnp.ones((m,))), padded(blower,
+                                                   -jnp.ones((m,))),
+            padded(sense, jnp.zeros((m,), jnp.int32)),
+            st, ms=ms, interpret=interpret, max_outer=max_outer,
+            deadline=deadline)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+    f32 = jnp.float32
+    with jax.default_matmul_precision('high'):
+        ldpd = jax.vmap(
+            lambda A_, bu_, bl_, se_: transform.build_ldp(
+                None, None, A_, bu_, bl_, se_, ms, st))(
+            A.astype(f32), bupper.astype(f32), blower.astype(f32), sense)
+        eta = jnp.asarray(_auto_eta(st), f32)
+
+        immut = ((ldpd.sense & IMMUTABLE) > 0).astype(f32)
+        from .ops import pallas_slot as ps
+        s0 = ps.slot_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
+                          immut, n_true=n)
+        # warm/equality activation (linprog_core's activate_constraints)
+        act_bits = (ldpd.sense & ACTIVE) > 0
+        lo_bits = act_bits & ((ldpd.sense & LOWER) > 0)
+        mp = s0.dupper.shape[0]
+        up_l = jnp.moveaxis(jnp.pad(act_bits & ~lo_bits,
+                                    ((0, 0), (0, mp - m))), 0, -1)
+        lo_l = jnp.moveaxis(jnp.pad(lo_bits, ((0, 0), (0, mp - m))),
+                            0, -1)
+        s0 = jax.lax.cond(jnp.any(act_bits),
+                          lambda s: ps.slot_activate(s, up_l, lo_l, st),
+                          lambda s: s, s0)
+
+        row_real = jnp.arange(mp)[:, None] < m
+        big = jnp.asarray(DAQP_INF, f32)
+        bu_s = bupper.astype(f32) * ldpd.scaling
+        bl_s = blower.astype(f32) * ldpd.scaling
+        bu_r = bupper.astype(f32)
+        bl_r = blower.astype(f32)
+        fz = f.astype(f32)
+        _HIP = jax.lax.Precision.HIGHEST
+
+        def set_bounds(s, v_b):
+            Mv = jnp.einsum('bmj,bj->bm', ldpd.M, v_b, precision=_HIP)
+            du = jnp.moveaxis(jnp.pad(bu_s + Mv, ((0, 0), (0, mp - m))),
+                              0, -1)
+            dl = jnp.moveaxis(jnp.pad(bl_s + Mv, ((0, 0), (0, mp - m))),
+                              0, -1)
+            return ps.slot_refresh_bounds(
+                s, jnp.where(row_real, du, big),
+                jnp.where(row_real, dl, -big))
+
+        def carry_solve(s, v_b, lane_run):
+            s = set_bounds(s, v_b)
+            s = s._replace(
+                status=jnp.where(lane_run[None, :], EXIT_RUNNING,
+                                 s.status).astype(jnp.int32),
+                iterations=jnp.zeros_like(s.iterations),
+                cycle=jnp.zeros_like(s.cycle),
+                repaired=jnp.zeros_like(s.repaired),
+                best_fval=jnp.zeros_like(s.best_fval) - 1.0,
+                pend=s.pend * (1.0 - lane_run[None, :]))
+            return ps.slot_solve(s, st, n_true=n, steps=64,
+                                 interpret=interpret, deadline=deadline)
+
+        def grad_step(s, x_new, x_old, need):
+            # batched gradient_step (daqp_prox.c:201-271): ray
+            # x_new + alpha (x_new - x_old) to the first blocking
+            # ORIGINAL-row bound, which is activated
+            delta = x_new - x_old                            # (B, n)
+            ax = jnp.einsum('bmj,bj->bm', ldpd.M, x_new,
+                            precision=_HIP) / ldpd.scaling
+            ds = jnp.einsum('bmj,bj->bm', ldpd.M, delta,
+                            precision=_HIP) / ldpd.scaling
+            act = jnp.moveaxis(s.act_up + s.act_lo, -1, 0)[:, :m]
+            skip = (act > 0) | (immut > 0)
+            up_ok = ~skip & (ds > 0) & (bu_r < DAQP_INF)
+            lo_ok = ~skip & (ds < 0) & (bl_r > -DAQP_INF)
+            a_up = jnp.where(up_ok, (bu_r - ax)
+                             / jnp.where(up_ok, ds, 1.0), DAQP_INF)
+            a_lo = jnp.where(lo_ok, (bl_r - ax)
+                             / jnp.where(lo_ok, ds, 1.0), DAQP_INF)
+            cand = jnp.minimum(a_up, a_lo)
+            j = jnp.argmin(cand, axis=1)                     # (B,)
+            alpha = jnp.take_along_axis(cand, j[:, None], 1)[:, 0]
+            found = alpha < DAQP_INF
+            is_lo = (jnp.take_along_axis(a_lo, j[:, None], 1)
+                     < jnp.take_along_axis(a_up, j[:, None], 1))[:, 0]
+            apply = need & found
+            x2 = jnp.where(apply[:, None],
+                           x_new + alpha[:, None] * delta, x_new)
+            oh = (jnp.arange(m)[None, :] == j[:, None]).astype(f32)
+            oh_l = jnp.moveaxis(jnp.pad(oh, ((0, 0), (0, mp - m))),
+                                0, -1)                        # (mp, B)
+            lo_1 = is_lo.astype(f32)[None, :]
+            # active-side bound of the ray's blocker, in the CURRENT
+            # d units (rebuilt next pass anyway; sid/slo drive it)
+            dv = jnp.where(is_lo,
+                           jnp.take_along_axis(
+                               jnp.moveaxis(s.dlower, -1, 0), j[:, None],
+                               1)[:, 0],
+                           jnp.take_along_axis(
+                               jnp.moveaxis(s.dupper, -1, 0), j[:, None],
+                               1)[:, 0])[None, :]
+            s = ps.slot_add_row(s, oh_l, lo_1, dv,
+                                apply.astype(f32)[None, :], st, n)
+            return s, x2, found
+
+        def cond(c):
+            k, s, x, eps, lane_run, stall, best, flag, tot = c
+            return (k < max_outer) & jnp.any(lane_run)
+
+        def body(c):
+            k, s, x, eps, lane_run, stall, best, flag, tot = c
+            v_b = fz * eps[:, None] - x
+            s = carry_solve(s, v_b, lane_run)
+            tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
+            inner_flag = s.status[0]
+            inner_ok = inner_flag > 0
+            u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
+            x_new = u_b - v_b
+            it1 = s.iterations[0] <= 1
+            nact = jnp.sum(s.used, axis=0)
+            at_vertex = nact >= n
+            diff = jnp.max(jnp.abs(x_new - x), axis=-1)
+            converged = diff < eta * eps
+            # eps-normalized stagnation acceptance (linprog_core)
+            ndiff = diff / eps
+            improved = ndiff < 0.9 * best
+            best2 = jnp.minimum(ndiff, best)
+            stall2 = jnp.where(improved | ~(it1 & at_vertex) | ~lane_run,
+                               0, stall + 1)
+            converged = converged | (inner_ok & (stall2 >= 3))
+            need_grad = it1 & ~at_vertex & ~converged & lane_run \
+                & inner_ok
+            s, x_new, found = grad_step(s, x_new, x, need_grad)
+            unbounded = need_grad & ~found
+            # adaptive eps after the first pass (daqp_prox.c:55-63,
+            # interior-stall-only growth — see linprog_core)
+            grow = it1 & ~at_vertex
+            eps2 = jnp.where((k > 0) & lane_run,
+                             jnp.minimum(eps * jnp.where(grow, 10.0,
+                                                         0.9), 1e3),
+                             eps)
+            done = lane_run & (converged | ~inner_ok | unbounded)
+            flag2 = jnp.where(
+                done,
+                jnp.where(unbounded, EXIT_UNBOUNDED,
+                          jnp.where(inner_ok, EXIT_OPTIMAL, inner_flag)),
+                flag)
+            x2 = jnp.where(lane_run[:, None], x_new, x)
+            return (k + 1, s, x2, eps2, lane_run & ~done, stall2, best2,
+                    flag2.astype(jnp.int32), tot)
+
+        x0 = jnp.zeros((B, n), f32)
+        lane_run0 = ldpd.error >= 0
+        flag0 = jnp.where(ldpd.error < 0, ldpd.error,
+                          EXIT_RUNNING).astype(jnp.int32)
+        c0 = (jnp.zeros((), jnp.int32), s0, x0, jnp.ones((B,), f32),
+              lane_run0, jnp.zeros((B,), jnp.int32),
+              jnp.full((B,), jnp.inf, f32), flag0, jnp.zeros((B,), f32))
+        (k, s, x, eps, lane_run, _, _, flag, tot) = lax.while_loop(
+            cond, body, c0)
+        flag = jnp.where(lane_run, EXIT_ITERLIMIT, flag)
+
+        # crossover to a vertex (linprog_core stage 2): near-dual-
+        # degenerate faces leave converged lanes OFF-vertex with a tiny
+        # objective gap; projected steepest descent within the active
+        # face to the nearest blocking row (activated) pins them in
+        # <= n rounds so the exact vertex polish below applies
+        npad = s.W.shape[1]
+        f_l = jnp.moveaxis(jnp.pad(fz, ((0, 0), (0, npad - n))), 0, -1)
+
+        def cx_cond(c):
+            k2, s, x = c
+            nact = jnp.sum(s.used, axis=0)
+            return (k2 < n + 1) & jnp.any((flag == EXIT_OPTIMAL)
+                                          & (nact < n))
+
+        def cx_body(c):
+            k2, s, x = c
+            nact = jnp.sum(s.used, axis=0)
+            need = (flag == EXIT_OPTIMAL) & (nact < n)
+            Wf = jnp.einsum('knb,nb->kb', s.W, f_l,
+                            precision=_HIP) * s.used
+            t = jnp.einsum('kjb,jb->kb', s.E, Wf, precision=_HIP)
+            d_l = -(f_l - jnp.einsum('knb,kb->nb', s.W, t * s.used,
+                                     precision=_HIP))
+            d_b = jnp.moveaxis(d_l, -1, 0)[:, :n]
+            need = need & (jnp.linalg.norm(d_b, axis=1) > 1e-10)
+            s, x2, _found = grad_step(s, x, x - d_b, need)
+            x = jnp.where(need[:, None], x2, x)
+            return k2 + 1, s, x
+
+        _, s, x = lax.while_loop(cx_cond, cx_body,
+                                 (jnp.zeros((), jnp.int32), s, x))
+
+        # vertex polish (linprog_core stage 3): lanes that converged at
+        # a full vertex get the active system solved exactly through the
+        # inverse Gram, one refinement pass for drift.  The system is
+        # W u = dsl with the LAST v: x = u - v.
+        v_last = fz * eps[:, None] - x
+        s = set_bounds(s, v_last)
+        nact = jnp.sum(s.used, axis=0)
+        do_vx = (flag == EXIT_OPTIMAL) & (nact >= n)
+        rhs = s.dsl * s.used
+        lamv = jnp.einsum('kjb,jb->kb', s.E, rhs, precision=_HIP)
+        u_vx = jnp.einsum('knb,kb->nb', s.W, lamv, precision=_HIP)
+        # mixed-precision iterative refinement: the f32 residual of the
+        # vertex system floors x at ~kappa*eps_f32 (observed 2.3e-4 vs
+        # the 1e-4 reference gate); an f64 residual with the f32 inverse
+        # as preconditioner reaches the f64 floor in 2 passes
+        W64 = s.W.astype(jnp.float64)
+        rhs64 = rhs.astype(jnp.float64)
+        for _ in range(2):
+            r64 = (jnp.einsum('knb,nb->kb', W64,
+                              u_vx.astype(jnp.float64),
+                              precision=_HIP)
+                   - rhs64) * s.used
+            dl2 = jnp.einsum('kjb,jb->kb', s.E.astype(jnp.float64), r64,
+                             precision=_HIP)
+            u_vx = (u_vx.astype(jnp.float64)
+                    - jnp.einsum('knb,kb->nb', W64, dl2,
+                                 precision=_HIP)).astype(u_vx.dtype)
+        x_vx = jnp.moveaxis(u_vx, -1, 0)[:, :n] - v_last
+        okv = jnp.all(jnp.isfinite(x_vx), axis=-1)
+        x = jnp.where((do_vx & okv)[:, None], x_vx, x)
+
+        lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m] \
+            / eps[:, None]
+        fval = jnp.einsum('bi,bi->b', fz, x, precision=_HIP)
+        return BatchResult(
+            x=x, lam=lam, fval=fval, exitflag=flag.astype(jnp.int32),
+            iterations=tot.astype(jnp.int32),
+            soft_slack=jnp.zeros((B,), f32))
+
+
 @functools.partial(jax.jit, static_argnames=("st", "ms", "bin_ids",
                                              "interpret", "max_waves",
                                              "warm_ws",
@@ -994,6 +1273,48 @@ def kkt_residuals(H, f, A, bupper, blower, sense, x, lam, ms: int = 0):
     comp = np.where(hard, slack_claim, 0.0)
     viol = np.maximum(np.where(hard, viol, -np.inf), comp).max(-1)
     return stat, viol
+
+
+def backstop_resolve_lp(res: BatchResult, f, A, bupper, blower,
+                        sense=None, ms: int = 0,
+                        settings: Optional[dict] = None) -> BatchResult:
+    """LP analogue of ``backstop_resolve``: lanes whose exit flag is
+    non-optimal (or non-finite x) are re-solved through the f64
+    single-instance ``linprog`` (full adaptive-eps + cleanup semantics).
+    Exit flags identify exactly the lanes that need escalation."""
+    import daqp_tpu as _pkg
+    from .types import EXIT_OPTIMAL, EXIT_UNBOUNDED
+
+    flags = np.asarray(res.exitflag)
+    x = np.array(np.asarray(res.x, float))
+    lam = np.array(np.asarray(res.lam, float))
+    fv = np.array(np.asarray(res.fval, float))
+    bad = (flags != EXIT_OPTIMAL) & (flags != EXIT_UNBOUNDED)
+    bad |= ~np.isfinite(x).all(axis=-1)
+    if not bad.any():
+        return res
+    fn = np.asarray(f, float)
+    An = np.asarray(A, float)
+    bun = np.asarray(bupper, float)
+    bln = np.asarray(blower, float)
+    B = flags.shape[0]
+    m = bun.shape[-1]
+    sense_arr = (np.zeros((B, m), np.int32) if sense is None
+                 else np.asarray(sense))
+    flags2 = np.array(flags)
+    for b in np.where(bad)[0]:
+        one = _pkg.linprog(fn[b], An[b], bun[b], bln[b],
+                           np.array(sense_arr[b]), ms=ms,
+                           settings=settings)
+        fl = int(one.exitflag)
+        if fl == EXIT_OPTIMAL:
+            x[b] = np.asarray(one.x, float)
+            lam[b] = np.asarray(one.lam, float)
+            fv[b] = float(one.fval)
+        flags2[b] = fl
+    return res._replace(x=jnp.asarray(x), lam=jnp.asarray(lam),
+                        fval=jnp.asarray(fv),
+                        exitflag=jnp.asarray(flags2, jnp.int32))
 
 
 def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,

@@ -1002,6 +1002,50 @@ def slot_solve(s: SlotState, st: Settings, n_true: int = None,
         jnp.where(done_running, EXIT_CYCLE, s.status)).astype(jnp.int32))
 
 
+def slot_add_row(s: SlotState, oh_m, lo, dval, mask, st: Settings,
+                 n_true: int) -> SlotState:
+    """Bordered addition of ONE constraint per lane into the slot table
+    OUTSIDE the kernel (batched XLA einsums on the MXU): the batched
+    analogue of ``daqp_add_constraint`` for driver-level activations —
+    used by the LP tier's gradient step (daqp_prox.c:264-268).
+
+    ``oh_m`` (m, B) one-hot row selector, ``lo`` (1, B) side,
+    ``dval`` (1, B) active-side bound in LDP units, ``mask`` (1, B) 0/1.
+    A numerically singular addition (relative pivot gate, same as the
+    kernel's) or a full table skips the add — the caller's next outer
+    pass re-prices the row."""
+    dtype = s.E.dtype
+    K = s.E.shape[0]
+    m = s.M.shape[0]
+    mj = jnp.einsum('mb,mnb->nb', oh_m, s.M, precision=_HI)   # (n, B)
+    g = jnp.einsum('knb,nb->kb', s.W, mj, precision=_HI) * s.used
+    a = jnp.einsum('kjb,jb->kb', s.E, g, precision=_HI)
+    dii = jnp.sum(mj * mj, axis=0, keepdims=True)
+    sval = dii - jnp.sum(g * a, axis=0, keepdims=True)
+    gate = jnp.maximum(jnp.asarray(st.sing_tol, dtype), 1e-4 * dii)
+    kcnt = jnp.sum(s.used, axis=0, keepdims=True)
+    ok = mask * (sval >= gate).astype(dtype) \
+        * (kcnt < n_true).astype(dtype)
+    iota_K = jnp.arange(K, dtype=dtype)[:, None]
+    free_rank = jnp.cumsum(1.0 - s.used, axis=0) * (1.0 - s.used)
+    oh_free = (free_rank == 1.0).astype(dtype)
+    w = a * s.used - oh_free
+    c = ok / jnp.where(sval != 0, sval, 1.0)
+    E = s.E + c[None, :, :] * w[:, None, :] * w[None, :, :]
+    W = s.W + (ok * oh_free)[:, None, :] * mj[None, :, :]
+    iota_m = jnp.arange(m, dtype=dtype)[:, None]
+    rid = jnp.sum(oh_m * iota_m, axis=0, keepdims=True)
+    return s._replace(
+        E=E, W=W,
+        used=jnp.minimum(s.used + ok * oh_free, 1.0),
+        sid=s.sid + ok * oh_free * (rid + 1.0),
+        slo=s.slo + ok * oh_free * lo,
+        dsl=s.dsl + ok * oh_free * dval,
+        lam=s.lam + ok * oh_free * (1.0 - 2.0 * lo),
+        act_up=jnp.minimum(s.act_up + ok * oh_m * (1.0 - lo), 1.0),
+        act_lo=jnp.minimum(s.act_lo + ok * oh_m * lo, 1.0))
+
+
 def slot_refresh_bounds(s: SlotState, dupper, dlower) -> SlotState:
     """Replace the bounds (lanes-last (m, B)) and re-derive the slot
     table's active-side bound values ``dsl`` from ``sid``/``slo`` — the
