@@ -145,6 +145,18 @@ class Model:
         self._state = None
         return self
 
+    def proximal_regularization(self) -> float:
+        """Effective proximal regularization of the set-up workspace
+        (``daqp_get_proximal_regularization``, utils.c:299-343): 0 for a
+        PD Hessian, the applied eps*2^k shift for a dense singular one,
+        recoverable purely from the factor (see
+        ``transform.get_proximal_regularization``)."""
+        if not hasattr(self, '_st'):
+            raise RuntimeError("proximal_regularization() before setup()")
+        if getattr(self, '_ldpd', None) is None:
+            return 0.0
+        return float(transform.get_proximal_regularization(self._ldpd))
+
     # -- solve ------------------------------------------------------------
     def solve(self) -> Result:
         if not hasattr(self, '_st'):

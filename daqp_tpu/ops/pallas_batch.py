@@ -306,6 +306,12 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         up_ok = (v_up < bound) & ~blocked
         lo_ok = (v_lo < bound) & ~blocked & ~up_ok
         cand2 = jnp.where(up_ok, v_up, jnp.where(lo_ok, v_lo, BIG))
+        if int(st.pricing) == 1:
+            # Bland's rule (anti-cycling: lowest violated index) — the
+            # compile-time pricing variant, same as the slot kernel
+            # (daqp_julia.jl:1,42-46; settings are static in the kernel)
+            cand2 = jnp.where(up_ok | lo_ok, iota_m.astype(f32) - BIG,
+                              BIG)
         oh_j, vmin = first_min_onehot(cand2)
         found = (vmin < 0).astype(f32)
         j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
@@ -396,7 +402,36 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
                       + add_soft)
         else:
             ns_act = 0.0
-        sing = ((sval < singtol) | (k >= n_true + ns_act)).astype(f32)
+        # relative pivot gate on top of the absolute sing_tol: in f32 a
+        # ~1e-6 pivot passes the f64-era absolute gate but 1/s amplifies
+        # the rank-one update's rounding into the whole inverse — a
+        # Bland trajectory on this kernel exited OPTIMAL with x 5.8e-2
+        # off through exactly such an add (same fix as the slot kernel;
+        # a gated add goes PENDING, the reference's own singular path).
+        # A SOFT add's pivot legitimately EQUALS rho_soft (a conflicting
+        # soft row's Schur complement is exactly its Gram-diagonal
+        # regularization, factorization.c:31-40), so its gate is
+        # relative to rho, not to dii.
+        # relative pivot gate on top of the absolute sing_tol: in f32 a
+        # ~1e-6 pivot passes the f64-era absolute gate but 1/s amplifies
+        # the rank-one update's rounding into the whole inverse — a
+        # Bland trajectory on this kernel exited OPTIMAL with x 5.8e-2
+        # off through exactly such an add (same fix as the slot kernel;
+        # a gated add goes PENDING, the reference's own singular path).
+        # With SOFT rows in play, LEGITIMATE pivots go down to ~rho_soft:
+        # a conflicting soft add's Schur complement IS rho
+        # (factorization.c:31-40) and a hard add against an active
+        # conflicting soft row gives rho/(1+rho) — so the soft variant's
+        # gate is clamped below rho (observed: the 1e-4*dii gate sent
+        # those adds to PENDING and conflicting-soft lanes exited
+        # INFEASIBLE on the smoke case).
+        if has_soft:
+            gate = jnp.maximum(singtol,
+                               jnp.minimum(f32(1e-4) * dii,
+                                           f32(0.25) * rho))
+        else:
+            gate = jnp.maximum(singtol, f32(1e-4) * dii)
+        sing = ((sval < gate) | (k >= n_true + ns_act)).astype(f32)
 
         do_add = retry * (1.0 - bad.astype(f32)) + padd
         ok = do_add * (1.0 - sing)

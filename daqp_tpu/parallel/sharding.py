@@ -264,10 +264,16 @@ def _sharded_tree_miqp_fn(mesh, ms, st, rounds, node_budget, fixed_ids,
 
         c = jax.lax.fori_loop(0, rounds, wave, c)
         c = bnb_mod.bnb_run(c, bin_arr, st)          # drain remainder
-        c = bnb_mod.bnb_finalize(c, st)
 
-        x = transform.ldp_to_qp_solution(ldpd, c.state.u)
-        fval = 0.5 * (c.state.fval - ldpd.v @ ldpd.v)
+        # the LOCAL incumbent's objective, computed from its own u —
+        # NOT from bnb_finalize's folded bound: the exchanged GLOBAL
+        # bound contaminates c.bound, so a device without the best
+        # incumbent would claim the global fval while gathering its own
+        # x (observed at the config-5 dryrun shape: returned x had
+        # direct objective +30.7 while reporting -36.2)
+        x = transform.ldp_to_qp_solution(ldpd, c.incumbent_u)
+        fldp = c.incumbent_u @ c.incumbent_u
+        fval = 0.5 * (fldp - ldpd.v @ ldpd.v)
         my = jnp.where(c.incumbent_found, fval,
                        jnp.asarray(DAQP_INF, fval.dtype))
         # winner selection across devices
@@ -276,7 +282,12 @@ def _sharded_tree_miqp_fn(mesh, ms, st, rounds, node_budget, fixed_ids,
         widx = jnp.argmin(all_f)
         found_any = jnp.min(all_f) < DAQP_INF
         xg = all_x[widx]
-        fg = all_f[widx]
+        # report the winner's objective recomputed from x directly: the
+        # LDP-space 0.5*(u'u - v'v) cancellation loses ~5e-2 in f32 at
+        # this scale (observed vs the f64 reference)
+        hi = jax.lax.Precision.HIGHEST
+        fg = 0.5 * jnp.einsum('i,ij,j->', xg, H, xg, precision=hi) \
+            + jnp.einsum('i,i->', f, xg, precision=hi)
         status = jnp.where(found_any, EXIT_OPTIMAL,
                            EXIT_INFEASIBLE).astype(jnp.int32)
         nodes = jax.lax.psum(c.nodecount, axis)

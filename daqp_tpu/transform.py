@@ -284,6 +284,41 @@ def update_d_from_v(ldp: LDPData, v: jnp.ndarray, bupper, blower) -> LDPData:
                         dlower=blower * ldp.scaling + Mv)
 
 
+def get_proximal_regularization(ldp: LDPData, H=None, st: Settings = None):
+    """Effective proximal regularization of a set-up workspace — the
+    analogue of ``daqp_get_proximal_regularization`` (utils.c:299-343).
+
+    The pipeline tracks the applied shift exactly (``ldp.eps_used``), so
+    the fast path just returns it (0 for a PD Hessian).  When ``H`` is
+    given, the shift is instead RECOVERED from the factor the way the
+    reference does for dense singular Hessians (utils.c:323-343):
+    pre-normalization ``Rinv[0,0] = 1/sqrt(H[0,0] + eps)``, the
+    simple-bound normalization retains the row scale in ``scaling[0]``,
+    and the retry level is the base*2^k value nearest the recovered
+    pivot — useful for factor-only workspaces (AOT export / codegen)
+    where the tracked value did not persist.
+    """
+    if H is None:
+        return ldp.eps_used
+    H = jnp.asarray(H)
+    rinv00 = ldp.Rinv[0, 0]
+    # undo the simple-bound row normalization if row 0 is a bound row
+    # (utils.c:330-331); general rows leave Rinv unnormalized
+    recovered = 1.0 / (rinv00 * rinv00) - H[0, 0]
+    zero_tol = jnp.asarray(st.zero_tol if st is not None else 1e-11,
+                           H.dtype)
+    scale = jnp.max(jnp.abs(jnp.diagonal(H)))
+    eps0 = jnp.maximum(jnp.asarray(st.eps_prox if st is not None
+                                   else 1e-6, H.dtype),
+                       jnp.sqrt(zero_tol) * scale)
+
+    def body(eps):
+        return eps * 2.0
+
+    eps = lax.while_loop(lambda e: 1.5 * e < recovered, body, eps0)
+    return jnp.where(recovered < 0.5 * eps0, jnp.zeros((), H.dtype), eps)
+
+
 def check_unconstrained(ldp: LDPData, st: Settings):
     """Feasibility of the unconstrained optimum x = -Rinv v
     (``daqp_check_unconstrained``, utils.c:529-598).

@@ -167,3 +167,43 @@ def test_batch_prox_pallas_mixed_pd():
             A[b].astype(np.float64), bu[b].astype(np.float64),
             bl[b].astype(np.float64), ms=0)
         assert np.linalg.norm(xs[b] - np.asarray(ref.x)) < 2e-3, b
+
+
+def test_proximal_regularization_getter():
+    # daqp_get_proximal_regularization analogue (utils.c:299-343):
+    # tracked value + factor-only recovery must agree; PD H gives 0
+    import jax.numpy as jnp
+    from daqp_tpu import transform
+    from daqp_tpu.api import _as_settings
+
+    st = _as_settings(None, jnp.float64)
+    rng = np.random.default_rng(5)
+    n, m = 8, 16
+    A = rng.standard_normal((m, n))
+    bu = 5 + rng.random(m)
+    bl = -5 - rng.random(m)
+    # dense singular H -> full shift applied
+    Q = rng.standard_normal((n, n - 3))
+    Hs = Q @ Q.T
+    ldp = transform.build_ldp(jnp.asarray(Hs), jnp.zeros(n),
+                              jnp.asarray(A), jnp.asarray(bu),
+                              jnp.asarray(bl), None, 0, st)
+    eps_tracked = float(ldp.eps_used)
+    assert eps_tracked > 0
+    eps_rec = float(transform.get_proximal_regularization(
+        ldp, H=Hs, st=st))
+    assert abs(eps_rec - eps_tracked) < 1e-9 * max(1.0, eps_tracked), \
+        (eps_rec, eps_tracked)
+    # PD H -> 0 both ways
+    Hpd = Hs + np.eye(n)
+    ldp2 = transform.build_ldp(jnp.asarray(Hpd), jnp.zeros(n),
+                               jnp.asarray(A), jnp.asarray(bu),
+                               jnp.asarray(bl), None, 0, st)
+    assert float(ldp2.eps_used) == 0.0
+    assert float(transform.get_proximal_regularization(
+        ldp2, H=Hpd, st=st)) == 0.0
+    # Model surface
+    import daqp_tpu
+    mdl = daqp_tpu.Model()
+    mdl.setup(Hpd, np.zeros(n), A, bu, bl, ms=0)
+    assert mdl.proximal_regularization() == 0.0
