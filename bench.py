@@ -11,9 +11,10 @@ Measurement notes:
   * throughput is SUSTAINED: several distinct batches are pipelined and
     synced via a host transfer of the exit flags (``block_until_ready``
     acks early through the axon TPU tunnel and is not a true sync here);
-  * the accuracy gate mirrors the reference benchmark harness
-    (benchmark.jl:39,62-64): per-instance ||x - xref|| <= 2e-3 for the
-    f32 path, checked on EVERY batch (not just the first);
+  * the accuracy gate is the REFERENCE's: per-instance
+    ||x - xref|| <= 1e-4 (benchmark.jl:39,62-64), met in pure f32 since
+    round 4 (primal_tol 3e-5 + relative add-pivot gates), checked on
+    EVERY batch (not just the first);
   * the axon tunnel backend can fail to initialize transiently (this
     erased round 2's driver capture: BENCH_r02.json rc=1 on "Unable to
     initialize backend 'axon'").  The benchmark body therefore runs in a
@@ -80,7 +81,7 @@ def bench_body():
     xs = np.asarray(stack(*[r.x for r in warm])).reshape(NB * B, n)
     flags_all = np.asarray(stack(*[r.exitflag for r in warm])).reshape(-1)
     err = np.linalg.norm(xs - d['x'], axis=1)
-    ok = float(np.mean((flags_all == 1) & (err < 2e-3)))
+    ok = float(np.mean((flags_all == 1) & (err < 1e-4)))
 
     # One device-side stack + ONE host transfer as the true sync: the
     # stacked array depends on every batch, and the chip executes

@@ -121,6 +121,58 @@ def bench_prox(jnp, st):
     }
 
 
+def bench_hiqp(jnp, st):
+    # config 4b: the hierarchical-least-squares half of BASELINE
+    # config 4 ("semidefinite-H QPs + hierarchical least squares"),
+    # batched: the daqp_hiqp level walk over the whole-batch dense
+    # kernel (batch.solve_batch_hiqp_pallas_jit)
+    import jax
+    from daqp_tpu import batch as batch_mod
+
+    B, n = 256, 12
+    bp = (0, 8, 16, 24)
+    m = bp[-1]
+    rng = np.random.default_rng(19)
+    As = rng.standard_normal((B, m, n)).astype(np.float32)
+    x0 = rng.standard_normal((B, n)).astype(np.float32)
+    b0 = np.einsum('bmn,bn->bm', As, x0)
+    bus = (b0 + 0.2 * rng.random((B, m))).astype(np.float32)
+    bls = (b0 - 1.2 - 0.5 * rng.random((B, m))).astype(np.float32)
+    # first level partially conflicting (over-determined rows)
+    As[:, 1] = As[:, 0]
+    bus[:, 0] = b0[:, 0] - 1.0
+    bls[:, 0] = b0[:, 0] - 2.0
+    bls[:, 1] = b0[:, 1] + 1.0
+    bus[:, 1] = b0[:, 1] + 2.0
+    sense = np.zeros((B, m), np.int32)
+    fs = np.zeros((B, n), np.float32)
+
+    def run(fs_, As_, bus_, bls_, sense_):
+        out = batch_mod.solve_batch_hiqp_pallas_jit(
+            None, fs_, As_, bus_, bls_, sense_, st, ms=0,
+            break_points=bp)
+        return out.exitflag
+
+    args = tuple(jnp.asarray(v) for v in (fs, As, bus, bls, sense))
+    flags = run(*args)
+    _sync([flags])
+    best = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        outs = [run(args[0] + 1e-5 * i, *args[1:]) for i in range(4)]
+        flags = _stack_fetch(jnp, outs).reshape(-1)
+        t1 = time.perf_counter()
+        best = min(best, t1 - t0) if best is not None else t1 - t0
+    total = 4 * B
+    return {
+        "metric": "config4b hierarchical least-squares batch",
+        "value": round(total / best, 1), "unit": "solves/s",
+        "batch": B, "levels": len(bp) - 1,
+        "optimal_rate": float(np.mean(flags > 0)),
+        "wall_s": round(best, 4),
+    }
+
+
 def bench_miqp(jnp, st):
     import jax
     from daqp_tpu import batch as batch_mod
@@ -180,7 +232,8 @@ def main():
 
     st = _as_settings({"iter_limit": 1000}, jnp.float32)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    runs = {"3": bench_mpc, "4": bench_prox, "5": bench_miqp}
+    runs = {"3": bench_mpc, "4": bench_prox, "4b": bench_hiqp,
+            "5": bench_miqp}
     for key, fn in runs.items():
         if which not in ("all", key):
             continue

@@ -31,17 +31,17 @@ N_PROBLEMS = 10
 
 
 def _tol():
-    """Correctness gate, dtype-aware.
+    """Correctness gate: the REFERENCE's ||x - xref|| <= 1e-4
+    (benchmark.jl:39,62-64), in f32 as well as f64.
 
-    The reference gate is ||x - xref|| <= 1e-4 with the solver in double
-    (benchmark.jl:39,62-64).  On TPU the single-instance path computes in
-    f32 (x64 is unavailable), where the measured accuracy envelope at
-    kappa = 1e2 is ~2e-4 per instance (fuzzer calibration:
-    2e-5 * sqrt(kappa) per component); bench.py's driver-verified f32
-    gate is 2e-3 — use the same contract here.
+    Round 4 closed the f32 gap to the reference gate without a backstop:
+    the f32 default primal_tol moved from 1e-4 (which measurably LOSES
+    weakly-active constraints — n=100 err was 2.4e-4) to 3e-5, and the
+    kernels gained a relative add-pivot gate; measured grid errs in pure
+    f32 on v5e: 2.9e-6 (n=50), 5.4e-6 (n=100), 1.0e-5 (n=200),
+    4.1e-5 (n=500), all flags clean.
     """
-    import jax
-    return 1e-4 if jax.config.read("jax_enable_x64") else 2e-3
+    return 1e-4
 
 
 def _bench_qp(sizes, repeats, rows):

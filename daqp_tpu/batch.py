@@ -902,6 +902,201 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
             soft_slack=jnp.zeros((B,), f32))
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "break_points",
+                                             "interpret"))
+def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
+                                st: Settings, ms: int = 0,
+                                break_points: tuple = (),
+                                interpret: bool = False,
+                                deadline=None) -> BatchResult:
+    """Batched hierarchical (lexicographic least-squares) QP solve: the
+    level walk of ``daqp_hiqp`` (hierarchical.c:5-108) carried by ONE
+    unrolled loop over the whole-batch dense-mask kernel state — the
+    second half of BASELINE config 4 on the scaling axis.
+
+    Per level (all batched): the level's rows are SOFTened (uniform
+    rho_soft — the dense kernel's plain-soft support) and rows beyond
+    the level IMMUTABLE (the reference truncates work->m,
+    hierarchical.c:24), the whole batch re-solves warm on the kernel,
+    the optimal soft violations w = lam* rho are frozen into d
+    (hierarchical.c:51-65) and reported as output duals, the level is
+    hardened and the working set rebuilt by sequential masked re-adds
+    with dependent-entry drops (``dense_reactivate``,
+    hierarchical.c:72-95), and per-lane degrees-of-freedom accounting
+    stops exhausted lanes (hierarchical.c:97).
+
+    ``break_points`` is a static strictly-increasing tuple ending at m,
+    shared across the batch.  ``H=None`` uses the identity metric (the
+    common hierarchical-control use).  Warm ACTIVE bits are honored for
+    the pre-hierarchy hard rows (< break_points[0]); per-level warm
+    starts are not supported on this tier (use ``hiqp_core``).
+    Differential tests vs ``hiqp_core``: tests/test_batch_hiqp.py.
+    """
+    from .ops import pallas_batch as pb
+    from .types import ACTIVE, IMMUTABLE, LOWER, EXIT_OPTIMAL, \
+        EXIT_ITERLIMIT
+    from .hierarchical import EXIT_NO_DOF
+
+    A = jnp.atleast_3d(A)
+    B = bupper.shape[0]
+    m = bupper.shape[-1]
+    n = A.shape[-1] if A.size else (H.shape[-1] if H is not None else ms)
+    bp = tuple(int(b) for b in break_points)
+    assert len(bp) >= 2 and bp[-1] == m, (bp, m)
+    lane_pad = (-B) % pb.LANES
+    if lane_pad:
+        def padded(x, fill):
+            blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                   (lane_pad,) + x.shape[1:])
+            return jnp.concatenate([x, blk], axis=0)
+        out = solve_batch_hiqp_pallas_jit(
+            None if H is None else padded(H, jnp.eye(n)),
+            None if f is None else padded(f, jnp.zeros((n,))),
+            padded(A, jnp.zeros((A.shape[1], n))),
+            padded(bupper, jnp.ones((m,))),
+            padded(blower, -jnp.ones((m,))),
+            padded(sense, jnp.zeros((m,), jnp.int32)),
+            st, ms=ms, break_points=bp, interpret=interpret,
+            deadline=deadline)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+    # f32 conditioning floor for the level penalty: a conflicting soft
+    # add's Schur pivot is ~rho, and rank-one updates through such a
+    # pivot amplify f32 rounding by 1/rho — at the plain f32 default
+    # (1e-4) chains of conflicting soft adds corrupt E until a soft add
+    # falsely pends and whole lanes exit INFEASIBLE (measured on the
+    # 3-level test batch: 51/128 lanes at rho 1e-4, 1/128 at 1e-2,
+    # 0/128 at 3e-2).  The reference's f64 choice (1e-6) sits ~5e9 eps
+    # above ITS epsilon; 3e-2 ~ 5e5 eps_f32 is the conservative f32
+    # analogue.  The exact-penalty approximation error of the frozen
+    # violations is O(rho); callers needing tighter levels use the f64
+    # single-instance ``hiqp_core``.
+    st = st._replace(rho_soft=max(float(st.rho_soft), 3e-2))
+
+    f32 = jnp.float32
+    with jax.default_matmul_precision('high'):
+        if H is None:
+            H_b = jnp.broadcast_to(jnp.eye(n, dtype=f32), (B, n, n))
+        else:
+            H_b = H.astype(f32)
+        f_b = (jnp.zeros((B, n), f32) if f is None else f.astype(f32))
+        ldpd = jax.vmap(
+            lambda H_, f_, A_, bu_, bl_, se_: transform.build_ldp(
+                H_, f_, A_, bu_, bl_, se_, ms, st))(
+            H_b, f_b, A.astype(f32), bupper.astype(f32),
+            blower.astype(f32), sense)
+        immut0 = ((ldpd.sense & IMMUTABLE) > 0).astype(f32)
+        s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
+                          immut0)
+        mp = s.dupper.shape[0]
+        iota_row = jnp.arange(mp)[:, None]                  # (mp, 1)
+        immut_base = s.immut                 # incl. padded-row immut
+
+        # pre-hierarchy hard warm/equality rows (< bp[0])
+        act_bits = ((ldpd.sense & ACTIVE) > 0) \
+            & (jnp.arange(m)[None, :] < bp[0])
+        lo_bits = act_bits & ((ldpd.sense & LOWER) > 0)
+        up_l = jnp.moveaxis(jnp.pad(act_bits & ~lo_bits,
+                                    ((0, 0), (0, mp - m))), 0, -1)
+        lo_l = jnp.moveaxis(jnp.pad(lo_bits, ((0, 0), (0, mp - m))),
+                            0, -1)
+        s = jax.lax.cond(jnp.any(act_bits),
+                         lambda s: pb.dense_activate(s, up_l, lo_l, st),
+                         lambda s: s, s)
+
+        lam_out = jnp.zeros((mp, B), f32)
+        lane_flag = jnp.where(ldpd.error < 0, ldpd.error,
+                              EXIT_RUNNING).astype(jnp.int32)
+        done = lane_flag != EXIT_RUNNING
+        nfree = jnp.full((B,), float(n), f32)
+        u_best = s.u
+        tot = jnp.zeros((B,), f32)
+        rho = jnp.asarray(st.rho_soft, f32)
+        ptol = jnp.asarray(st.primal_tol, f32)
+        nh = len(bp)
+
+        for i in range(1, nh):
+            start, end = bp[i - 1], bp[i]
+            lvl = ((iota_row >= start) & (iota_row < end)).astype(f32)
+            beyond = (iota_row >= end).astype(f32)
+            lane_run = ~done
+            run_m = lane_run.astype(f32)[None, :]            # (1, B)
+            s = s._replace(
+                soft=jnp.broadcast_to(lvl, s.soft.shape),
+                immut=jnp.minimum(immut_base + beyond, 1.0))
+            u_prev = s.u
+            s = s._replace(
+                status=jnp.where(lane_run[None, :], EXIT_RUNNING,
+                                 s.status).astype(jnp.int32),
+                iterations=jnp.zeros_like(s.iterations),
+                cycle=jnp.zeros_like(s.cycle),
+                repaired=jnp.zeros_like(s.repaired),
+                best_fval=jnp.zeros_like(s.best_fval) - 1.0,
+                pend=s.pend * (1.0 - run_m))
+            s = pb.dense_solve(s, st, n_true=n, interpret=interpret,
+                               has_soft=True, deadline=deadline)
+            tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
+            flag_i = s.status[0]
+            failed = lane_run & (flag_i < 0)
+
+            # freeze the level's optimal soft violations into d and
+            # record them as output duals (hierarchical.c:51-65).  The
+            # extra symmetric ptol margin on the level's rows is an
+            # f32-robustness addition beyond the reference: the frozen
+            # bounds pass exactly through the level's optimum, so after
+            # hardening, ~1e-5 of kernel drift makes hardened/dropped
+            # rows look marginally violated at later levels and the
+            # resulting singular-add storms exit INFEASIBLE (observed:
+            # 50/128 lanes at level 3 without the margin; the f64
+            # single-instance path never sees violations above its
+            # noise floor).  The lexicographic solution moves O(ptol).
+            act = s.act_up + s.act_lo
+            wv = s.lam_star * rho * act * s.soft             # (mp, B)
+            s = s._replace(
+                dupper=s.dupper + (jnp.where(wv > ptol, wv, 0.0)
+                                   + ptol * lvl) * run_m,
+                dlower=s.dlower + (jnp.where(wv < -ptol, wv, 0.0)
+                                   - ptol * lvl) * run_m)
+            soft_act = (act * s.soft > 0) & lane_run[None, :]
+            lam_out = jnp.where(soft_act, wv, lam_out)
+
+            # harden the level (hierarchical.c:68)
+            s = s._replace(soft=jnp.zeros_like(s.soft))
+            if i < nh - 1:
+                s2, n_imm = pb.dense_reactivate(s, st, n, start)
+                s = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        lane_run[None] if a.ndim == 2
+                        else (lane_run[None, None] if a.ndim == 3
+                              else lane_run), b, a), s, s2)
+                nfree = nfree - jnp.where(lane_run, n_imm, 0.0)
+
+            iterlim = lane_run & ~failed & (tot >= st.iter_limit)
+            lane_flag = jnp.where(failed, EXIT_NO_DOF, lane_flag)
+            lane_flag = jnp.where(iterlim, EXIT_ITERLIMIT, lane_flag)
+            u_best = jnp.where(lane_run[None, :],
+                               jnp.where(failed[None, :], u_prev, s.u),
+                               u_best)
+            done = done | failed | iterlim | (nfree <= 0)
+
+        u_b = jnp.moveaxis(u_best, -1, 0)[:, :n]
+        x = jax.vmap(transform.ldp_to_qp_solution)(ldpd, u_b)
+        if H is None and f is not None:
+            fval = jnp.einsum('bi,bi->b', f_b, x,
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            fval = 0.5 * (jnp.sum(u_b * u_b, axis=1)
+                          - jnp.einsum('bk,bk->b', ldpd.v, ldpd.v))
+        lane_flag = jnp.where(lane_flag == EXIT_RUNNING, EXIT_OPTIMAL,
+                              lane_flag)
+        lam_b = jnp.moveaxis(lam_out, -1, 0)[:, :m]
+        return BatchResult(
+            x=x, lam=lam_b, fval=fval,
+            exitflag=lane_flag.astype(jnp.int32),
+            iterations=jnp.maximum(tot, 1.0).astype(jnp.int32),
+            soft_slack=jnp.zeros((B,), f32))
+
+
 @functools.partial(jax.jit, static_argnames=("st", "ms", "bin_ids",
                                              "interpret", "max_waves",
                                              "warm_ws",

@@ -681,6 +681,84 @@ def dense_activate(s: DenseState, up_mask, lo_mask,
     return s2._replace(E=E, lam=lam0, status=status.astype(jnp.int32))
 
 
+def dense_add_row(s: DenseState, oh_m, lo, lam_seed, mask,
+                  st: Settings, n_true: int) -> "tuple":
+    """Bordered addition of ONE constraint per lane into the dense-mask
+    inverse Gram OUTSIDE the kernel (batched XLA einsums): the m-space
+    analogue of ``slot_add_row`` — used by the batched hierarchical
+    tier's reactivation (hierarchical.c:86-95).
+
+    ``oh_m`` (m, B) one-hot row, ``lo``/``lam_seed``/``mask`` (1, B).
+    Returns ``(state, ok)`` where ``ok`` (1, B) flags a non-singular
+    applied add (a singular one is skipped — the caller drops the
+    entry, hierarchical.c:89-93)."""
+    dtype = s.E.dtype
+    act = s.act_up + s.act_lo
+    mj = jnp.einsum('mb,mnb->nb', oh_m, s.M, precision=_HI)    # (n, B)
+    g = jnp.einsum('mnb,nb->mb', s.M, mj, precision=_HI) * act
+    a = jnp.einsum('ijb,jb->ib', s.E, g, precision=_HI)
+    soft_r = jnp.sum(oh_m * s.soft, axis=0, keepdims=True)
+    rho = jnp.asarray(st.rho_soft, dtype)
+    dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * soft_r
+    sval = dii - jnp.sum(g * a, axis=0, keepdims=True)
+    gate = jnp.maximum(jnp.asarray(st.sing_tol, dtype),
+                       jnp.minimum(1e-4 * dii, 0.25 * rho + 1e-30)
+                       if True else 0)
+    # soft adds legitimately pivot at rho; hard adds against soft
+    # actives at ~rho/(1+rho) — clamp like the kernel's soft gate
+    kcnt = jnp.sum(act, axis=0, keepdims=True)
+    ns_act = jnp.sum(act * s.soft, axis=0, keepdims=True) + soft_r
+    ok = mask * (sval >= gate).astype(dtype) \
+        * (kcnt < n_true + ns_act).astype(dtype)
+    w = a * act - oh_m
+    c = ok / jnp.where(sval != 0, sval, 1.0)
+    E = s.E + c[None, :, :] * w[:, None, :] * w[None, :, :]
+    return s._replace(
+        E=E,
+        act_up=jnp.minimum(s.act_up + ok * oh_m * (1.0 - lo), 1.0),
+        act_lo=jnp.minimum(s.act_lo + ok * oh_m * lo, 1.0),
+        lam=s.lam + ok * oh_m * lam_seed), ok
+
+
+def dense_reactivate(s: DenseState, st: Settings, n_true: int,
+                     start: int):
+    """Rebuild the inverse Gram from the current act masks by SEQUENTIAL
+    masked re-adds in row order, dropping entries that became linearly
+    dependent — the batched analogue of the reference's post-hardening
+    reactivation (hierarchical.c:72-95; the explicit inverse has no
+    reusable prefix, so the whole set is rebuilt — identical math, see
+    ``hierarchical._reactivate``).
+
+    Returns ``(state, n_imm)`` where ``n_imm`` (B,) counts IMMUTABLE
+    rows at/after ``start`` that were successfully re-added (the
+    reference's degrees-of-freedom decrement, hierarchical.c:94)."""
+    dtype = s.E.dtype
+    m = s.M.shape[0]
+    up0, lo0 = s.act_up, s.act_lo
+    lam0 = s.lam_star
+    iota = jnp.arange(m, dtype=dtype)[:, None]
+    s = s._replace(E=jnp.zeros_like(s.E),
+                   act_up=jnp.zeros_like(up0),
+                   act_lo=jnp.zeros_like(lo0),
+                   lam=jnp.zeros_like(s.lam))
+
+    def body(i, carry):
+        s, n_imm = carry
+        oh = (iota == i).astype(dtype) * jnp.ones_like(up0[0:1])
+        was = jnp.sum(oh * (up0 + lo0), axis=0, keepdims=True)
+        lo = jnp.sum(oh * lo0, axis=0, keepdims=True)
+        seed = jnp.sum(oh * lam0, axis=0, keepdims=True)
+        s, ok = dense_add_row(s, oh, lo, seed, was, st, n_true)
+        imm_i = jnp.sum(oh * s.immut, axis=0, keepdims=True)
+        in_lvl = (jnp.asarray(i, dtype) >= start).astype(dtype)
+        n_imm = n_imm + (ok * imm_i * in_lvl)[0]
+        return s, n_imm
+
+    s, n_imm = jax.lax.fori_loop(
+        0, m, body, (s, jnp.zeros((s.E.shape[-1],), dtype)))
+    return s, n_imm
+
+
 def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     """Bulk cold-start heuristic: activate the constraints violated at the
     unconstrained optimum u = 0 (capped at n_true - 1, most-violated

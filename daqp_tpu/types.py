@@ -127,7 +127,14 @@ def default_settings_f32() -> Settings:
     compile flag (types.h:8-12).
     """
     return Settings(
-        primal_tol=1e-4,
+        # 3e-5, not 1e-4: the pricing violation v = d - Mu carries
+        # ~n*eps_f32*||u|| of measurement noise (~1e-5 at n <= 500), so
+        # 3e-5 is resolvable — and 1e-4 measurably LOSES weakly-active
+        # constraints (reference benchmark grid, round 4: n=100 err
+        # 2.4e-4 at 1e-4 vs 5.4e-6 at 3e-5; n=500 4.1e-5; the whole
+        # grid meets the reference's 1e-4 gate in pure f32 with clean
+        # flags, benchmark.jl:39)
+        primal_tol=3e-5,
         dual_tol=1e-6,
         zero_tol=1e-6,
         pivot_tol=1e-4,
