@@ -902,6 +902,252 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
             soft_slack=jnp.zeros((B,), f32))
 
 
+@functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
+                                             "max_outer"))
+def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
+                               st: Settings, ms: int = 0,
+                               interpret: bool = False,
+                               max_outer: int = 500,
+                               deadline=None) -> BatchResult:
+    """Batched affine variational inequalities: the Douglas-Rachford
+    splitting of ``daqp_solve_avi`` (avi.c:6-101) carried by ONE outer
+    loop over the whole-batch slot-kernel state (the same architecture
+    as the batched prox/LP/MIQP/MPC drivers).
+
+    Per outer pass (all batched): the inner projection QP in the
+    per-lane ``sym(H) + rho I`` metric re-solves warm on the kernel
+    (only v/d re-form, batched GEMMs); stable-active-set lanes
+    (inner iterations == 1 for ``terminate_limit`` consecutive passes)
+    get the exact KKT/Schur solve on the ORIGINAL asymmetric H
+    (avi.c:103-184, batched ``(B, K, K)`` solves) with KKT
+    verification (avi.c:187-221); Newton steps that increase the
+    natural residual revert and extend the limit (avi.c:44-61).
+
+    Scope: hard constraints (soft AVIs use the single-instance
+    ``daqp_tpu.avi``).  Differential tests vs ``avi_core``:
+    tests/test_batch_avi.py.
+    """
+    from .ops import pallas_slot as ps
+    from .ops import pallas_batch as pb
+    from .types import (IMMUTABLE, ACTIVE, EXIT_OPTIMAL, EXIT_ITERLIMIT)
+
+    A = jnp.atleast_3d(A)
+    B, n = H.shape[0], H.shape[-1]
+    m = bupper.shape[-1]
+    lane_pad = (-B) % pb.LANES
+    if lane_pad:
+        def padded(x, fill):
+            blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
+                                   (lane_pad,) + x.shape[1:])
+            return jnp.concatenate([x, blk], axis=0)
+        out = solve_batch_avi_pallas_jit(
+            padded(H, jnp.eye(n)), padded(f, jnp.zeros((n,))),
+            padded(A, jnp.zeros((A.shape[1], n))),
+            padded(bupper, jnp.ones((m,))),
+            padded(blower, -jnp.ones((m,))),
+            padded(sense, jnp.zeros((m,), jnp.int32)),
+            st, ms=ms, interpret=interpret, max_outer=max_outer,
+            deadline=deadline)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+    f32 = jnp.float32
+    _HIP = jax.lax.Precision.HIGHEST
+    with jax.default_matmul_precision('high'):
+        Hb = H.astype(f32)
+        fb = f.astype(f32)
+        bu = bupper.astype(f32)
+        bl = blower.astype(f32)
+        Hsym = 0.5 * (Hb + jnp.swapaxes(Hb, 1, 2))
+        diag = jnp.diagonal(Hsym, axis1=1, axis2=2)
+        min_diag = jnp.min(diag, axis=1)
+        max_rs = jnp.max(jnp.sum(jnp.abs(Hsym), axis=2), axis=1)
+        fro = jnp.sqrt(jnp.sum(Hb * Hb, axis=(1, 2)))
+        rho = jnp.where((min_diag > 0) & (max_rs > 0),
+                        jnp.sqrt(jnp.maximum(min_diag * max_rs, 1e-30)),
+                        fro / 2)                                 # (B,)
+        eyen = jnp.eye(n, dtype=f32)
+        Hs_rho = Hsym + rho[:, None, None] * eyen
+        H_rho = Hb + rho[:, None, None] * eyen
+        H_lu = jax.vmap(jax.scipy.linalg.lu_factor)(Hb)
+        H_rho_lu = jax.vmap(jax.scipy.linalg.lu_factor)(H_rho)
+        lu_solve = jax.vmap(jax.scipy.linalg.lu_solve)
+        if ms > 0:
+            Aall = jnp.concatenate(
+                [jnp.broadcast_to(eyen[:ms], (B, ms, n)),
+                 A.astype(f32)], axis=1)
+        else:
+            Aall = A.astype(f32)
+
+        ldpd = jax.vmap(
+            lambda H_, A_, bu_, bl_, se_: transform.build_ldp(
+                H_, None, A_, bu_, bl_, se_, ms, st))(
+            Hs_rho, A.astype(f32), bu, bl, sense)
+        immut = ((ldpd.sense & IMMUTABLE) > 0).astype(f32)
+        s0 = ps.slot_init(ldpd.M, ldpd.dupper, ldpd.dlower, ldpd.scaling,
+                          immut, n_true=n)
+        mp = s0.dupper.shape[0]
+        row_real = jnp.arange(mp)[:, None] < m
+        big = jnp.asarray(DAQP_INF, f32)
+        bu_s = bu * ldpd.scaling
+        bl_s = bl * ldpd.scaling
+        iota_m = jnp.arange(m, dtype=f32)
+
+        # unconstrained shortcut (utils.c:547-551)
+        x_unc = lu_solve(H_lu, -fb)
+        r_unc = jnp.einsum('bmn,bn->bm', Aall, x_unc, precision=_HIP)
+        unc_ok = jnp.all((r_unc <= bu + st.primal_tol)
+                         & (r_unc >= bl - st.primal_tol), axis=1) \
+            & ~jnp.any((ldpd.sense & (ACTIVE | IMMUTABLE)) > 0, axis=1)
+
+        def set_bounds(s, v_b):
+            Mv = jnp.einsum('bmj,bj->bm', ldpd.M, v_b, precision=_HIP)
+            du = jnp.moveaxis(jnp.pad(bu_s + Mv, ((0, 0), (0, mp - m))),
+                              0, -1)
+            dl = jnp.moveaxis(jnp.pad(bl_s + Mv, ((0, 0), (0, mp - m))),
+                              0, -1)
+            return ps.slot_refresh_bounds(
+                s, jnp.where(row_real, du, big),
+                jnp.where(row_real, dl, -big))
+
+        def kkt_all(s, lane_do):
+            # batched exact KKT/Schur on the original asymmetric H
+            # (avi.c:103-184) for the slot working sets
+            K = s.E.shape[0]
+            used_b = jnp.moveaxis(s.used, -1, 0)             # (B, K)
+            sid_b = jnp.moveaxis(s.sid, -1, 0)
+            slo_b = jnp.moveaxis(s.slo, -1, 0)
+            oh = (sid_b[:, :, None] == iota_m[None, None, :]) \
+                .astype(f32) * used_b[:, :, None]            # (B, K, m)
+            Aw = jnp.einsum('bkm,bmn->bkn', oh, Aall, precision=_HIP)
+            T = lu_solve(H_lu, jnp.swapaxes(Aw, 1, 2))       # (B, n, K)
+            S = jnp.einsum('bkn,bnj->bkj', Aw, T, precision=_HIP)
+            mask2 = used_b[:, :, None] * used_b[:, None, :]
+            eyeK = jnp.eye(K, dtype=f32)
+            S = S * mask2 + eyeK * (1.0 - used_b)[:, :, None]
+            Hinv_f = lu_solve(H_lu, fb)
+            b_sel = jnp.einsum(
+                'bkm,bm->bk', oh,
+                bl, precision=_HIP) * slo_b + jnp.einsum(
+                'bkm,bm->bk', oh, bu, precision=_HIP) * (1.0 - slo_b)
+            rhs = -(b_sel + jnp.einsum('bkn,bn->bk', Aw, Hinv_f,
+                                       precision=_HIP)) * used_b
+            lamK = jnp.linalg.solve(S, rhs[..., None])[..., 0] * used_b
+            x_kkt = lu_solve(
+                H_lu, -fb - jnp.einsum('bkn,bk->bn', Aw, lamK,
+                                       precision=_HIP))
+            # KKT verification (avi.c:187-221)
+            simm_b = jnp.moveaxis(s.simm, -1, 0)
+            dual_ok = jnp.all(
+                jnp.where(used_b * (1.0 - simm_b) > 0,
+                          jnp.where(slo_b > 0, lamK <= st.dual_tol,
+                                    lamK >= -st.dual_tol), True), axis=1)
+            r = jnp.einsum('bmn,bn->bm', Aall, x_kkt, precision=_HIP)
+            act_m = jnp.moveaxis(s.act_up + s.act_lo, -1, 0)[:, :m]
+            primal_ok = jnp.all(
+                jnp.where(act_m > 0, True,
+                          (r <= bu + st.primal_tol)
+                          & (r >= bl - st.primal_tol)), axis=1)
+            return x_kkt, lamK, lane_do & dual_ok & primal_ok
+
+        def cond(c):
+            (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
+             tot) = c
+            return (k < max_outer) & jnp.any(lane_run)
+
+        def body(c):
+            (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
+             tot) = c
+            Hx = jnp.einsum('bij,bj->bi', Hb, x, precision=_HIP)
+            xtemp = Hx + fb - jnp.einsum('bij,bj->bi', Hs_rho, x,
+                                         precision=_HIP)
+            v_b = jnp.einsum('bji,bj->bi', ldpd.Rinv, xtemp,
+                             precision=_HIP)
+            s = set_bounds(s, v_b)
+            s = s._replace(
+                status=jnp.where(lane_run[None, :], EXIT_RUNNING,
+                                 s.status).astype(jnp.int32),
+                iterations=jnp.zeros_like(s.iterations),
+                cycle=jnp.zeros_like(s.cycle),
+                repaired=jnp.zeros_like(s.repaired),
+                best_fval=jnp.zeros_like(s.best_fval) - 1.0,
+                pend=s.pend * (1.0 - lane_run[None, :]))
+            s = ps.slot_solve(s, st, n_true=n, steps=64,
+                              interpret=interpret, deadline=deadline)
+            tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
+            inner_flag = s.status[0]
+            inner_ok = inner_flag > 0
+            u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
+            y_inner = jnp.einsum('bij,bj->bi', ldpd.Rinv, u_b - v_b,
+                                 precision=_HIP)
+
+            # Newton-step progress bookkeeping (avi.c:44-61)
+            at_limit = ctr == tlim
+            res2 = jnp.sum((x - y_inner) ** 2, axis=1)
+            worse = at_limit & (res2 > minres)
+            x = jnp.where(worse[:, None], xold, x)
+            tlim = jnp.where(worse, jnp.minimum(tlim + 5, 30), tlim)
+            minres = jnp.where(at_limit & ~worse, res2, minres)
+            y = jnp.where((at_limit & worse)[:, None], y, y_inner)
+
+            stable = s.iterations[0] <= 1
+            ctr = jnp.where(stable & lane_run, ctr + 1, 0)
+            do_kkt = stable & (ctr == tlim) & lane_run & inner_ok
+
+            def with_kkt(args):
+                x, lamK, xold, flag = args
+                x_kkt, lam_new, opt = kkt_all(s, do_kkt)
+                xold2 = jnp.where(do_kkt[:, None], x, xold)
+                x2 = jnp.where(do_kkt[:, None], x_kkt, x)
+                lam2 = jnp.where(do_kkt[:, None], lam_new, lamK)
+                flag2 = jnp.where(opt & (flag == EXIT_RUNNING),
+                                  EXIT_OPTIMAL, flag)
+                return x2, lam2, xold2, flag2.astype(jnp.int32)
+
+            x, lamK, xold, flag = jax.lax.cond(
+                jnp.any(do_kkt), with_kkt, lambda a: a,
+                (x, lamK, xold, flag))
+
+            # DR outer update for non-KKT running lanes (avi.c:84-96)
+            xtemp2 = rho[:, None] * y + Hx + 0.5 * jnp.einsum(
+                'bij,bj->bi', Hsym, y - x, precision=_HIP)
+            x_dr = lu_solve(H_rho_lu, xtemp2)
+            move = lane_run & ~do_kkt & inner_ok
+            x = jnp.where(move[:, None], x_dr, x)
+
+            flag = jnp.where(lane_run & ~inner_ok, inner_flag, flag)
+            done = lane_run & ((flag != EXIT_RUNNING) | ~inner_ok)
+            return (k + 1, s, x, y, xold, lamK, minres, ctr, tlim,
+                    lane_run & ~done, flag.astype(jnp.int32), tot)
+
+        x0 = jnp.zeros((B, n), f32)
+        lane_run0 = (ldpd.error >= 0) & ~unc_ok
+        flag0 = jnp.where(ldpd.error < 0, ldpd.error,
+                          jnp.where(unc_ok, EXIT_OPTIMAL,
+                                    EXIT_RUNNING)).astype(jnp.int32)
+        K = s0.E.shape[0]
+        c0 = (jnp.zeros((), jnp.int32), s0, x0, x0,
+              jnp.zeros((B, n), f32), jnp.zeros((B, K), f32),
+              jnp.full((B,), DAQP_INF, f32), jnp.zeros((B,), jnp.int32),
+              jnp.full((B,), 5, jnp.int32), lane_run0, flag0,
+              jnp.zeros((B,), f32))
+        (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
+         tot) = lax.while_loop(cond, body, c0)
+        flag = jnp.where(lane_run, EXIT_ITERLIMIT, flag)
+        x = jnp.where(unc_ok[:, None], x_unc, x)
+
+        # scatter the KKT duals to constraint space
+        used_b = jnp.moveaxis(s.used, -1, 0)
+        sid_b = jnp.moveaxis(s.sid, -1, 0)
+        oh = (sid_b[:, :, None] == iota_m[None, None, :]).astype(f32) \
+            * used_b[:, :, None]
+        lam = jnp.einsum('bkm,bk->bm', oh, lamK, precision=_HIP)
+        fval = jnp.einsum('bi,bi->b', fb, x, precision=_HIP)
+        return BatchResult(
+            x=x, lam=lam, fval=fval, exitflag=flag.astype(jnp.int32),
+            iterations=jnp.maximum(tot, 1.0).astype(jnp.int32),
+            soft_slack=jnp.zeros((B,), f32))
+
+
 @functools.partial(jax.jit, static_argnames=("st", "ms", "break_points",
                                              "interpret"))
 def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,

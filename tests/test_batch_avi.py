@@ -1,0 +1,67 @@
+"""Batched AVI tier (batch.solve_batch_avi_pallas_jit): the DR splitting
+of daqp_solve_avi (avi.c:6-101) carried by one outer loop over the
+whole-batch slot-kernel state — differential vs the single-instance
+``daqp_tpu.avi`` on the reference AVI generator (utils.jl:91-115 port)."""
+import numpy as np
+import jax.numpy as jnp
+
+import daqp_tpu
+from daqp_tpu import batch as batch_mod
+from daqp_tpu.api import _as_settings
+from tests.gen import generate_test_avi
+
+
+def test_batch_avi_differential():
+    rng = np.random.default_rng(41)
+    B, n, m = 16, 8, 20
+    xs_ref, Hs, fs, As, bus, bls = [], [], [], [], [], []
+    for _ in range(B):
+        x, H, f, A, bu = generate_test_avi(n, m, rng)
+        xs_ref.append(x); Hs.append(H); fs.append(f)
+        As.append(A); bus.append(bu); bls.append(np.full(m, -1e30))
+    xs_ref = np.stack(xs_ref)
+    Hs = np.stack(Hs); fs = np.stack(fs); As = np.stack(As)
+    bus = np.stack(bus); bls = np.stack(bls)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1500}, jnp.float32)
+    res = batch_mod.solve_batch_avi_pallas_jit(
+        jnp.asarray(Hs, jnp.float32), jnp.asarray(fs, jnp.float32),
+        jnp.asarray(As, jnp.float32), jnp.asarray(bus, jnp.float32),
+        jnp.asarray(bls, jnp.float32), jnp.asarray(sense), st, ms=0,
+        interpret=True)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    ok = flags == 1
+    assert ok.mean() >= 0.9, np.unique(flags, return_counts=True)
+    err = np.abs(xs - xs_ref).max(axis=1)
+    assert err[ok].max() < 1e-3, err[ok].max()
+    # single-lane differential vs the f64 AVI path
+    for b in np.flatnonzero(ok)[::5]:
+        one = daqp_tpu.avi(Hs[b], fs[b], As[b], bus[b], bls[b], ms=0)
+        assert int(one.exitflag) == 1
+        assert np.abs(xs[b] - np.asarray(one.x)).max() < 1e-3, b
+
+
+def test_batch_avi_unconstrained_shortcut():
+    # lanes whose unconstrained AVI point is interior exit immediately
+    rng = np.random.default_rng(3)
+    B, n, m = 8, 5, 10
+    Q = rng.standard_normal((B, n, n))
+    Hs = np.einsum('bij,bkj->bik', Q, Q) + 2 * np.eye(n)
+    Hs = Hs + 0.1 * rng.standard_normal((B, n, n))   # asymmetric part
+    fs = 0.01 * rng.standard_normal((B, n))
+    As = rng.standard_normal((B, m, n))
+    bus = np.full((B, m), 50.0)
+    bls = np.full((B, m), -50.0)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings(None, jnp.float32)
+    res = batch_mod.solve_batch_avi_pallas_jit(
+        jnp.asarray(Hs, jnp.float32), jnp.asarray(fs, jnp.float32),
+        jnp.asarray(As, jnp.float32), jnp.asarray(bus, jnp.float32),
+        jnp.asarray(bls, jnp.float32), jnp.asarray(sense), st, ms=0,
+        interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert (flags == 1).all(), np.unique(flags)
+    # x solves H x = -f
+    r = np.einsum('bij,bj->bi', Hs, np.asarray(res.x)) + fs
+    assert np.abs(r).max() < 1e-3, np.abs(r).max()
