@@ -53,6 +53,9 @@ def _load():
     lib.daqp_tpu_solve_miqp.restype = ctypes.c_int
     lib.daqp_tpu_solve_miqp.argtypes = [ctypes.c_void_p, dp, dp, dp, ip,
                                         ip]
+    lib.daqp_tpu_solve_hiqp.restype = ctypes.c_int
+    lib.daqp_tpu_solve_hiqp.argtypes = [ctypes.c_void_p, ip, ctypes.c_int,
+                                        dp, dp, dp, ip]
     lib.daqp_tpu_update.restype = None
     lib.daqp_tpu_update.argtypes = [ctypes.c_void_p, dp, dp, dp]
     lib.daqp_tpu_set.restype = ctypes.c_int
@@ -127,6 +130,24 @@ class NativeModel:
             ctypes.byref(iters), ctypes.byref(nodes))
         return dict(x=x, lam=lam, fval=fval.value, exitflag=int(flag),
                     iterations=int(iters.value), nodes=int(nodes.value))
+
+    def solve_hiqp(self, break_points):
+        """Lexicographic hierarchical solve (hierarchical.c:5-108).
+
+        ``break_points[i]`` = one-past-the-end constraint index of level
+        i (ascending; last entry == m).  Exit 3 = degrees of freedom
+        exhausted before the last level."""
+        bp = np.ascontiguousarray(break_points, np.int32)
+        x = np.empty(self.n)
+        lam = np.empty(self.m)
+        fval = ctypes.c_double()
+        iters = ctypes.c_int()
+        flag = self._lib.daqp_tpu_solve_hiqp(
+            self._w, bp.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            int(bp.shape[0]), _dp(x), _dp(lam), ctypes.byref(fval),
+            ctypes.byref(iters))
+        return dict(x=x, lam=lam, fval=fval.value, exitflag=int(flag),
+                    iterations=int(iters.value))
 
     def update(self, f=None, bupper=None, blower=None):
         """v/d-only MPC re-update (UPDATE_v | UPDATE_d)."""

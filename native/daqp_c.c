@@ -777,6 +777,179 @@ int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
     return flag;
 }
 
+/* grow the working-set capacity (slots for E/Mw/WS/scratch).  Only
+ * valid with an empty working set (callers reset right after); needed
+ * by the hierarchical walk, which softens level rows at runtime so the
+ * setup-time K = n + ns + 1 bound (reference factorization.c:93-94
+ * allows n_active up to n + ns_active) can be exceeded. */
+static int grow_capacity(DAQPTpuWork *w, int K_new)
+{
+    double *E, *Mw, *lam, *lam_star, *sdir, *s1, *s2;
+    int *WS, *iscr;
+    if (K_new <= w->K) return 0;
+    E = (double *)calloc((size_t)K_new * K_new, sizeof(double));
+    Mw = (double *)malloc(sizeof(double) * (size_t)K_new * w->n);
+    lam = (double *)calloc(K_new, sizeof(double));
+    lam_star = (double *)calloc(K_new, sizeof(double));
+    sdir = (double *)calloc(K_new, sizeof(double));
+    s1 = (double *)calloc(K_new, sizeof(double));
+    s2 = (double *)calloc(K_new, sizeof(double));
+    WS = (int *)calloc(K_new, sizeof(int));
+    iscr = (int *)calloc(K_new, sizeof(int));
+    if (!E || !Mw || !lam || !lam_star || !sdir || !s1 || !s2 || !WS
+        || !iscr) {
+        free(E); free(Mw); free(lam); free(lam_star); free(sdir);
+        free(s1); free(s2); free(WS); free(iscr);
+        return -1;
+    }
+    free(w->E); free(w->Mw); free(w->lam); free(w->lam_star);
+    free(w->sdir); free(w->scr1); free(w->scr2); free(w->WS);
+    free(w->iscr);
+    w->E = E; w->Mw = Mw; w->lam = lam; w->lam_star = lam_star;
+    w->sdir = sdir; w->scr1 = s1; w->scr2 = s2; w->WS = WS;
+    w->iscr = iscr; w->K = K_new;
+    return 0;
+}
+
+/* post-hardening reactivation with dependent-entry drops
+ * (hierarchical.c:72-95).  The reference reuses its LDL prefix; the
+ * explicit inverse has no valid sub-prefix, so the whole set is rebuilt
+ * — identical math, drops counted from the first in-level entry on. */
+static void hiqp_reactivate(DAQPTpuWork *w, int start, int *nfree)
+{
+    int i, j, j0, k = w->n_active;
+    int n_old = (k < w->n) ? k : w->n;
+    int *ids = w->iscr;
+    double *lams = w->scr2;
+    /* drop the overdetermined tail entirely (hierarchical.c:77-80) */
+    for (j = n_old; j < k; j++)
+        w->sense[w->WS[j]] &= ~(DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE);
+    for (j0 = 0; j0 < n_old && w->WS[j0] < start; j0++);
+    for (i = 0; i < n_old; i++) {
+        ids[i] = w->WS[i];
+        lams[i] = w->lam_star[i];
+        w->sense[w->WS[i]] &= ~DAQP_TPU_ACTIVE;
+    }
+    w->n_active = 0; w->ns_active = 0; w->sing_flag = 0;
+    memset(w->E, 0, sizeof(double) * (size_t)w->K * w->K);
+    for (i = 0; i < n_old; i++) {
+        add_constraint(w, ids[i], lams[i]);
+        if (w->sing_flag) {            /* dependent: drop, make mutable */
+            w->n_active--;
+            w->ns_active -=
+                (w->sense[ids[i]] & DAQP_TPU_SOFT) != 0;
+            w->sense[ids[i]] &= ~(DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE);
+            w->sing_flag = 0;
+        } else if (i >= j0 && (w->sense[ids[i]] & DAQP_TPU_IMMUTABLE)) {
+            (*nfree)--;                /* DOF spent (hierarchical.c:94) */
+        }
+    }
+}
+
+int daqp_tpu_solve_hiqp(DAQPTpuWork *w, const int *break_points, int nh,
+                        double *x, double *lam_out, double *fval,
+                        int *iters)
+{
+    /* lexicographic level walk (daqp_hiqp, hierarchical.c:5-108) */
+    int i, j, start, end, total = 0, flag = DAQP_TPU_OPTIMAL;
+    int nfree = w->n;
+    double *xold;
+    if (w->err0) { if (iters) *iters = 0; return w->err0; }
+    if (nh < 2) return daqp_tpu_solve(w, x, lam_out, fval, iters);
+    if (w->time_limit > 0.0) w->deadline = now_sec() + w->time_limit;
+    if (lam_out) for (i = 0; i < w->m; i++) lam_out[i] = 0.0;
+    xold = (double *)malloc(sizeof(double) * w->n);
+    if (!xold) return DAQP_TPU_NONCONVEX;
+    {   /* capacity for the widest level's simultaneous soft rows */
+        int wmax = 0;
+        for (i = 1; i < nh; i++)
+            if (break_points[i] - break_points[i - 1] > wmax)
+                wmax = break_points[i] - break_points[i - 1];
+        if (grow_capacity(w, w->n + wmax + 1) != 0) {
+            free(xold);
+            return DAQP_TPU_NONCONVEX;
+        }
+    }
+    /* full restart from the setup state: reset_ws alone would strip the
+     * auto-equality ACTIVE marks the level walk relies on, and the
+     * freeze step perturbs d so a re-solve must restore it */
+    w->n_active = 0; w->ns_active = 0; w->sing_flag = 0;
+    memset(w->E, 0, sizeof(double) * (size_t)w->K * w->K);
+    memcpy(w->sense, w->sense0, sizeof(int) * w->m);
+    memcpy(w->du, w->du0, sizeof(double) * w->m);
+    memcpy(w->dl, w->dl0, sizeof(double) * w->m);
+    start = break_points[0];
+    flag = activate_warm(w, 0, start);
+    if (flag < 0) { free(xold); if (iters) *iters = 0; return flag; }
+    flag = DAQP_TPU_OPTIMAL;
+    for (i = 1; i < nh; i++) {
+        int it2 = 0, fl;
+        end = break_points[i];
+        for (j = start; j < end; j++) {
+            w->sense[j] |= DAQP_TPU_SOFT;
+            if ((w->sense[j] & DAQP_TPU_ACTIVE) && !in_ws(w, j)) {
+                w->sense[j] &= ~DAQP_TPU_ACTIVE;
+                add_constraint(w, j,
+                               (w->sense[j] & DAQP_TPU_LOWER) ? -1.0
+                                                              : 1.0);
+                if (w->sing_flag) {
+                    free(xold);
+                    return DAQP_TPU_OVERDETERMINED;
+                }
+            }
+        }
+        w->m_price = end;             /* truncate pricing to the level
+                                       * (reference sets work->m,
+                                       * hierarchical.c:24) */
+        memcpy(xold, w->u, sizeof(double) * w->n);
+        fl = solve_inner(w, &it2, DINF);
+        total += it2;
+        if (fl < 0) {                  /* restore pre-level point and
+                                        * report 3 (no DOF left) */
+            memcpy(w->u, xold, sizeof(double) * w->n);
+            flag = 3;
+            break;
+        }
+        if (total >= w->iter_limit) { flag = DAQP_TPU_ITERLIMIT; break; }
+        /* freeze the level's optimal soft violations into d
+         * (hierarchical.c:51-65) */
+        for (j = 0; j < w->n_active; j++) {
+            int id = w->WS[j];
+            if (w->sense[id] & DAQP_TPU_SOFT) {
+                double wv = w->lam_star[j] * w->rho_soft;
+                if (wv < -w->ptol) w->dl[id] += wv;
+                else if (wv > w->ptol) w->du[id] += wv;
+                if (lam_out)
+                    lam_out[id] = wv + ((w->sense[id] & DAQP_TPU_LOWER)
+                                        ? -1e-14 : 1e-14);
+            }
+        }
+        for (j = start; j < end; j++) w->sense[j] &= ~DAQP_TPU_SOFT;
+        if (i == nh - 1) break;
+        hiqp_reactivate(w, start, &nfree);
+        if (nfree <= 0) break;         /* no degrees of freedom left */
+        start = end;
+    }
+    w->m_price = w->m;
+    if (iters) *iters = total;
+    if (flag > 0 && flag != 3) {
+        /* u already holds the last solved level's optimum; lam_star is
+         * stale after hiqp_reactivate so never recompute u from it */
+        extract_sol(w, x, NULL, fval);
+    } else if (flag == 3 && x) {
+        int jj;
+        for (jj = 0; jj < w->n; jj++) {
+            double s2 = 0.0;
+            int ii;
+            for (ii = 0; ii < w->n; ii++)
+                s2 += w->Rinv[jj * w->n + ii] * (w->u[ii] - w->v[ii]);
+            x[jj] = s2;
+        }
+    }
+    free(xold);
+    return flag;
+}
+
 int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
                         double *fval, int *iters, int *nodes)
 {

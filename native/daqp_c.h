@@ -63,6 +63,17 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
 int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
                    int *iters);
 
+/* Hierarchical least-squares QP (lexicographic level walk,
+ * hierarchical.c:5-108): break_points[i] = one-past-the-end constraint
+ * index of level i (ascending, break_points[nh-1] == m).  Levels are
+ * softened, solved, frozen into d at their optimal violation, then
+ * hardened (IMMUTABLE) with dependent rows dropped; stops early when
+ * the n degrees of freedom are exhausted.  Exit 3 = ran out of DOF
+ * before the last level (x holds the last fully-solved level's point).
+ * lam holds the frozen per-level soft weights (rho_soft * lam_level). */
+int daqp_tpu_solve_hiqp(DAQPTpuWork *w, const int *break_points, int nh,
+                        double *x, double *lam, double *fval, int *iters);
+
 /* Branch-and-bound over the BINARY-flagged rows (bnb.c semantics: DFS,
  * midpoint branching, nearest endpoint first, incumbent dominance bound,
  * rel/abs suboptimality folding via settings). */

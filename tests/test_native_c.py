@@ -201,3 +201,55 @@ def test_native_miqp_time_limit():
                       settings={"time_limit": 1e-9})
     out = mdl.solve_miqp()
     assert out['exitflag'] == -7, out['exitflag']
+
+
+@requires_cc
+def test_native_hiqp_basic():
+    # mirror of test_hierarchical_basic (core_tests.jl:294-302): 3 bound
+    # rows hard, then 3 one-row priority levels; identity metric makes
+    # the C QP setup equivalent to the Python H=None hiqp path
+    A = np.array([[1.0, 1, 1], [1, -1, 0], [3, 1, -1]])
+    bu = np.concatenate([np.ones(3), [1, 0.5, 20]])
+    bl = np.concatenate([-np.ones(3), [-1e30, 0.5, 10]])
+    mdl = NativeModel(np.eye(3), np.zeros(3), A, bu, bl, ms=3)
+    out = mdl.solve_hiqp([3, 4, 5, 6])
+    assert out['exitflag'] > 0, out['exitflag']
+    xref = np.array([1.0, 0.5, -1.0])
+    assert np.linalg.norm(out['x'] - xref) < 1e-4, out['x']
+
+
+@requires_cc
+def test_native_hiqp_conflicting_equalities():
+    # two inconsistent equalities resolved in the least-squares sense
+    # (x1 = 4 vs x1 = 8 -> x1 = 6) and the frozen slack duals ~(+2, -2)
+    A = np.array([[1.0, 0], [1, 0], [0, 1]])
+    b = np.array([4.0, 8.0, 1.0])
+    mdl = NativeModel(np.eye(2), np.zeros(2), A, b, b, ms=0)
+    out = mdl.solve_hiqp([0, 2, 3])
+    assert out['exitflag'] > 0, out['exitflag']
+    assert np.linalg.norm(out['x'] - np.array([6.0, 1.0])) < 1e-4, out['x']
+    assert abs(out['lam'][0] - 2.0) < 1e-3, out['lam']
+    assert abs(out['lam'][1] + 2.0) < 1e-3, out['lam']
+
+
+@requires_cc
+def test_native_hiqp_differential():
+    # random multi-level hierarchies vs the f64 NumPy oracle (the JAX
+    # path runs f32 on chip, so the oracle is the precision-matched
+    # differential target)
+    from oracle import hiqp_numpy
+    rng = np.random.default_rng(29)
+    for trial in range(4):
+        n, m = 6, 12
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        bp = (0, 4, 8, 12)
+        ref = hiqp_numpy.hiqp(None, None, A, b.copy(), b.copy(), ms=0,
+                              break_points=bp)
+        mdl = NativeModel(np.eye(n), np.zeros(n), A, b, b, ms=0)
+        out = mdl.solve_hiqp(bp)
+        assert out['exitflag'] > 0 and ref['exitflag'] > 0, \
+            (trial, out['exitflag'], ref['exitflag'])
+        scale = 1.0 + np.linalg.norm(ref['x'])
+        assert np.linalg.norm(out['x'] - ref['x']) < 1e-4 * scale, \
+            (trial, out['x'], ref['x'])
