@@ -29,22 +29,47 @@ bool scatters (``used | ((arange(K) == slot) & ok)``), see
 ldp_flat.py.  This fully fixes the small-problem class (n=10/m=24 flat
 solves are now correct at any batch size in one program).
 
-SECOND, STILL-OPEN manifestation (n=50/m=100, K=51): inside a fused
-fori_loop of flat_step at B=1024, the inverse-Gram invariant
-||G E - I|| on used slots drifts to O(1) within ~48 iterations (median
-residual exactly 1.0 — an E row of a used slot zeroed), while the SAME
-program chunked at 512 lanes stays at 3e-6.  Isolation so far: every
-sub-op is clean standalone (single flat_step application: bitwise-equal
-up to benign reduction-order noise; batched cholesky/matvec: clean);
-converting the scatters/outer-masks to f32 arithmetic and carrying
-``used`` as int32 produced BITWISE-IDENTICAL corruption, so the
-mis-lowered op is in the fused loop body and not yet pinned.  The
-production 512 lane chunk in batch.py covers it (kept also for
-lockstep-waste reasons).
+SECOND manifestation (n=50/m=100, K=51) — CHARACTERIZED (round 4, 2026-08-19
+toolchain).  Inside repeated flat_step application at B >= 1024, the
+inverse-Gram invariant ||G E - I|| on used slots drifts to O(1) (median
+residual exactly 1.0 — an E row of a used slot zeroed).  Measured facts:
 
-Re-run this script on every toolchain bump; once it prints CLEAN
-everywhere, re-run the n=50 invariant check below before lifting the
-chunk cap.
+    batch per program   1016-  1024  1025  1032  1152  1536  2048
+    invariant           3e-6   REPRO REPRO REPRO REPRO REPRO REPRO
+
+  * The trigger is PURELY the vmapped batch size crossing 1024 — the
+    same threshold as the bool-scatter manifestation above.  B = 1016
+    is bitwise-healthy; B = 1024 corrupts ~85% of lanes by 48 steps.
+  * NOT the loop primitive: fori_loop, while_loop (production
+    flat_solve) and a fully UNROLLED 32-step composition corrupt
+    identically (164 identical lanes at 32 steps).  An
+    optimization_barrier on the carry every step changes nothing.
+  * NOT the slot capacity: K = 51 / 56 / 64 corrupt the same 865 lanes.
+  * Onset is between 24 and 32 step applications (24: clean, 32: 164
+    lanes, 48: 865 of 1024).
+  * Failure mode at CONVERGENCE is loud, not silent: running the full
+    production solve at lane_chunk=1024, 1022/1024 lanes exit -1
+    (infeasible) on feasible problems; the handful that exit optimal
+    are KKT-correct to f64, and no lane produced a clean-flag wrong x
+    across 2048 lanes / 2 seeds.  (Round 3 feared a silent-wrong-answer
+    class; the observed class is wrong-flag.)
+  * Chunked at ANY size <= 1016 per program, all 1024 lanes solve
+    correctly (KKT stationarity ~1e-7, violation ~1e-5) and chunk
+    results are identical to 3e-7 across chunkings.
+
+CAUTION for future bisection: bitwise full-vs-chunked comparison of
+SYNTHETIC iterated kernels is a false-positive trap.  A chaotic
+rank-one-update toy "reproduced" K-dependent bands ([51,56] and
+[81,104] repro, 48/49/50/57..80/105+ clean) that were really legal f32
+reassociation differences between the B=1024 and B=512 compilations
+amplified by the iteration (values at 1e13 scale, relative diff 1e-6).
+Only a semantic invariant (||G E - I||, exit-flag/KKT quality) is a
+valid repro signal for iterated solvers.
+
+The production 512-lane chunk in batch.py is therefore LOAD-BEARING
+and proven sound (512 also divides every production batch and reduces
+lockstep waste).  Re-run this script on every toolchain bump; once it
+prints CLEAN everywhere (incl. --invariant), the cap can be lifted.
 
 Usage: python scripts/repro_v5e_bool_scatter.py   (needs the TPU; prints
 one line per case, exits 1 if any REPRO is found).
@@ -121,6 +146,8 @@ def fused_loop_invariant_check():
     from tests.gen import generate_test_qp_batch
 
     B, n, m = 1024, 50, 100
+    # B=1016 is the control: the threshold is exactly 1024 (see module
+    # docstring); a toolchain where BOTH are clean can lift the cap.
     d = generate_test_qp_batch(B, n, m, 0, 40, 1e2, rng=3,
                                dtype=np.float32)
     st = _as_settings({"iter_limit": 1000}, jnp.float32)
@@ -134,32 +161,43 @@ def fused_loop_invariant_check():
     ldpd = jax.jit(build)(*args)
     ldpd = jtu.tree_map(lambda a: jnp.asarray(np.asarray(a)), ldpd)
 
-    def steps48(ldpd):
-        def one(M, du, dl, se, sc):
-            s = ldp_flat.flat_init(M, du, dl, se, sc, K=n + 1)
+    def steps48(M, du, dl, se, sc):
+        def one(M1, du1, dl1, se1, sc1):
+            s = ldp_flat.flat_init(M1, du1, dl1, se1, sc1, K=n + 1)
             return lax.fori_loop(
                 0, 48, lambda _, q: ldp_flat.flat_step(q, st), s)
         with jax.default_matmul_precision('highest'):
-            return jax.vmap(one)(ldpd.M, ldpd.dupper, ldpd.dlower,
-                                 ldpd.sense, ldpd.scaling)
+            return jax.vmap(one)(M, du, dl, se, sc)
 
-    s1 = jax.jit(steps48)(ldpd)
-    E = np.asarray(s1.E, np.float64)
-    Mw = np.asarray(s1.Mw, np.float64)
-    used = np.asarray(s1.used)
-    res = np.zeros(B)
-    for b in range(B):
-        k = used[b]
-        if k.sum():
-            G = Mw[b][k] @ Mw[b][k].T
-            res[b] = np.abs(G @ E[b][np.ix_(k, k)]
-                            - np.eye(k.sum())).max()
-    bad = int(np.sum(res > 0.1))
-    print(f"fused-loop invariant @B=1024: residual p50 "
-          f"{np.percentile(res, 50):.2e} max {res.max():.2e}; "
-          f"{bad} lanes > 0.1 "
-          f"({'REPRO' if bad else 'CLEAN — chunk cap can be lifted'})")
-    return bad > 0
+    def residuals(s1, Bv):
+        E = np.asarray(s1.E, np.float64)
+        Mw = np.asarray(s1.Mw, np.float64)
+        used = np.asarray(s1.used)
+        res = np.zeros(Bv)
+        for b in range(Bv):
+            k = used[b]
+            if k.sum():
+                G = Mw[b][k] @ Mw[b][k].T
+                res[b] = np.abs(G @ E[b][np.ix_(k, k)]
+                                - np.eye(k.sum())).max()
+        return res
+
+    f = jax.jit(steps48)
+    any_repro = False
+    for Bv in (1016, 1024):
+        s1 = f(ldpd.M[:Bv], ldpd.dupper[:Bv], ldpd.dlower[:Bv],
+               ldpd.sense[:Bv], ldpd.scaling[:Bv])
+        res = residuals(s1, Bv)
+        bad = int(np.sum(res > 0.1))
+        expect = "control, expect clean" if Bv == 1016 else "threshold"
+        print(f"fused-loop invariant @B={Bv} ({expect}): residual p50 "
+              f"{np.percentile(res, 50):.2e} max {res.max():.2e}; "
+              f"{bad} lanes > 0.1 "
+              f"({'REPRO' if bad else 'clean'})")
+        any_repro |= bad > 0
+    if not any_repro:
+        print("both clean — chunk cap can be lifted")
+    return any_repro
 
 
 if __name__ == "__main__":
