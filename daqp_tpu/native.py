@@ -48,6 +48,10 @@ def _load():
     lib.daqp_tpu_setup.restype = ctypes.c_void_p
     lib.daqp_tpu_setup.argtypes = [ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int, dp, dp, dp, dp, dp, ip]
+    lib.daqp_tpu_setup_avi.restype = ctypes.c_void_p
+    lib.daqp_tpu_setup_avi.argtypes = [ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, dp, dp, dp, dp, dp,
+                                       ip]
     lib.daqp_tpu_solve.restype = ctypes.c_int
     lib.daqp_tpu_solve.argtypes = [ctypes.c_void_p, dp, dp, dp, ip]
     lib.daqp_tpu_solve_miqp.restype = ctypes.c_int
@@ -81,10 +85,13 @@ class NativeModel:
     """
 
     def __init__(self, H, f, A, bupper, blower, sense=None, ms: int = 0,
-                 settings: Optional[dict] = None):
+                 settings: Optional[dict] = None, avi: bool = False):
         """``H=None`` selects LP mode (min f'x): the C library runs the
         adaptive-eps proximal LP regime (api.c:175-177 +
-        daqp_prox.c:21-271); an unbounded LP returns exitflag -3."""
+        daqp_prox.c:21-271); an unbounded LP returns exitflag -3.
+        ``avi=True`` selects the affine-variational-inequality mode
+        (daqp_tpu_setup_avi; H may be asymmetric, solve() dispatches to
+        the DR-splitting outer loop as in reference api.c:73-77)."""
         lib = _load()
         f = np.ascontiguousarray(f, np.float64)
         A = np.ascontiguousarray(np.atleast_2d(A), np.float64)
@@ -98,7 +105,13 @@ class NativeModel:
         self.n, self.m = n, m
         nul = ctypes.POINTER(ctypes.c_double)()
         Hh = None if H is None else np.ascontiguousarray(H, np.float64)
-        self._w = lib.daqp_tpu_setup(
+        if avi:
+            if Hh is None:
+                raise ValueError("AVI mode requires H")
+            setup = lib.daqp_tpu_setup_avi
+        else:
+            setup = lib.daqp_tpu_setup
+        self._w = setup(
             n, m, ms, nul if Hh is None else _dp(Hh), _dp(f), _dp(A),
             _dp(bu), _dp(bl),
             se.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))

@@ -53,12 +53,69 @@ struct DAQPTpuWork {
     double *bu_user, *bl_user;  /* m: raw bounds for d re-forms */
     double *x_lp;             /* n: outer iterate */
     double lp_eps;            /* eps at exit (dual rescale) */
+    /* AVI mode (daqp_tpu_setup_avi): DR splitting over the projection
+     * LDP in the sym(H)+rho*I metric, exact-KKT acceleration on the
+     * ORIGINAL asymmetric H (avi.c:6-221, utils.c:600-636) */
+    int avi_mode;
+    double avi_rho;
+    double *avi_H;            /* n x n original (possibly asymmetric) */
+    double *avi_Hsym;         /* n x n sym(H) */
+    double *avi_A;            /* (m-ms) x n original rows */
+    double *avi_LUH;          /* n x n LU of H */
+    double *avi_LUHr;         /* n x n LU of H + rho I */
+    int *avi_piv, *avi_pivr;  /* n pivots */
+    double *avi_x, *avi_y, *avi_yold, *avi_xt, *avi_t1, *avi_t2; /* n */
+    double *avi_kkt;          /* K*K + K Schur buffer (S | rhs) */
+    int *avi_kpiv;            /* K */
     /* settings (reference defaults, constants.h / types.py) */
     double ptol, dtol, ztol, pivtol, progtol, singtol, rftol, rho_soft;
     double fval_bound, rel_subopt, abs_subopt, eps_prox, eta_prox;
     double time_limit, deadline;
     int cyc_tol, iter_limit;
 };
+
+/* dense LU with partial pivoting, row-major in place; 0 ok, 1 singular */
+static int lu_fact(int n, double *Am, int *piv)
+{
+    int i, j, k;
+    for (k = 0; k < n; k++) {
+        int p = k;
+        double mx = fabs(Am[k * n + k]);
+        for (i = k + 1; i < n; i++)
+            if (fabs(Am[i * n + k]) > mx) { mx = fabs(Am[i * n + k]); p = i; }
+        piv[k] = p;
+        if (mx == 0.0) return 1;
+        if (p != k)
+            for (j = 0; j < n; j++) {
+                double t = Am[k * n + j];
+                Am[k * n + j] = Am[p * n + j];
+                Am[p * n + j] = t;
+            }
+        for (i = k + 1; i < n; i++) {
+            double l = Am[i * n + k] / Am[k * n + k];
+            Am[i * n + k] = l;
+            for (j = k + 1; j < n; j++) Am[i * n + j] -= l * Am[k * n + j];
+        }
+    }
+    return 0;
+}
+
+static void lu_solve(int n, const double *LU, const int *piv,
+                     const double *b, double *x)
+{
+    int i, j;
+    for (i = 0; i < n; i++) x[i] = b[i];
+    for (i = 0; i < n; i++) {
+        if (piv[i] != i) {
+            double t = x[i]; x[i] = x[piv[i]]; x[piv[i]] = t;
+        }
+        for (j = 0; j < i; j++) x[i] -= LU[i * n + j] * x[j];
+    }
+    for (i = n - 1; i >= 0; i--) {
+        for (j = i + 1; j < n; j++) x[i] -= LU[i * n + j] * x[j];
+        x[i] /= LU[i * n + i];
+    }
+}
 
 /* ---------- setup: factorization + transform (utils.c:14-297) ---------- */
 
@@ -243,6 +300,83 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     return w;
 }
 
+DAQPTpuWork *daqp_tpu_setup_avi(int n, int m, int ms,
+                                const double *H, const double *f,
+                                const double *A, const double *bupper,
+                                const double *blower, const int *sense)
+{
+    /* AVI setup (daqp_update_avi, utils.c:600-638): the inner projection
+     * LDP lives in the Hs_rho = sym(H) + rho*I metric (PD by
+     * construction), so the common QP setup does the transform; the
+     * original asymmetric H, its LU, and LU(H + rho I) are kept for the
+     * DR outer update and the exact KKT acceleration. */
+    int i, j, K;
+    double min_diag = DINF, max_row_sum = 0.0, fro2 = 0.0, rho;
+    double *Hsym, *Hs_rho;
+    DAQPTpuWork *w;
+    Hsym = (double *)malloc(sizeof(double) * (size_t)n * n);
+    Hs_rho = (double *)malloc(sizeof(double) * (size_t)n * n);
+    if (!Hsym || !Hs_rho) { free(Hsym); free(Hs_rho); return NULL; }
+    for (i = 0; i < n; i++) {
+        double row_sum = 0.0;
+        for (j = 0; j < n; j++) {
+            double val = 0.5 * (H[i * n + j] + H[j * n + i]);
+            Hsym[i * n + j] = val;
+            row_sum += fabs(val);
+            fro2 += H[i * n + j] * H[i * n + j];
+            if (i == j && val < min_diag) min_diag = val;
+        }
+        if (row_sum > max_row_sum) max_row_sum = row_sum;
+    }
+    rho = (min_diag > 0.0 && max_row_sum > 0.0)
+        ? sqrt(min_diag * max_row_sum) : sqrt(fro2) / 2.0;
+    memcpy(Hs_rho, Hsym, sizeof(double) * (size_t)n * n);
+    for (i = 0; i < n; i++) Hs_rho[i * n + i] += rho;
+
+    w = daqp_tpu_setup(n, m, ms, Hs_rho, NULL, A, bupper, blower, sense);
+    free(Hs_rho);
+    if (!w) { free(Hsym); return NULL; }
+    /* raw f for the outer loop / KKT (setup ran with f = NULL) */
+    if (f) memcpy(w->f_user, f, sizeof(double) * n);
+    K = w->K;
+    w->avi_mode = 1;
+    w->avi_rho = rho;
+    w->avi_Hsym = Hsym;
+    w->avi_H = (double *)malloc(sizeof(double) * (size_t)n * n);
+    w->avi_A = (double *)malloc(sizeof(double)
+                                * (size_t)(m - ms > 0 ? m - ms : 1) * n);
+    w->avi_LUH = (double *)malloc(sizeof(double) * (size_t)n * n);
+    w->avi_LUHr = (double *)malloc(sizeof(double) * (size_t)n * n);
+    w->avi_piv = (int *)malloc(sizeof(int) * n);
+    w->avi_pivr = (int *)malloc(sizeof(int) * n);
+    w->avi_x = (double *)calloc(n, sizeof(double));
+    w->avi_y = (double *)calloc(n, sizeof(double));
+    w->avi_yold = (double *)calloc(n, sizeof(double));
+    w->avi_xt = (double *)calloc(n, sizeof(double));
+    w->avi_t1 = (double *)calloc(n, sizeof(double));
+    w->avi_t2 = (double *)calloc(n, sizeof(double));
+    w->avi_kkt = (double *)malloc(sizeof(double) * ((size_t)K * K + K));
+    w->avi_kpiv = (int *)malloc(sizeof(int) * K);
+    if (!w->avi_H || !w->avi_A || !w->avi_LUH || !w->avi_LUHr
+        || !w->avi_piv || !w->avi_pivr || !w->avi_x || !w->avi_y
+        || !w->avi_yold || !w->avi_xt || !w->avi_t1 || !w->avi_t2
+        || !w->avi_kkt || !w->avi_kpiv) {
+        daqp_tpu_free(w);
+        return NULL;
+    }
+    memcpy(w->avi_H, H, sizeof(double) * (size_t)n * n);
+    if (m > ms)
+        memcpy(w->avi_A, A, sizeof(double) * (size_t)(m - ms) * n);
+    memcpy(w->avi_LUH, H, sizeof(double) * (size_t)n * n);
+    if (lu_fact(n, w->avi_LUH, w->avi_piv))
+        w->err0 = DAQP_TPU_NONCONVEX;   /* singular H: no KKT/DR inverse */
+    memcpy(w->avi_LUHr, H, sizeof(double) * (size_t)n * n);
+    for (i = 0; i < n; i++) w->avi_LUHr[i * n + i] += rho;
+    if (lu_fact(n, w->avi_LUHr, w->avi_pivr))
+        w->err0 = DAQP_TPU_NONCONVEX;
+    return w;
+}
+
 void daqp_tpu_update(DAQPTpuWork *w, const double *f,
                      const double *bupper, const double *blower)
 {
@@ -297,6 +431,11 @@ void daqp_tpu_free(DAQPTpuWork *w)
     free(w->E); free(w->Mw); free(w->lam); free(w->lam_star);
     free(w->WS); free(w->u); free(w->sdir);
     free(w->scr1); free(w->scr2); free(w->iscr);
+    free(w->avi_H); free(w->avi_Hsym); free(w->avi_A);
+    free(w->avi_LUH); free(w->avi_LUHr);
+    free(w->avi_piv); free(w->avi_pivr);
+    free(w->avi_x); free(w->avi_y); free(w->avi_yold); free(w->avi_xt);
+    free(w->avi_t1); free(w->avi_t2); free(w->avi_kkt); free(w->avi_kpiv);
     free(w);
 }
 
@@ -761,12 +900,272 @@ static int solve_lp(DAQPTpuWork *w, double *x_out, double *lam_out,
     return flag;
 }
 
+/* exact KKT/Schur solve on the ORIGINAL asymmetric H for the current
+ * working set (daqp_solve_avi_kkt, avi.c:103-184): S = A_W H^{-1} A_W',
+ * rhs = -(b_W + A_W H^{-1} f), soft rows regularize diag(S); duals land
+ * in lam_star (original constraint space, unscaled), x in avi_x.
+ * Returns 0 ok, 1 singular Schur system (treated as not-yet-optimal). */
+static int avi_kkt_solve(DAQPTpuWork *w)
+{
+    int i, j, l, n = w->n, nAS = w->n_active;
+    double *S = w->avi_kkt, *rhs = w->avi_kkt + (size_t)nAS * nAS;
+    double *Hinv_f = w->avi_t1, *temp = w->avi_t2, *e = w->avi_xt;
+    if (nAS == 0) {
+        for (i = 0; i < n; i++) e[i] = -w->f_user[i];
+        lu_solve(n, w->avi_LUH, w->avi_piv, e, w->avi_x);
+        return 0;
+    }
+    for (i = 0; i < nAS; i++) {
+        int row = w->WS[i];
+        const double *ar;
+        if (row < w->ms) {              /* simple bound: unit row */
+            for (j = 0; j < n; j++) e[j] = 0.0;
+            e[row] = 1.0;
+            ar = e;
+        } else {
+            ar = &w->avi_A[(size_t)(row - w->ms) * n];
+        }
+        lu_solve(n, w->avi_LUH, w->avi_piv, ar, temp);
+        for (j = 0; j < nAS; j++) {
+            int rj = w->WS[j];
+            double s;
+            if (rj < w->ms) {
+                s = temp[rj];
+            } else {
+                s = 0.0;
+                for (l = 0; l < n; l++)
+                    s += w->avi_A[(size_t)(rj - w->ms) * n + l] * temp[l];
+            }
+            S[j * nAS + i] = s;
+        }
+    }
+    lu_solve(n, w->avi_LUH, w->avi_piv, w->f_user, Hinv_f);
+    for (i = 0; i < nAS; i++) {
+        int row = w->WS[i];
+        double s = (w->sense[row] & DAQP_TPU_LOWER)
+            ? w->bl_user[row] : w->bu_user[row];
+        if (row < w->ms) {
+            s += Hinv_f[row];
+        } else {
+            for (l = 0; l < n; l++)
+                s += w->avi_A[(size_t)(row - w->ms) * n + l] * Hinv_f[l];
+        }
+        rhs[i] = -s;
+        if (w->sense[row] & DAQP_TPU_SOFT)
+            S[i * (nAS + 1)] += w->rho_soft
+                / (w->scaling[row] * w->scaling[row]);
+    }
+    if (lu_fact(nAS, S, w->avi_kpiv)) return 1;
+    lu_solve(nAS, S, w->avi_kpiv, rhs, w->lam_star);
+    /* x = H^{-1}(-f - A_W' lam) */
+    for (i = 0; i < n; i++) temp[i] = -w->f_user[i];
+    for (j = 0; j < nAS; j++) {
+        int row = w->WS[j];
+        double lj = w->lam_star[j];
+        if (row < w->ms) {
+            temp[row] -= lj;
+        } else {
+            for (l = 0; l < n; l++)
+                temp[l] -= w->avi_A[(size_t)(row - w->ms) * n + l] * lj;
+        }
+    }
+    lu_solve(n, w->avi_LUH, w->avi_piv, temp, w->avi_x);
+    return 0;
+}
+
+/* KKT verification of the candidate (daqp_check_optimal_avi,
+ * avi.c:187-221): dual signs on the working set, raw primal feasibility
+ * of the inactive rows at avi_x. */
+static int avi_check_optimal(DAQPTpuWork *w)
+{
+    int i, j, n = w->n;
+    for (i = 0; i < w->n_active; i++) {
+        int row = w->WS[i];
+        if (w->sense[row] & DAQP_TPU_IMMUTABLE) continue;
+        if (w->sense[row] & DAQP_TPU_LOWER) {
+            if (w->lam_star[i] > w->dtol) return 0;
+        } else if (w->lam_star[i] < -w->dtol) {
+            return 0;
+        }
+    }
+    for (i = 0; i < w->m; i++) {
+        double ax;
+        if (w->sense[i] & DAQP_TPU_ACTIVE) continue;
+        if (i < w->ms) {
+            ax = w->avi_x[i];
+        } else {
+            ax = 0.0;
+            for (j = 0; j < n; j++)
+                ax += w->avi_A[(size_t)(i - w->ms) * n + j] * w->avi_x[j];
+        }
+        if (ax > w->bu_user[i] + w->ptol) return 0;
+        if (ax < w->bl_user[i] - w->ptol) return 0;
+    }
+    return 1;
+}
+
+/* AVI outer loop (daqp_solve_avi, avi.c:6-101): DR splitting over the
+ * warm inner LDP in the Hs_rho metric; a terminate_limit-stable inner
+ * active set triggers the exact KKT try; a Newton step that grows the
+ * natural residual ||x - y_inner||^2 is reverted and the limit extended
+ * (+5, cap 30).  avi_x persists across calls (warm outer iterate). */
+static int solve_avi(DAQPTpuWork *w, double *x_out, double *lam_out,
+                     double *fval, int *iters)
+{
+    int i, j, k, n = w->n, m = w->m;
+    int tot = 0, counter = 0, terminate_limit = 5;
+    int flag = DAQP_TPU_ITERLIMIT, unc_ok = 1;
+    double min_res = DINF;
+    double *x = w->avi_x, *y = w->avi_y, *xold = w->avi_yold;
+    double *xtemp = w->avi_xt, *Hx = w->avi_t1, *yin = w->avi_t2;
+
+    flag = activate_warm(w, 0, m);
+    if (flag < 0) { if (iters) *iters = 0; return flag; }
+    flag = DAQP_TPU_ITERLIMIT;
+
+    /* unconstrained shortcut (utils.c:54-55, :547-551) */
+    for (i = 0; i < m && unc_ok; i++)
+        if (w->sense[i] & (DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE))
+            unc_ok = 0;
+    if (unc_ok) {
+        for (i = 0; i < n; i++) xtemp[i] = -w->f_user[i];
+        lu_solve(n, w->avi_LUH, w->avi_piv, xtemp, yin);
+        for (i = 0; i < m && unc_ok; i++) {
+            double ax;
+            if (i < w->ms) {
+                ax = yin[i];
+            } else {
+                ax = 0.0;
+                for (j = 0; j < n; j++)
+                    ax += w->avi_A[(size_t)(i - w->ms) * n + j] * yin[j];
+            }
+            if (ax > w->bu_user[i] + w->ptol
+                || ax < w->bl_user[i] - w->ptol)
+                unc_ok = 0;
+        }
+        if (unc_ok) {
+            memcpy(x, yin, sizeof(double) * n);
+            if (iters) *iters = 1;
+            if (x_out) memcpy(x_out, x, sizeof(double) * n);
+            if (lam_out) for (i = 0; i < m; i++) lam_out[i] = 0.0;
+            if (fval) {
+                double s = 0.0;
+                for (i = 0; i < n; i++) s += w->f_user[i] * x[i];
+                *fval = s;
+            }
+            return DAQP_TPU_OPTIMAL;
+        }
+    }
+
+    for (k = 0; k < w->iter_limit; k++) {
+        int it2 = 0, fl;
+        /* Hx = H x;  xtemp = Hx + f - (Hsym + rho I) x  (avi.c:23-31) */
+        for (i = 0; i < n; i++) {
+            double s = 0.0, s2 = 0.0;
+            for (j = 0; j < n; j++) {
+                s += w->avi_H[i * n + j] * x[j];
+                s2 += w->avi_Hsym[i * n + j] * x[j];
+            }
+            Hx[i] = s;
+            xtemp[i] = s + w->f_user[i] - s2 - w->avi_rho * x[i];
+        }
+        /* v = Rinv' xtemp; d = b*scaling + M v (update_v / update_d) */
+        for (i = 0; i < n; i++) {
+            double s = 0.0;
+            for (j = 0; j < n; j++) s += w->Rinv[j * n + i] * xtemp[j];
+            w->v[i] = s;
+        }
+        for (i = 0; i < m; i++) {
+            double mv = 0.0;
+            for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
+            w->du[i] = w->bu_user[i] * w->scaling[i] + mv;
+            w->dl[i] = w->bl_user[i] * w->scaling[i] + mv;
+        }
+        fl = solve_inner(w, &it2, DINF);    /* warm: WS + E persist */
+        tot += it2;
+        if (fl < 0) { flag = fl; break; }
+        /* y_inner = Rinv (u - v) (ldp2qp_solution) */
+        for (j = 0; j < n; j++) {
+            double s = 0.0;
+            for (i = 0; i < n; i++)
+                s += w->Rinv[j * n + i] * (w->u[i] - w->v[i]);
+            yin[j] = s;
+        }
+        /* Newton-step progress bookkeeping (avi.c:44-61) */
+        if (counter == terminate_limit) {
+            double res2 = 0.0;
+            for (i = 0; i < n; i++) {
+                double d = x[i] - yin[i];
+                res2 += d * d;
+            }
+            if (res2 > min_res) {           /* revert the Newton step */
+                memcpy(x, xold, sizeof(double) * n);
+                terminate_limit += 5;
+                if (terminate_limit > 30) terminate_limit = 30;
+            } else {
+                min_res = res2;
+                memcpy(y, yin, sizeof(double) * n);
+            }
+        } else {
+            memcpy(y, yin, sizeof(double) * n);
+        }
+        /* stable active set -> exact KKT try (avi.c:65-79) */
+        if (it2 == 1) {
+            if (++counter == terminate_limit) {
+                memcpy(xold, x, sizeof(double) * n);
+                if (avi_kkt_solve(w) == 0 && avi_check_optimal(w)) {
+                    flag = DAQP_TPU_OPTIMAL;
+                    break;
+                }
+                goto deadline_check;        /* skip the DR update */
+            }
+        } else {
+            counter = 0;
+        }
+        /* DR update: x <- (H+rho I)^{-1}(rho y + Hx + 0.5 Hsym (y - x))
+         * (avi.c:84-96) */
+        for (i = 0; i < n; i++) {
+            xtemp[i] = w->avi_rho * y[i] + Hx[i];
+            y[i] -= x[i];
+        }
+        for (i = 0; i < n; i++) {
+            double s = 0.0;
+            for (j = 0; j < n; j++) s += w->avi_Hsym[i * n + j] * y[j];
+            xtemp[i] += 0.5 * s;
+        }
+        lu_solve(n, w->avi_LUHr, w->avi_pivr, xtemp, x);
+deadline_check:
+        if (w->time_limit > 0.0 && now_sec() > w->deadline) {
+            flag = DAQP_TPU_TIMELIMIT;
+            break;
+        }
+    }
+    if (iters) *iters = tot > 0 ? tot : 1;
+    if (flag == DAQP_TPU_OPTIMAL) {
+        if (x_out) memcpy(x_out, x, sizeof(double) * n);
+        if (fval) {
+            double s = 0.0;
+            for (i = 0; i < n; i++) s += w->f_user[i] * x[i];
+            *fval = s;
+        }
+        if (lam_out) {
+            /* KKT duals are already in the original constraint space */
+            for (i = 0; i < m; i++) lam_out[i] = 0.0;
+            for (i = 0; i < w->n_active; i++)
+                lam_out[w->WS[i]] = w->lam_star[i];
+        }
+    }
+    return flag;
+}
+
 int daqp_tpu_solve(DAQPTpuWork *w, double *x, double *lam, double *fval,
                    int *iters)
 {
     int flag, it = 0;
     if (w->err0) { if (iters) *iters = 0; return w->err0; }
     if (w->time_limit > 0.0) w->deadline = now_sec() + w->time_limit;
+    if (w->avi_mode)                    /* api.c:73-77 dispatch */
+        return solve_avi(w, x, lam, fval, iters);
     flag = activate_warm(w, 0, w->m);
     if (flag < 0) { if (iters) *iters = 0; return flag; }
     if (w->lp_mode)

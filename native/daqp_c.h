@@ -57,6 +57,22 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
                             const double *A, const double *bupper,
                             const double *blower, const int *sense);
 
+/* Affine variational inequality setup (reference avi.c:6-221 +
+ * utils.c:600-638): find x in P = {x : blower <= [x[:ms]; A x] <= bupper}
+ * with (H x + f)'(y - x) >= 0 for all y in P, H possibly ASYMMETRIC.
+ * Douglas-Rachford splitting over a warm inner projection LDP in the
+ * sym(H) + rho*I metric (rho = sqrt(min_diag(symH) * max_row_sum(symH))
+ * or ||H||_F/2), with exact-KKT acceleration on the original H once the
+ * inner active set is stable and Newton-step reverts on residual growth.
+ * Solve with daqp_tpu_solve (it dispatches on the AVI workspace, matching
+ * the reference api.c:73-77); returned lam is in the original constraint
+ * space (unscaled KKT duals).  A singular H is reported as NONCONVEX.
+ * The outer iterate persists across solves (warm start). */
+DAQPTpuWork *daqp_tpu_setup_avi(int n, int m, int ms,
+                                const double *H, const double *f,
+                                const double *A, const double *bupper,
+                                const double *blower, const int *sense);
+
 /* Solve from the current workspace state (warm if a previous solve left an
  * active set and only v/d changed via daqp_tpu_update).  x: n, lam: m (or
  * NULL), fval/iters: scalars. */

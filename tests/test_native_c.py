@@ -204,6 +204,70 @@ def test_native_miqp_time_limit():
 
 
 @requires_cc
+def test_native_avi_differential():
+    # AVI mode (daqp_tpu_setup_avi, reference avi.c:6-221): asymmetric-H
+    # DR splitting with exact-KKT acceleration, vs the constructed-
+    # solution generator and KKT stationarity of the returned duals
+    from tests.gen import generate_test_avi
+    rng = np.random.default_rng(37)
+    for trial in range(6):
+        n, m = (8, 30) if trial < 4 else (20, 80)
+        x_ref, H, f, A, b = generate_test_avi(n, m, rng)
+        mdl = NativeModel(H, f, A, b, np.full(m, -1e30), ms=0, avi=True)
+        out = mdl.solve()
+        assert out['exitflag'] == 1, (trial, out['exitflag'])
+        assert np.linalg.norm(out['x'] - x_ref) < 1e-5, trial
+        # stationarity through the original-space duals: Hx + f + A'lam = 0
+        stat = np.abs(H @ out['x'] + f + A.T @ out['lam']).max()
+        assert stat < 1e-6, (trial, stat)
+        # dual feasibility (upper rows: lam >= 0) + complementarity
+        assert out['lam'].min() > -1e-8, trial
+        slack = b - A @ out['x']
+        assert np.abs(out['lam'] * slack).max() < 1e-5, trial
+
+
+@requires_cc
+def test_native_avi_vs_jax():
+    # differential against the JAX avi_core on the same instance
+    from tests.gen import generate_test_avi
+    rng = np.random.default_rng(41)
+    x_ref, H, f, A, b = generate_test_avi(10, 40, rng)
+    res = daqp_tpu.avi(H, f, A, b, ms=0)
+    assert int(res.exitflag) == 1
+    mdl = NativeModel(H, f, A, b, np.full(40, -1e30), ms=0, avi=True)
+    out = mdl.solve()
+    assert out['exitflag'] == 1
+    assert np.linalg.norm(out['x'] - np.asarray(res.x)) < 1e-4
+
+
+@requires_cc
+def test_native_avi_unconstrained_and_warm():
+    # unconstrained shortcut (utils.c:547-551) exits in one iteration;
+    # a re-solve warm-starts from the persistent outer iterate
+    from tests.gen import generate_test_avi
+    rng = np.random.default_rng(31)
+    Mm = rng.random((6, 6))
+    H = Mm.T @ Mm + np.eye(6) + 0.1 * (rng.random((6, 6))
+                                       - rng.random((6, 6)))
+    f = rng.standard_normal(6)
+    x_unc = np.linalg.solve(H, -f)
+    A = rng.standard_normal((4, 6))
+    b = A @ x_unc + 1.0
+    mdl = NativeModel(H, f, A, b, np.full(4, -1e30), ms=0, avi=True)
+    out = mdl.solve()
+    assert out['exitflag'] == 1 and out['iterations'] == 1
+    assert np.linalg.norm(out['x'] - x_unc) < 1e-8
+    # warm restart on a constrained instance
+    x_ref, H2, f2, A2, b2 = generate_test_avi(8, 30, rng)
+    mdl2 = NativeModel(H2, f2, A2, b2, np.full(30, -1e30), ms=0, avi=True)
+    out1 = mdl2.solve()
+    out2 = mdl2.solve()
+    assert out1['exitflag'] == 1 and out2['exitflag'] == 1
+    assert out2['iterations'] <= out1['iterations']
+    assert np.linalg.norm(out2['x'] - x_ref) < 1e-5
+
+
+@requires_cc
 def test_native_hiqp_basic():
     # mirror of test_hierarchical_basic (core_tests.jl:294-302): 3 bound
     # rows hard, then 3 one-row priority levels; identity metric makes
