@@ -220,7 +220,8 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
 
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                            ms: int = 0, interpret: bool = False,
-                           has_soft=None, deadline=None) -> BatchResult:
+                           has_soft=None, deadline=None,
+                           sw=None) -> BatchResult:
     """Batched strictly-convex QP solve on the Pallas mega-kernel path
     (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
     in 128-lane tiles; numerical repair runs between kernel rounds on the
@@ -236,8 +237,15 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
     ``sense`` array; inside an enclosing trace pass it explicitly.  An
     explicit ``has_soft=False`` with soft rows present marks those lanes
     ``EXIT_UNSUPPORTED`` instead of silently dropping the rows.
+
+    ``sw``: optional batched ``SoftWeights`` ((B, m) fields, raw user
+    units) — SOFT_WEIGHTS slack-bound semantics on the dense-mask kernel
+    (auxiliary.c:199-274: slack state machine, per-side rho, transition
+    re-adds + kink guard), a separate compile-time kernel variant.
     """
     from .types import SOFT
+    if sw is not None:
+        has_soft = True
     if has_soft is None:
         try:
             has_soft = bool(np.any(np.asarray(sense) & SOFT))
@@ -248,7 +256,7 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
     return _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st,
                                     ms=ms, interpret=interpret,
                                     has_soft=bool(has_soft),
-                                    deadline=deadline)
+                                    deadline=deadline, sw=sw)
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
@@ -256,10 +264,10 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
 def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
                              ms: int = 0, interpret: bool = False,
                              has_soft: bool = False,
-                             deadline=None) -> BatchResult:
+                             deadline=None, sw=None) -> BatchResult:
     return _pallas_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
                               interpret=interpret, has_soft=has_soft,
-                              deadline=deadline)
+                              deadline=deadline, sw=sw)
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "chunk",
@@ -267,7 +275,7 @@ def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
 def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
                                   st: Settings, ms: int = 0,
                                   chunk: int = 256, has_soft: bool = False,
-                                  deadline=None) -> BatchResult:
+                                  deadline=None, sw=None) -> BatchResult:
     """One-dispatch streaming variant of ``solve_batch_pallas_jit``: the
     whole (large) batch is processed in ``chunk``-lane kernel waves
     inside a single jitted program via ``lax.map``.
@@ -303,17 +311,22 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
             padded(A, jnp.zeros((mg, n))), padded(bupper, jnp.ones((mm,))),
             padded(blower, -jnp.ones((mm,))),
             padded(sense, jnp.zeros((mm,), jnp.int32)),
-            st, ms=ms, chunk=chunk, has_soft=has_soft, deadline=deadline)
+            st, ms=ms, chunk=chunk, has_soft=has_soft, deadline=deadline,
+            sw=None if sw is None else jax.tree_util.tree_map(
+                lambda x: padded(x, jnp.zeros(x.shape[1:])), sw))
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     C = B // chunk
     data = tuple(x.reshape((C, chunk) + x.shape[1:])
                  for x in (H, f, A, bupper, blower, sense))
+    sw_c = None if sw is None else jax.tree_util.tree_map(
+        lambda x: x.reshape((C, chunk) + x.shape[1:]), sw)
 
     def one(args):
-        return _pallas_batch_core(*args, st=st, ms=ms, has_soft=has_soft,
-                                  deadline=deadline)
+        return _pallas_batch_core(*args[:6], st=st, ms=ms,
+                                  has_soft=has_soft, deadline=deadline,
+                                  sw=args[6])
 
-    parts = lax.map(one, data)
+    parts = lax.map(one, data + (sw_c,))
     return jax.tree_util.tree_map(
         lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
@@ -321,7 +334,7 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
 def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                        ms: int = 0, interpret: bool = False,
                        has_soft: bool = False,
-                       deadline=None) -> BatchResult:
+                       deadline=None, sw=None) -> BatchResult:
     """Traceable core of the Pallas-kernel batched solve (called directly
     by the sharded path inside ``shard_map``)."""
     from .ops import pallas_batch as pb
@@ -348,9 +361,12 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         bupper = padded(bupper, jnp.ones((mm,)))
         blower = padded(blower, -jnp.ones((mm,)))
         sense = padded(sense, jnp.zeros((mm,), jnp.int32))
+        if sw is not None:
+            sw = jax.tree_util.tree_map(lambda x: padded(x, 0.0), sw)
         out = _pallas_batch_core(H, f, A, bupper, blower, sense, st,
                                  ms=ms, interpret=interpret,
-                                 has_soft=has_soft, deadline=deadline)
+                                 has_soft=has_soft, deadline=deadline,
+                                 sw=sw)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     # 'high' (3-pass bf16, ~f32 accurate) for the decomposition internals
     # (cholesky/triangular expanders follow the context); the numerically
@@ -400,6 +416,26 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         unsort = jnp.argsort(order)
         ldpd = jax.tree_util.tree_map(lambda a: a[order], ldpd)
         from .types import ACTIVE, LOWER, SOFT
+        sw_n = None
+        if sw is not None:
+            # scaling-normalize the SW slack data against the SORTED
+            # lanes, zeroed on hard rows (utils.c:99-110; same as
+            # _solve_one_flat)
+            from .types import SoftWeights
+            sw_s = jax.tree_util.tree_map(lambda x: x[order], sw)
+            dtype_n = ldpd.M.dtype
+            soft_m = (ldpd.sense & SOFT) > 0
+            sc_n = ldpd.scaling
+            z_n = jnp.zeros_like(sc_n)
+            sw_n = SoftWeights(
+                d_ls=jnp.where(soft_m, sw_s.d_ls.astype(dtype_n) / sc_n,
+                               z_n),
+                d_us=jnp.where(soft_m, sw_s.d_us.astype(dtype_n) / sc_n,
+                               z_n),
+                rho_ls=jnp.where(soft_m, sw_s.rho_ls.astype(dtype_n)
+                                 * sc_n * sc_n, z_n),
+                rho_us=jnp.where(soft_m, sw_s.rho_us.astype(dtype_n)
+                                 * sc_n * sc_n, z_n))
         immut = ((ldpd.sense & IMMUTABLE) > 0).astype(jnp.float32)
         soft_b = ((ldpd.sense & SOFT) > 0).astype(jnp.float32)
         m = ldpd.M.shape[1]
@@ -420,7 +456,8 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         if has_soft:
             # dense-mask kernel: a soft working set can exceed n+1 slots
             s = pb.dense_init(ldpd.M, ldpd.dupper, ldpd.dlower,
-                              ldpd.scaling, immut, soft_b, fbound_b=fb)
+                              ldpd.scaling, immut, soft_b, fbound_b=fb,
+                              sw_b=sw_n)
             s = jax.lax.cond(jnp.any(act_bits),
                              lambda s: pb.dense_activate(s, up_l, lo_l,
                                                          st),
@@ -430,8 +467,13 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
             act = s.act_up + s.act_lo
             lam = jnp.moveaxis(s.lam_star * act * s.scaling,
                                -1, 0)[:, :m]
-            slack = st.rho_soft * jnp.sum(
-                s.soft * act * s.lam_star * s.lam_star, axis=0)
+            if sw_n is not None:
+                rho_w = s.act_lo * s.sw_rls + s.act_up * s.sw_rus
+                slack = jnp.sum(s.soft * act * rho_w
+                                * s.lam_star * s.lam_star, axis=0)
+            else:
+                slack = st.rho_soft * jnp.sum(
+                    s.soft * act * s.lam_star * s.lam_star, axis=0)
         else:
             # slot-space kernel (ops.pallas_slot): hard-only throughput
             # path.  Any lane carrying SOFT bits is flagged

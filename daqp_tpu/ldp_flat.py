@@ -622,12 +622,17 @@ def flat_refresh(s: FlatState, st: Settings) -> FlatState:
     Iu = jnp.diag(um.astype(dtype))
     # Newton polish, guarded by the contraction condition ||GE - I|| < 1/2:
     # outside it the iteration DIVERGES quadratically (observed as NaN
-    # states when unguarded), and terminal lanes are never touched.
+    # states when unguarded).  OPTIMAL lanes are polished too: their E is
+    # only consumed by the refinement step that follows, and refining
+    # through the un-polished f32 E left a soft-heavy lane 5e-3 off with
+    # a clean SOFT_OPTIMAL flag (caught by the dense-kernel SW
+    # differential, tests/test_pallas_sw.py — the kernel lane was 2.6e-7).
+    is_opt = (s.status == EXIT_OPTIMAL) | (s.status == EXIT_SOFT_OPTIMAL)
     P = jnp.matmul(G, s.E, precision=_HI)
     resid = jnp.max(jnp.abs(P - Iu))
     E_new = jnp.matmul(s.E, 2 * Iu - P, precision=_HI)
     E_new = jnp.where(um[:, None] & um[None, :], E_new, 0)
-    newton_ok = (s.status == EXIT_RUNNING) & (resid < 0.5)
+    newton_ok = ((s.status == EXIT_RUNNING) | is_opt) & (resid < 0.5)
     E1 = jnp.where(newton_ok, E_new, s.E)
 
     # one-shot exact refactorization for cycle-flagged lanes (also the
@@ -663,36 +668,49 @@ def flat_refresh(s: FlatState, st: Settings) -> FlatState:
         best_fval=jnp.where(cyc, jnp.asarray(-1.0, dtype), s.best_fval))
 
 
-def flat_polish(s: FlatState, st: Settings) -> FlatState:
-    """Post-convergence refinement for optimal lanes: one residual
-    correction of (lam*, u) through E, then a re-price that re-opens the
-    lane if a violation survives (the lockstep analogue of
-    daqp_refine_active + the optimal-path re-check, daqp.c:47-63)."""
+def flat_polish(s: FlatState, st: Settings,
+                refine_steps: int = 2) -> FlatState:
+    """Post-convergence refinement for optimal lanes: ``refine_steps``
+    chained residual corrections of (lam*, u) through E, then a re-price
+    that re-opens the lane if a violation survives (the lockstep analogue
+    of daqp_refine_active + the optimal-path re-check, daqp.c:47-63).
+
+    Two chained steps (each contracts the error by ~||I - EG||): one step
+    through the f32 E left a soft-heavy lane 4e-4 off with a clean
+    SOFT_OPTIMAL flag (caught by the dense-kernel SW differential,
+    tests/test_pallas_sw.py); two bring it to the ~1e-7 the other tiers
+    reach.  In f64 the second step is a no-op at working precision."""
     dtype = s.E.dtype
     is_opt = (s.status == EXIT_OPTIMAL) | (s.status == EXIT_SOFT_OPTIMAL)
     used = s.used
     sw = s.sense[s.sid]
     d_W = jnp.where((sw & LOWER) > 0, s.dlower[s.sid], s.dupper[s.sid])
     d_W = jnp.where(used, d_W, 0)
-    r = _mv(s.Mw, s.u) - d_W
     softm = used & ((sw & SOFT) > 0)
     if s.sw is not None:
-        # free soft slacks: per-side weight + slack-bound term in the
-        # refinement residual (auxiliary.c:522-533)
         free_soft = softm & ((sw & SLACK_FIXED) == 0)
         rho_w = jnp.where((sw & LOWER) > 0,
                           s.sw.rho_ls[s.sid], s.sw.rho_us[s.sid])
         d_slack = jnp.where((sw & LOWER) > 0, s.sw.d_ls[s.sid],
                             -s.sw.d_us[s.sid])
-        r = r - jnp.where(free_soft,
-                          rho_w * (s.lam_star + d_slack), 0)
-    else:
-        r = r - jnp.where(softm, st.rho_soft * s.lam_star, 0)
-    r = jnp.where(used, r, 0)
-    dlam = _mv(s.E, r)
-    ok = is_opt & jnp.all(jnp.isfinite(dlam))
-    lam_star = s.lam_star + jnp.where(used, dlam, 0)
-    u = s.u - _mv(s.Mw.T, jnp.where(used, dlam, 0))
+
+    def residual(lam_star, u):
+        r = _mv(s.Mw, u) - d_W
+        if s.sw is not None:
+            # free soft slacks: per-side weight + slack-bound term in the
+            # refinement residual (auxiliary.c:522-533)
+            r = r - jnp.where(free_soft, rho_w * (lam_star + d_slack), 0)
+        else:
+            r = r - jnp.where(softm, st.rho_soft * lam_star, 0)
+        return jnp.where(used, r, 0)
+
+    lam_star, u, ok = s.lam_star, s.u, is_opt
+    for _ in range(refine_steps):
+        dlam = _mv(s.E, residual(lam_star, u))
+        ok = ok & jnp.all(jnp.isfinite(dlam))
+        dlam = jnp.where(ok & used, dlam, 0)
+        lam_star = lam_star + dlam
+        u = u - _mv(s.Mw.T, dlam)
     lam_star = jnp.where(ok, lam_star, s.lam_star)
     u2 = jnp.where(ok, u, s.u)
     if s.sw is not None:

@@ -80,6 +80,18 @@ class DenseState(NamedTuple):
     repaired: jnp.ndarray  # (1, B) f32 0/1
     iterations: jnp.ndarray  # (1, B) f32
     status: jnp.ndarray   # (1, B) int32
+    # SOFT_WEIGHTS slack data (reference optional build, types.h:168-180;
+    # auxiliary.c:199-274 semantics): scaling-normalized per-row slack
+    # bounds and per-side weights, plus the slack FIXED-state masks.  All
+    # None on the plain path — the hard/plain-soft kernel variant compiles
+    # unchanged (the buffers are not even passed to pallas_call).
+    sw_dls: jnp.ndarray = None   # (m, B) lower slack bounds d_ls
+    sw_dus: jnp.ndarray = None   # (m, B) upper slack bounds d_us
+    sw_rls: jnp.ndarray = None   # (m, B) lower-side weights rho_ls
+    sw_rus: jnp.ndarray = None   # (m, B) upper-side weights rho_us
+    sfix: jnp.ndarray = None     # (m, B) f32 0/1: slack at its bound
+                                 # (SLACK_FIXED — the row behaves hard)
+    pfix: jnp.ndarray = None     # (1, B) f32 0/1: pending entry's state
 
 
 def _row_chunks(m: int, target: int = 13):
@@ -91,16 +103,14 @@ def _row_chunks(m: int, target: int = 13):
 
 
 def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
-                 has_soft: bool, always_copy: bool,
-                 M_ref, du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
-                 au_ref, al_ref, E_ref, lam_ref, ls_ref,
-                 pd_ref, po_ref, pl_ref, plo_ref,
-                 u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
-                 au_o, al_o, E_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
-                 u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
-                 E_s, M_s):
+                 has_soft: bool, has_sw: bool, always_copy: bool, *refs):
     """Up to ``steps`` masked dual active-set iterations for one 128-lane
     tile.
+
+    ``refs`` layout (positional, built by ``run_kernel_round``):
+    consts [M, du, dl, sc, imsf, fb (+ dls, dus, rls, rus when has_sw)],
+    then the state inputs, the state outputs (E at index 2 of each), and
+    the two VMEM scratch buffers (E, M).
 
     E lives in its (aliased) output ref and is read/updated in static row
     chunks — whole-array (m, m, L) temporaries would blow the ~16 MB VMEM
@@ -117,6 +127,17 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    n_const = 10 if has_sw else 6
+    n_state = 18 if has_sw else 16
+    const_refs = refs[:n_const]
+    in_state = refs[n_const:n_const + n_state]
+    out_state = refs[n_const + n_state:n_const + 2 * n_state]
+    E_s, M_s = refs[n_const + 2 * n_state:]
+    M_ref, du_ref, dl_ref, sc_ref, imsf_ref, fb_ref = const_refs[:6]
+    sw_crefs = const_refs[6:]
+    E_ref, E_o = in_state[2], out_state[2]
+    stt_o = out_state[-1]
+
     # Big buffers (E, M) and the state inputs live UNBLOCKED in HBM; grid-
     # blocked VMEM windows are double-buffered by the pipeline, which blew
     # the 16 MB budget.  E and M use single-buffered VMEM *scratch* filled
@@ -127,11 +148,8 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                                     LANES))
     lane_idx3 = (slice(None), slice(None),
                  pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
-    in_refs = [au_ref, al_ref, lam_ref, ls_ref, pd_ref, po_ref,
-               pl_ref, plo_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref,
-               it_ref, stt_ref]
-    out_refs = [au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
-                u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o]
+    in_refs = [r for i, r in enumerate(in_state) if i != 2]
+    out_refs = [r for i, r in enumerate(out_state) if i != 2]
 
     def load_small(sems):
         # small aliased state always passes through its output windows (the
@@ -169,11 +187,9 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
                 cp.wait()
 
         pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((2,)))
-        _solve_tile_live(st, m, n, n_true, steps, has_soft, iota_m,
-                         du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
-                         au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
-                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
-                         E_s, M_s)
+        _solve_tile_live(st, m, n, n_true, steps, has_soft, has_sw,
+                         iota_m, du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
+                         sw_crefs, out_refs, E_s, M_s)
 
         def store_E(sem):
             cp = pltpu.make_async_copy(E_s, E_o.at[lane_idx3], sem)
@@ -184,12 +200,20 @@ def _kernel_body(st: Settings, m: int, n: int, n_true: int, steps: int,
 
 
 def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
-                     has_soft: bool, iota_m,
+                     has_soft: bool, has_sw: bool, iota_m,
                      du_ref, dl_ref, sc_ref, imsf_ref, fb_ref,
-                     au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
-                     u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
-                     E_s, M_s):
-    """The live-tile solve loop (state already staged into VMEM)."""
+                     sw_crefs, small_out, E_s, M_s):
+    """The live-tile solve loop (state already staged into VMEM).
+
+    ``has_sw`` compiles the SOFT_WEIGHTS slack state machine in
+    (auxiliary.c:199-274 semantics, mirroring ``ldp_flat.flat_step``):
+    per-side rho on the Gram diagonal of FREE slacks, slack-dual blocking
+    with the FIXED/FREE skip rules + kink guard, the pend-transition
+    virtual candidate, and the reference-order double add (pend retry +
+    FIXED->FREE blocker re-add) — chained algebraically through the SAME
+    three E passes as the plain path (contract pass 2 gains a third
+    fused contraction; the update pass gains one fused rank-one term),
+    so SW costs extra VPU math but no extra VMEM traffic."""
     f32 = jnp.float32
     BIG = f32(DAQP_INF)
     dtol = f32(st.dual_tol)
@@ -199,6 +223,13 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
     progtol = f32(st.progress_tol)
     cyctol = f32(st.cycle_tol)
     chunks = _row_chunks(m)
+
+    if has_sw:
+        (au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o, sfx_o, pfx_o,
+         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o) = small_out
+    else:
+        (au_o, al_o, lam_o, ls_o, pd_o, po_o, pl_o, plo_o,
+         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o) = small_out
 
     du = du_ref[:]
     dl = dl_ref[:]
@@ -217,26 +248,41 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
     rho = f32(st.rho_soft)
     fb = fb_ref[:]        # (1, L) per-lane dual objective bound
     M = M_s[:]            # (m, n, L)
+    if has_sw:
+        dls = sw_crefs[0][:]
+        dus = sw_crefs[1][:]
+        rls = sw_crefs[2][:]
+        rus = sw_crefs[3][:]
+        # the lane's smallest legitimate soft pivot (see the sing gate)
+        rho_min = jnp.min(jnp.where(sf > 0, jnp.minimum(rls, rus), BIG),
+                          axis=0, keepdims=True)
+        eps_k = f32(64.0 * np.finfo(np.float32).eps)
 
-    def contract2(x1, x2):
-        # two contractions through one row-chunked pass over E:
-        # out[i, l] = sum_j E[i, j, l] x[j, l]
-        o1, o2 = [], []
+    def contractN(xs):
+        # N contractions through ONE row-chunked pass over E:
+        # out_t[i, l] = sum_j E[i, j, l] x_t[j, l]
+        outs = [[] for _ in xs]
         for off, rc in chunks:
             Eb = E_s[off:off + rc]
-            o1.append(jnp.sum(Eb * x1[None, :, :], axis=1))
-            o2.append(jnp.sum(Eb * x2[None, :, :], axis=1))
-        return jnp.concatenate(o1, axis=0), jnp.concatenate(o2, axis=0)
+            for t, x in enumerate(xs):
+                outs[t].append(jnp.sum(Eb * x[None, :, :], axis=1))
+        return [jnp.concatenate(o, axis=0) for o in outs]
 
-    def update_E(c_del, e, c_add, w, keep):
+    def update_E(c_del, e, c_add, w, keep, c_b=None, w_b=None):
         # one read-modify-write pass:
-        # E <- (E + c_del e e') * keep_i keep_j + c_add w w'
+        # E <- (E + c_del e e') * keep_i keep_j [+ c_b w_b w_b'] + c_add w w'
+        # (the optional middle rank-one is the SW double add's blocker
+        # re-add; order matters — the main add's Schur vector w was
+        # computed against the post-blocker inverse)
         for off, rc in chunks:
             Eb = E_s[off:off + rc]
             Eb = (Eb + c_del[None, :, :] * e[off:off + rc][:, None, :]
                   * e[None, :, :]) \
-                * keep[off:off + rc][:, None, :] * keep[None, :, :] \
-                + c_add[None, :, :] * w[off:off + rc][:, None, :] \
+                * keep[off:off + rc][:, None, :] * keep[None, :, :]
+            if c_b is not None:
+                Eb = Eb + c_b[None, :, :] * w_b[off:off + rc][:, None, :] \
+                    * w_b[None, :, :]
+            Eb = Eb + c_add[None, :, :] * w[off:off + rc][:, None, :] \
                 * w[None, :, :]
             E_s[off:off + rc] = Eb
 
@@ -256,30 +302,69 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         return oh, cmin
 
     def body(_, carry):
-        (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
-         stt) = carry
+        if has_sw:
+            (au, al, lam, ls, pd, po, plm, plo, sfx, pfx, u, fv, bf, cy,
+             rp, it, stt) = carry
+        else:
+            (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
+             stt) = carry
         run = (stt == EXIT_RUNNING).astype(f32)          # (1, L)
 
         act = au + al                                     # (m, L) 0/1
         d_W = (au * du + al * dl)                         # (m, L)
+        if has_sw:
+            # CSP right-hand side: FREE soft slacks shift d_W by their
+            # bound contribution (auxiliary.c:313-332, SW branch)
+            free_soft = act * sf * (1.0 - sfx)
+            d_W = d_W + free_soft * (al * (rls * dls) - au * (rus * dus))
         # (measured: gating these 2 M passes behind lax.cond(any(pd>0))
         # SLOWED the whole pipeline 41.6k -> 29.4k solves/s — a cond in
         # the Mosaic hot loop costs far more than the passes it skips)
         g_p = rowdot(coldot(po)) * act                    # pending Gram col
         # E pass 1: CSP + pending null direction
-        lam_star_neg, a_p = contract2(d_W, g_p)
+        lam_star_neg, a_p = contractN([d_W, g_p])
         lam_star = -lam_star_neg
         sgn_p = 1.0 - 2.0 * plo                           # (1, L)
         sdir = -a_p * sgn_p                               # auxiliary.c:356
 
-        # blocking min-ratio line search (auxiliary.c:276-311)
+        # blocking min-ratio line search (auxiliary.c:276-311; SW variant
+        # auxiliary.c:199-274 line-searches the SLACK dual per side and
+        # blocks at slack-bound transitions — see ldp_flat.flat_step)
         delta = pd * sdir + (1.0 - pd) * (lam_star - lam)
         signv = pd * sdir + (1.0 - pd) * lam_star
         # f32 mask algebra (Mosaic cannot select between i1 vectors)
-        infeas = al * (signv > dtol).astype(f32) \
-            + (1.0 - al) * (signv < -dtol).astype(f32)
-        elig = infeas * act * (1.0 - im)
-        ratio = -lam / delta
+        if has_sw:
+            free_w = 1.0 - sfx
+            neg = (delta < 0).astype(f32)
+            pos = (delta > 0).astype(f32)
+            sk_lo_f = ((delta < dtol)
+                       | (signv <= -dls + dtol)).astype(f32)
+            sk_lo_x = ((signv <= dtol)
+                       & (signv + dtol >= -dls)).astype(f32) * (1.0 - pd)
+            sk_up_f = ((delta > -dtol) | (signv >= dus)).astype(f32)
+            sk_up_x = ((signv >= -dtol)
+                       & (signv <= dtol + dus)).astype(f32) * (1.0 - pd)
+            # kink guard: a soft dual AT its slack-bound transition in
+            # the crossing direction is at its coordinate optimum —
+            # searching it loops remove/re-add forever (ldp.remove_blocking)
+            ktol_us = jnp.maximum(dtol, eps_k * (1.0 + jnp.abs(dus)))
+            ktol_ls = jnp.maximum(dtol, eps_k * (1.0 + jnp.abs(dls)))
+            at_us = (jnp.abs(lam - dus) <= ktol_us).astype(f32)
+            at_ls = (jnp.abs(lam + dls) <= ktol_ls).astype(f32)
+            kink = sf * (al * at_ls * (free_w + sfx * neg)
+                         + au * at_us * (free_w + sfx * pos))
+            skip = al * (free_w * sk_lo_f + sfx * sk_lo_x) \
+                + au * (free_w * sk_up_f + sfx * sk_up_x) + kink
+            # slack dual measured from the relevant transition
+            lam_slack = lam + al * dls * (free_w + sfx * neg) \
+                - au * dus * (free_w + sfx * pos)
+            elig = act * (1.0 - im) * (skip < 0.5).astype(f32)
+            ratio = -lam_slack / delta
+        else:
+            infeas = al * (signv > dtol).astype(f32) \
+                + (1.0 - al) * (signv < -dtol).astype(f32)
+            elig = infeas * act * (1.0 - im)
+            ratio = -lam / delta
         # eligible slots always participate; nonfinite/negative ratios
         # clamp to a zero-step removal (see pallas_slot.py — dropping
         # them let a dual-infeasible point exit as optimal)
@@ -287,12 +372,54 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
                           jnp.maximum(ratio, 0.0), 0.0)
         cand = jnp.where(elig > 0, ratio, BIG)
         oh_rm, rmin = first_min_onehot(cand)
-        do_rm0 = run * (rmin < BIG).astype(f32)           # pre-guard
+        if has_sw:
+            # pend-transition virtual candidate: the parked singular
+            # entry's OWN slack-bound transition is searched like a
+            # (K+1)-th slot (ldp_flat.flat_step pend candidate; the
+            # reference's parked entry sits IN the working set so its
+            # search is implicit, factorization.c:92-97)
+            p_dls = jnp.sum(po * dls, axis=0, keepdims=True)
+            p_dus = jnp.sum(po * dus, axis=0, keepdims=True)
+            p_free = 1.0 - pfx
+            p_neg = (sgn_p < 0).astype(f32)
+            p_pos = (sgn_p > 0).astype(f32)
+            pskip = plo * p_free \
+                * ((sgn_p < dtol) | (sgn_p <= -p_dls + dtol)).astype(f32) \
+                + (1.0 - plo) * p_free \
+                * ((sgn_p > -dtol) | (sgn_p >= p_dus)).astype(f32)
+            pkt_us = jnp.maximum(dtol, eps_k * (1.0 + jnp.abs(p_dus)))
+            pkt_ls = jnp.maximum(dtol, eps_k * (1.0 + jnp.abs(p_dls)))
+            p_at_us = (jnp.abs(plm - p_dus) <= pkt_us).astype(f32)
+            p_at_ls = (jnp.abs(plm + p_dls) <= pkt_ls).astype(f32)
+            p_soft = jnp.sum(po * sf, axis=0, keepdims=True)
+            pkink = p_soft * (plo * p_at_ls * (p_free + pfx * p_neg)
+                              + (1.0 - plo) * p_at_us
+                              * (p_free + pfx * p_pos))
+            p_lam_slack = plm + plo * p_dls * (p_free + pfx * p_neg) \
+                - (1.0 - plo) * p_dus * (p_free + pfx * p_pos)
+            p_imm = jnp.sum(po * im, axis=0, keepdims=True)
+            p_ratio = jnp.maximum(-p_lam_slack / sgn_p, 0.0)
+            p_elig = pd * (1.0 - p_imm) \
+                * ((pskip + pkink) < 0.5).astype(f32)
+            pend_cand = jnp.where(p_elig > 0, p_ratio, BIG)
+            # ties go to the slot candidates (flat: argmin-first order)
+            pend_block = run * ((pend_cand < rmin)
+                                & (pend_cand < BIG)).astype(f32)
+            do_rm0 = run * (1.0 - pend_block) \
+                * (rmin < BIG).astype(f32)                # pre-guard
+        else:
+            pend_block = jnp.zeros_like(run)
+            do_rm0 = run * (rmin < BIG).astype(f32)       # pre-guard
 
         # primal + pricing (no E access; gates applied later)
         lam_sel = lam_star * act
         u_new = -coldot(lam_sel)
-        if has_soft:
+        if has_sw:
+            # per-side weights (auxiliary.c:46-87, SW branch)
+            rho_w = al * rls + au * rus
+            soft_slack = jnp.sum(sf * act * rho_w * lam_star * lam_star,
+                                 axis=0, keepdims=True)
+        elif has_soft:
             soft_slack = rho * jnp.sum(sf * act * lam_star * lam_star,
                                        axis=0, keepdims=True)
         else:
@@ -316,14 +443,50 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         found = (vmin < 0).astype(f32)
         j_lo = jnp.sum(oh_j * lo_ok.astype(f32), axis=0, keepdims=True)
 
-        # add candidate (retry pending after removal, or pricing winner);
+        # add candidate (retry pending after removal, or pricing winner;
+        # SW adds two more sources: a removed soft blocker whose slack
+        # dual has not crossed zero re-adds with the flipped FIXED/FREE
+        # state, auxiliary.c:264-273, and a pend blocked at its OWN
+        # transition re-enters flipped, factorization.c:92-97);
         # wrong-but-gated when the pivot guard cancels the removal below
         retry = pd * do_rm0
         price0 = run * (1.0 - do_rm0) * (1.0 - pd)
         padd0 = price0 * found
-        add_oh = retry * po + padd0 * oh_j                # (m, L)
-        add_lo = retry * plo + padd0 * j_lo
-        add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
+        if has_sw:
+            # pre-guard line-search step (auxiliary.c:254: step just past
+            # the transition so the blocker re-enters flipped)
+            alpha0 = (do_rm0 + pend_block) * jnp.where(
+                pend_block > 0,
+                jnp.where(pend_cand < BIG, pend_cand, 0.0),
+                jnp.where(rmin < BIG, rmin, 0.0)) * f32(1.001)
+            lam_step0 = lam + alpha0 * delta * act
+            plm_new = plm + alpha0 * sgn_p * pd
+            ls_rm = jnp.sum(oh_rm * lam_step0, axis=0, keepdims=True)
+            rm_was_soft = jnp.sum(oh_rm * sf, axis=0, keepdims=True)
+            rm_was_lower = jnp.sum(oh_rm * al, axis=0, keepdims=True)
+            rm_was_fixed = jnp.sum(oh_rm * sfx, axis=0, keepdims=True)
+            crossed = rm_was_lower * (ls_rm > 0).astype(f32) \
+                + (1.0 - rm_was_lower) * (ls_rm < 0).astype(f32)
+            pend_crossed = plo * (plm_new > 0).astype(f32) \
+                + (1.0 - plo) * (plm_new < 0).astype(f32)
+            pend_readd = pend_block * (1.0 - pend_crossed)
+            pend_drop = pend_block * pend_crossed
+            sw_readd = do_rm0 * (1.0 - pd) * rm_was_soft * (1.0 - crossed)
+            # double add (reference parity, see ldp_flat.flat_step): a
+            # pend retry coinciding with a FIXED soft blocker performs
+            # BOTH adds — the blocker re-enters FREE (gaining rho on the
+            # Gram diagonal) and THEN the parked entry re-enters
+            both0 = retry * rm_was_soft * (1.0 - crossed) * rm_was_fixed
+            pend_take = retry + pend_readd
+            add_oh = pend_take * po + sw_readd * oh_rm + padd0 * oh_j
+            add_lo = pend_take * plo + sw_readd * rm_was_lower \
+                + padd0 * j_lo
+            add_lam = pend_take * plm_new + sw_readd * ls_rm \
+                + padd0 * (1.0 - 2.0 * j_lo)
+        else:
+            add_oh = retry * po + padd0 * oh_j            # (m, L)
+            add_lo = retry * plo + padd0 * j_lo
+            add_lam = retry * plm + padd0 * (1.0 - 2.0 * j_lo)
         mj = coldot(add_oh)                               # (n, L)
         g = rowdot(mj) * act
         keep0 = 1.0 - oh_rm * do_rm0
@@ -331,8 +494,14 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         add_soft = (jnp.sum(add_oh * sf, axis=0, keepdims=True)
                     if has_soft else 0.0)
 
-        # E pass 2: removed column + Schur vector
-        e, a_pre = contract2(oh_rm, g_k)
+        # E pass 2: removed column + Schur vector(s)
+        if has_sw:
+            mj_b = coldot(oh_rm)                          # (n, L)
+            g_b = rowdot(mj_b) * act
+            g_bk = g_b * keep0
+            e, a_pre, ab_pre = contractN([oh_rm, g_k, g_bk])
+        else:
+            e, a_pre = contractN([oh_rm, g_k])
         err = jnp.sum(e * oh_rm, axis=0, keepdims=True)
         bad = (do_rm0 > 0) & (err < pivtol * jnp.max(jnp.abs(e), axis=0,
                                                      keepdims=True))
@@ -345,9 +514,19 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         # a' = keep (a_pre - e (e.g_k)/err) when removing
         ec = jnp.sum(e * g_k, axis=0, keepdims=True) / err_s
         a_post = keep * (a_pre - do_rm * e * ec)
+        if has_sw:
+            ecb = jnp.sum(e * g_bk, axis=0, keepdims=True) / err_s
+            ab_post = keep * (ab_pre - do_rm * e * ecb)
 
-        # line-search dual update (masked removal)
-        alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
+        # line-search dual update (masked removal; under SW also a
+        # pend-transition block, which steps the duals with NO deletion)
+        if has_sw:
+            alpha = (do_rm + pend_block) * jnp.where(
+                pend_block > 0,
+                jnp.where(pend_cand < BIG, pend_cand, 0.0),
+                jnp.where(rmin < BIG, rmin, 0.0)) * f32(1.001)
+        else:
+            alpha = do_rm * jnp.where(rmin < BIG, rmin, 0.0)
         lam = (lam + alpha * delta * act) * keep
         plm = plm + alpha * sgn_p * pd
         au = au * keep
@@ -355,6 +534,8 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
 
         # pending with no blocker: repair once, then infeasible
         stuck = (stt == EXIT_RUNNING) & (pd > 0) & (do_rm == 0) & (run > 0)
+        if has_sw:
+            stuck = stuck & (pend_block == 0)
         stt = jnp.where(stuck,
                         jnp.where(rp > 0, EXIT_INFEASIBLE, EXIT_CYCLE),
                         stt)
@@ -389,29 +570,86 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         lam = jnp.where(padd > 0, lam_star * act, lam)
 
         # Schur complement & singularity (factorization.c:7-98)
-        dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * add_soft
-        sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
+        if has_sw:
+            # main add's Gram diagonal: per-side rho when the slack is
+            # FREE (factorization.c:31-40 SW branch).  The FIXED/FREE
+            # state is derived from the entering dual vs its slack bound
+            # (auxiliary.c:30-36) — except on the two re-add paths, which
+            # enter with the FLIPPED previous state (auxiliary.c:264-273)
+            rho_side = add_lo * jnp.sum(add_oh * rls, axis=0,
+                                        keepdims=True) \
+                + (1.0 - add_lo) * jnp.sum(add_oh * rus, axis=0,
+                                           keepdims=True)
+            d_ls_add = jnp.sum(add_oh * dls, axis=0, keepdims=True)
+            d_us_add = jnp.sum(add_oh * dus, axis=0, keepdims=True)
+            free_der = add_lo * (add_lam <= -d_ls_add).astype(f32) \
+                + (1.0 - add_lo) * (add_lam >= d_us_add).astype(f32)
+            override = sw_readd + pend_readd
+            free_val = pend_readd * pfx + sw_readd * rm_was_fixed
+            free_main = override * free_val \
+                + (1.0 - override) * free_der
+            contributes = add_soft * free_main
+            dii = jnp.sum(mj * mj, axis=0, keepdims=True) \
+                + rho_side * contributes
+        else:
+            dii = jnp.sum(mj * mj, axis=0, keepdims=True) + rho * add_soft
         # post-removal counts: ``act`` is the top-of-iteration mask, so on
         # the pending-retry path (add after a blocking removal) the rank
         # cap must not count the just-removed row (ldp_flat counts
         # ``used`` after the masked removal)
-        k = jnp.sum(act, axis=0, keepdims=True) - do_rm
-        if has_soft:
-            rm_soft = do_rm * jnp.sum(oh_rm * sf, axis=0, keepdims=True)
-            ns_act = (jnp.sum(act * sf, axis=0, keepdims=True) - rm_soft
-                      + add_soft)
+        if has_sw:
+            # the double add first: blocker re-enters FREE right after
+            # its own deletion; its Schur chain rides the SAME E passes
+            # (a_b against post-deletion E is ab_post; the main add's
+            # Schur vector then gains the blocker's rank-one correction
+            # algebraically instead of a fourth E pass)
+            rho_b = rm_was_lower * jnp.sum(oh_rm * rls, axis=0,
+                                           keepdims=True) \
+                + (1.0 - rm_was_lower) * jnp.sum(oh_rm * rus, axis=0,
+                                                 keepdims=True)
+            dii_b = jnp.sum(mj_b * mj_b, axis=0, keepdims=True) + rho_b
+            sval_b = dii_b - jnp.sum(g_bk * ab_post, axis=0,
+                                     keepdims=True)
+            both = both0 * (1.0 - bad.astype(f32))
+            k_rm = jnp.sum(act, axis=0, keepdims=True) - do_rm
+            fs_cnt = jnp.sum(act * sf * (1.0 - sfx), axis=0,
+                             keepdims=True)
+            fs_rm = do_rm * rm_was_soft * (1.0 - rm_was_fixed)
+            gate_b = jnp.maximum(singtol,
+                                 jnp.minimum(f32(1e-4) * dii_b,
+                                             f32(0.25) * rho_b))
+            sing_b = ((sval_b < gate_b)
+                      | (k_rm >= n_true + fs_cnt - fs_rm + 1.0)
+                      ).astype(f32)
+            # a singular both-add is simply skipped (it is structurally
+            # nonsingular — its pivot IS rho_b — and parking it would
+            # clobber the held pend state); pricing re-selects the row
+            ok_b = both * (1.0 - sing_b)
+            w_b = jnp.where(oh_rm > 0, -1.0, ab_post * act)
+            c_b = ok_b / jnp.where(sval_b != 0, sval_b, 1.0)
+            # chain the main add's Schur data through the blocker's
+            # rank-one: E2 = E1 + c_b w_b w_b', g2 = g_k + ok_b g_rm oh_rm
+            g_rm = jnp.sum(oh_rm * g, axis=0, keepdims=True)
+            cross = jnp.sum(w_b * g_k, axis=0, keepdims=True) \
+                - ok_b * g_rm
+            a_main = a_post + c_b * w_b * cross
+            a_main_rm = jnp.sum(oh_rm * a_main, axis=0, keepdims=True)
+            sval = dii - (jnp.sum(g_k * a_main, axis=0, keepdims=True)
+                          + ok_b * g_rm * a_main_rm)
+            k = k_rm + ok_b
+            # rank cap counts FREE soft actives only (ldp_flat._try_add)
+            ns_act = fs_cnt - fs_rm + ok_b + contributes
         else:
-            ns_act = 0.0
-        # relative pivot gate on top of the absolute sing_tol: in f32 a
-        # ~1e-6 pivot passes the f64-era absolute gate but 1/s amplifies
-        # the rank-one update's rounding into the whole inverse — a
-        # Bland trajectory on this kernel exited OPTIMAL with x 5.8e-2
-        # off through exactly such an add (same fix as the slot kernel;
-        # a gated add goes PENDING, the reference's own singular path).
-        # A SOFT add's pivot legitimately EQUALS rho_soft (a conflicting
-        # soft row's Schur complement is exactly its Gram-diagonal
-        # regularization, factorization.c:31-40), so its gate is
-        # relative to rho, not to dii.
+            a_main = a_post
+            sval = dii - jnp.sum(g_k * a_post, axis=0, keepdims=True)
+            k = jnp.sum(act, axis=0, keepdims=True) - do_rm
+            if has_soft:
+                rm_soft = do_rm * jnp.sum(oh_rm * sf, axis=0,
+                                          keepdims=True)
+                ns_act = (jnp.sum(act * sf, axis=0, keepdims=True)
+                          - rm_soft + add_soft)
+            else:
+                ns_act = 0.0
         # relative pivot gate on top of the absolute sing_tol: in f32 a
         # ~1e-6 pivot passes the f64-era absolute gate but 1/s amplifies
         # the rank-one update's rounding into the whole inverse — a
@@ -424,8 +662,13 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         # conflicting soft row gives rho/(1+rho) — so the soft variant's
         # gate is clamped below rho (observed: the 1e-4*dii gate sent
         # those adds to PENDING and conflicting-soft lanes exited
-        # INFEASIBLE on the smoke case).
-        if has_soft:
+        # INFEASIBLE on the smoke case).  Under SW the clamp uses the
+        # lane's smallest per-side rho over its soft rows.
+        if has_sw:
+            gate = jnp.maximum(singtol,
+                               jnp.minimum(f32(1e-4) * dii,
+                                           f32(0.25) * rho_min))
+        elif has_soft:
             gate = jnp.maximum(singtol,
                                jnp.minimum(f32(1e-4) * dii,
                                            f32(0.25) * rho))
@@ -433,31 +676,63 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
             gate = jnp.maximum(singtol, f32(1e-4) * dii)
         sing = ((sval < gate) | (k >= n_true + ns_act)).astype(f32)
 
-        do_add = retry * (1.0 - bad.astype(f32)) + padd
+        if has_sw:
+            do_add = (retry + pend_readd + sw_readd) \
+                * (1.0 - bad.astype(f32)) + padd
+        else:
+            do_add = retry * (1.0 - bad.astype(f32)) + padd
         ok = do_add * (1.0 - sing)
-        w = jnp.where(add_oh > 0, -1.0, a_post * act)
-        # E pass 3: combined deletion + rescale + bordered addition
-        update_E(-do_rm / err_s, e,
-                 ok / jnp.where(sval != 0, sval, 1.0), w, keep)
+        w = jnp.where(add_oh > 0, -1.0, a_main * act)
+        # E pass 3: combined deletion + rescale [+ blocker re-add]
+        # + bordered addition
+        if has_sw:
+            update_E(-do_rm / err_s, e,
+                     ok / jnp.where(sval != 0, sval, 1.0), w, keep,
+                     c_b=c_b, w_b=w_b)
+            au = jnp.minimum(au + ok_b * oh_rm * (1.0 - rm_was_lower),
+                             1.0)
+            al = jnp.minimum(al + ok_b * oh_rm * rm_was_lower, 1.0)
+            lam = lam + ok_b * oh_rm * ls_rm
+            sfx = sfx * (1.0 - ok_b * oh_rm)      # blocker re-adds FREE
+        else:
+            update_E(-do_rm / err_s, e,
+                     ok / jnp.where(sval != 0, sval, 1.0), w, keep)
         au = jnp.minimum(au + ok * add_oh * (1.0 - add_lo), 1.0)
         al = jnp.minimum(al + ok * add_oh * add_lo, 1.0)
         lam = lam + ok * add_oh * add_lam
 
         mk_pend = do_add * sing
-        pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
+        if has_sw:
+            sfx = sfx * (1.0 - ok * add_oh) \
+                + ok * add_oh * (1.0 - free_main)
+            pd = jnp.minimum(pd * (1.0 - retry) * (1.0 - pend_block)
+                             + mk_pend, 1.0)
+            pfx = jnp.where(mk_pend > 0, 1.0 - free_main, pfx)
+        else:
+            pd = jnp.minimum((1.0 - retry) * pd + mk_pend, 1.0)
         po = jnp.where(mk_pend > 0, add_oh, po) * pd
         plm = jnp.where(mk_pend > 0, add_lam, plm)
         plo = jnp.where(mk_pend > 0, add_lo, plo)
 
         it = it + run
+        if has_sw:
+            return (au, al, lam, ls, pd, po, plm, plo, sfx, pfx, u, fv,
+                    bf, cy, rp, it, stt)
         return (au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp,
                 it, stt)
 
-    carry = (jnp.zeros((), jnp.int32),
-             au_o[:], al_o[:], lam_o[:], ls_o[:],
-             pd_o[:], po_o[:], pl_o[:], plo_o[:], u_o[:],
-             fv_o[:], bf_o[:], cy_o[:], rp_o[:], it_o[:],
-             stt_o[:])
+    if has_sw:
+        carry = (jnp.zeros((), jnp.int32),
+                 au_o[:], al_o[:], lam_o[:], ls_o[:],
+                 pd_o[:], po_o[:], pl_o[:], plo_o[:], sfx_o[:], pfx_o[:],
+                 u_o[:], fv_o[:], bf_o[:], cy_o[:], rp_o[:], it_o[:],
+                 stt_o[:])
+    else:
+        carry = (jnp.zeros((), jnp.int32),
+                 au_o[:], al_o[:], lam_o[:], ls_o[:],
+                 pd_o[:], po_o[:], pl_o[:], plo_o[:], u_o[:],
+                 fv_o[:], bf_o[:], cy_o[:], rp_o[:], it_o[:],
+                 stt_o[:])
 
     # step-level early exit: stop as soon as every lane of the tile is
     # terminal instead of burning the full ``steps`` quota (the lockstep
@@ -469,23 +744,8 @@ def _solve_tile_live(st: Settings, m: int, n: int, n_true: int, steps: int,
         return (c[0] + 1,) + body(c[0], c[1:])
 
     carry = lax.while_loop(loop_cond, loop_body, carry)
-    (_, au, al, lam, ls, pd, po, plm, plo, u, fv, bf, cy, rp, it,
-     stt) = carry
-    au_o[:] = au
-    al_o[:] = al
-    lam_o[:] = lam
-    ls_o[:] = ls
-    pd_o[:] = pd
-    po_o[:] = po
-    pl_o[:] = plm
-    plo_o[:] = plo
-    u_o[:] = u
-    fv_o[:] = fv
-    bf_o[:] = bf
-    cy_o[:] = cy
-    rp_o[:] = rp
-    it_o[:] = it
-    stt_o[:] = stt
+    for ref, val in zip(small_out, carry[1:]):
+        ref[:] = val
 
 
 def run_kernel_round(s: DenseState, st: Settings, n_true: int,
@@ -493,13 +753,18 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
                      interpret: bool = False,
                      has_soft: bool = True) -> DenseState:
     """One kernel round: ``steps`` masked iterations per lane, tiled over
-    the batch in 128-lane programs."""
+    the batch in 128-lane programs.  The SOFT_WEIGHTS variant is selected
+    by the state itself (``s.sw_dls is not None``) — a separate Mosaic
+    compile; the plain path's buffer/pass structure is unchanged."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m, n, B = s.M.shape
     assert B % LANES == 0, (B, LANES)
     grid = (B // LANES,)
+    has_sw = s.sw_dls is not None
+    if has_sw:
+        has_soft = True
 
     def spec(shape):
         nd = len(shape)
@@ -507,11 +772,15 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
         idx = (lambda g: (0,) * (nd - 1) + (g,))
         return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
 
-    in_state = [s.act_up, s.act_lo, s.E, s.lam, s.lam_star, s.pend,
-                s.pend_oh, s.pend_lam, s.pend_lo, s.u, s.fval,
-                s.best_fval, s.cycle, s.repaired, s.iterations, s.status]
+    state_names = ['act_up', 'act_lo', 'E', 'lam', 'lam_star', 'pend',
+                   'pend_oh', 'pend_lam', 'pend_lo'] \
+        + (['sfix', 'pfix'] if has_sw else []) \
+        + ['u', 'fval', 'best_fval', 'cycle', 'repaired', 'iterations',
+           'status']
+    in_state = [getattr(s, nm) for nm in state_names]
     const = [s.M, s.dupper, s.dlower, s.scaling,
-             s.immut + 2.0 * s.soft, s.fbound]
+             s.immut + 2.0 * s.soft, s.fbound] \
+        + ([s.sw_dls, s.sw_dus, s.sw_rls, s.sw_rus] if has_sw else [])
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
         + [any_spec for _ in in_state]
@@ -525,7 +794,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
     aliases = {n_const + i: i for i in range(len(in_state))}
 
     kernel = functools.partial(_kernel_body, st, m, n, n_true, steps,
-                               has_soft, bool(interpret))
+                               has_soft, has_sw, bool(interpret))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -540,12 +809,7 @@ def run_kernel_round(s: DenseState, st: Settings, n_true: int,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
     )(*const, *in_state)
-    return s._replace(act_up=outs[0], act_lo=outs[1], E=outs[2],
-                      lam=outs[3], lam_star=outs[4], pend=outs[5],
-                      pend_oh=outs[6], pend_lam=outs[7], pend_lo=outs[8],
-                      u=outs[9], fval=outs[10], best_fval=outs[11],
-                      cycle=outs[12], repaired=outs[13],
-                      iterations=outs[14], status=outs[15])
+    return s._replace(**dict(zip(state_names, outs)))
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +819,7 @@ _HI = lax.Precision.HIGHEST
 
 
 def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
-               fbound_b=None) -> DenseState:
+               fbound_b=None, sw_b=None) -> DenseState:
     """Build lanes-last state from batch-leading LDP data arrays
     ((B, m, n), (B, m), ...).
 
@@ -566,6 +830,11 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
     ``fbound_b`` is the optional per-lane LDP-space dual objective bound
     ((B,); defaults to +inf = no cut): 2*fval_bound in QP space, or a
     BnB incumbent bound (daqp.c:20-23, bnb.c:29-31).
+
+    ``sw_b`` is an optional SOFT_WEIGHTS pytree with (B, m)
+    scaling-NORMALIZED fields ``d_ls/d_us/rho_ls/rho_us`` (zeroed on
+    hard rows — the caller normalizes like ``batch._solve_one_flat``);
+    it selects the SW kernel variant.
     """
     B, m, n = M_b.shape
     f32 = jnp.float32
@@ -580,6 +849,9 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
         immut_b = jnp.pad(immut_b, ((0, 0), (0, mp)), constant_values=1.0)
         if soft_b is not None:
             soft_b = jnp.pad(soft_b, ((0, 0), (0, mp)))
+        if sw_b is not None:
+            sw_b = jax.tree_util.tree_map(
+                lambda x: jnp.pad(x, ((0, 0), (0, mp))), sw_b)
         m, n = m + mp, n + np_
     if soft_b is None:
         soft_b = jnp.zeros_like(immut_b)
@@ -588,6 +860,13 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
     T = lambda x: jnp.moveaxis(x, 0, -1)
     z_m = jnp.zeros((m, B), f32)
     z1 = jnp.zeros((1, B), f32)
+    sw_fields = {}
+    if sw_b is not None:
+        sw_fields = dict(sw_dls=T(sw_b.d_ls).astype(f32),
+                         sw_dus=T(sw_b.d_us).astype(f32),
+                         sw_rls=T(sw_b.rho_ls).astype(f32),
+                         sw_rus=T(sw_b.rho_us).astype(f32),
+                         sfix=z_m, pfix=z1)
     return DenseState(
         M=T(M_b).astype(f32), dupper=T(du_b).astype(f32),
         dlower=T(dl_b).astype(f32), scaling=T(sc_b).astype(f32),
@@ -599,20 +878,27 @@ def dense_init(M_b, du_b, dl_b, sc_b, immut_b, soft_b=None,
         pend=z1, pend_oh=z_m, pend_lam=z1, pend_lo=z1,
         u=jnp.zeros((n, B), f32), fval=z1, best_fval=z1 - 1.0,
         cycle=z1, repaired=z1, iterations=z1,
-        status=jnp.full((1, B), EXIT_RUNNING, jnp.int32))
+        status=jnp.full((1, B), EXIT_RUNNING, jnp.int32),
+        **sw_fields)
 
 
 def _gram(s: DenseState, st: Settings):
     """G = (act M)(act M)' on the active block, identity on inactive
-    rows/cols; batch-last einsum (rides the MXU)."""
+    rows/cols; batch-last einsum (rides the MXU).  Under SOFT_WEIGHTS
+    only FREE slacks carry their per-side rho on the diagonal
+    (factorization.c:31-40 SW branch; mirrors ``ldp_flat.flat_gram``)."""
     m = s.M.shape[0]
     act = s.act_up + s.act_lo                     # (m, B)
     Ma = s.M * act[:, None, :]
     G = jnp.einsum('ikb,jkb->ijb', Ma, Ma, precision=_HI)
     G = G * (act[:, None, :] * act[None, :, :])
     eye = jnp.eye(m, dtype=G.dtype)[:, :, None]
-    return G + eye * (1.0 - act)[None, :, :] \
-        + eye * (act * s.soft * st.rho_soft)[None, :, :]
+    if s.sw_dls is not None:
+        rho_w = s.act_lo * s.sw_rls + s.act_up * s.sw_rus
+        diag = act * s.soft * (1.0 - s.sfix) * rho_w
+    else:
+        diag = act * s.soft * st.rho_soft
+    return G + eye * (1.0 - act)[None, :, :] + eye * diag[None, :, :]
 
 
 def _batched_gram_inverse(Gb, st: Settings, allow_tile: bool = False):
@@ -668,6 +954,13 @@ def dense_activate(s: DenseState, up_mask, lo_mask,
     act_up = up_mask.astype(dtype)
     act_lo = lo_mask.astype(dtype)
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
+    if s.sw_dls is not None:
+        # slack FIXED/FREE state of a bulk-activated row from its seed
+        # dual lam = +-1 vs the slack bound (ldp_flat._try_add semantics)
+        free_up = (s.sw_dus <= 1.0).astype(dtype)
+        free_lo = (s.sw_dls <= 1.0).astype(dtype)
+        s2 = s2._replace(sfix=act_up * (1.0 - free_up)
+                         + act_lo * (1.0 - free_lo))
     G = _gram(s2, st)
     # allow_tile measured: no pipeline gain anywhere (configs 3-5 flat to
     # slightly down) — the activation factorization is not the wave
@@ -789,6 +1082,9 @@ def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     act_up = (keep & ~side_lo).astype(dtype)
     act_lo = (keep & side_lo).astype(dtype)
     s2 = s._replace(act_up=act_up, act_lo=act_lo)
+    if s.sw_dls is not None:
+        s2 = s2._replace(sfix=act_up * (s.sw_dus > 1.0).astype(dtype)
+                         + act_lo * (s.sw_dls > 1.0).astype(dtype))
 
     G = _gram(s2, st)
     E, ok_lane = _batched_gram_inverse(jnp.moveaxis(G, -1, 0), st)
@@ -798,11 +1094,14 @@ def warm_guess(s: DenseState, st: Settings, n_true: int) -> DenseState:
     okb = ok_lane[None, :]
     lam0 = jnp.where(keep, jnp.where(side_lo, -1.0, 1.0),
                      0.0).astype(dtype)
-    return s._replace(
+    out = s._replace(
         act_up=jnp.where(okb, act_up, s.act_up),
         act_lo=jnp.where(okb, act_lo, s.act_lo),
         E=jnp.where(okb[None, :, :], E, s.E),
         lam=jnp.where(okb, lam0, s.lam))
+    if s.sw_dls is not None:
+        out = out._replace(sfix=jnp.where(okb, s2.sfix, s.sfix))
+    return out
 
 
 def exact_repair(s: DenseState, st: Settings) -> DenseState:
@@ -843,28 +1142,77 @@ def repair_needed(s: DenseState):
         | ((s.status[0] == EXIT_CYCLE) & (s.repaired[0] == 0))
 
 
-def polish(s: DenseState, st: Settings) -> DenseState:
-    """One iterative-refinement step of (lam*, u) for optimal lanes plus a
-    re-price that re-opens a lane if a violation survives
-    (auxiliary.c:497-588 + the optimal-path re-check, daqp.c:47-63).
-    Runs OUTSIDE the round loop — accuracy work, not progress work."""
+def newton_refresh(s: DenseState, st: Settings) -> DenseState:
+    """One Newton step E <- E(2I - G E) of the inverse Gram against the
+    exactly-rebuilt Gram — the dense-mask analogue of
+    ``pallas_slot.newton_refresh`` (see its docstring for the failure
+    mode it repairs).  Guarded by the contraction condition
+    ||G E - I|| < 1/2 per lane.  Without it, the refinement in ``polish``
+    corrects through a drifted f32 inverse and can STALL: an SW lane with
+    an ill-conditioned 7-row working set exited SOFT_OPTIMAL with a hard
+    ACTIVE row violated by 2.4e-4 (the active-row residual is invisible
+    to the re-price, which only checks inactive rows) —
+    tests/test_pallas_sw.py's defaults differential caught it."""
+    act = s.act_up + s.act_lo
+    actm = act[:, None, :] * act[None, :, :]
+    G = _gram(s, st)                              # (m, m, B)
+    m = s.M.shape[0]
+    eye = jnp.eye(m, dtype=s.E.dtype)[:, :, None]
+    Iu = eye * act[None, :, :]
+    P = jnp.einsum('ikb,kjb->ijb', G, s.E, precision=_HI) * actm
+    resid = jnp.max(jnp.abs(P - Iu), axis=(0, 1))          # (B,)
+    E_new = jnp.einsum('ikb,kjb->ijb', s.E, 2.0 * Iu - P,
+                       precision=_HI) * actm
+    okf = (resid < 0.5).astype(s.E.dtype)[None, None, :]
+    return s._replace(E=okf * E_new + (1.0 - okf) * s.E)
+
+
+def polish(s: DenseState, st: Settings, refine_steps: int = 2) -> DenseState:
+    """``refine_steps`` chained iterative-refinement steps of (lam*, u)
+    for optimal lanes plus a re-price that re-opens a lane if a violation
+    survives (auxiliary.c:497-588 + the optimal-path re-check,
+    daqp.c:47-63).  Runs OUTSIDE the round loop — accuracy work, not
+    progress work.  E is Newton-polished against the exact Gram first so
+    the refinement corrects through a tight inverse (see
+    ``newton_refresh``).  Two chained steps for the same reason as
+    ``ldp_flat.flat_polish``: one step through a drifted f32 E left a
+    soft-heavy lane 2.5e-4 off with a clean flag."""
+    s = newton_refresh(s, st)
     act = s.act_up + s.act_lo
     is_opt = (s.status[0] == EXIT_OPTIMAL) \
         | (s.status[0] == EXIT_SOFT_OPTIMAL)
     d_W = s.act_up * s.dupper + s.act_lo * s.dlower
-    # lanes-last multiply-reduce contractions: a batch-last einsum would
-    # physically transpose the 40+ MB E buffer every call
-    r = jnp.sum(s.M * s.u[None, :, :], axis=1) - d_W
-    r = (r - st.rho_soft * s.soft * s.lam_star) * act
-    dlam = jnp.sum(s.E * r[None, :, :], axis=1)
-    okl = is_opt & jnp.all(jnp.isfinite(dlam), axis=0)
-    lam_star = s.lam_star + jnp.where(okl[None, :], dlam * act, 0)
-    u2 = s.u - jnp.sum(s.M * jnp.where(okl[None, :], dlam * act,
-                                       0)[:, None, :], axis=0)
+    if s.sw_dls is not None:
+        free_soft = act * s.soft * (1.0 - s.sfix)
+        rho_w = s.act_lo * s.sw_rls + s.act_up * s.sw_rus
+        d_slack = s.act_lo * s.sw_dls - s.act_up * s.sw_dus
+
+    def residual(lam_star, u):
+        # lanes-last multiply-reduce contractions: a batch-last einsum
+        # would physically transpose the 40+ MB E buffer every call
+        r = jnp.sum(s.M * u[None, :, :], axis=1) - d_W
+        if s.sw_dls is not None:
+            # FREE soft slacks: per-side weight + slack-bound term in the
+            # residual (auxiliary.c:522-533; ldp_flat.flat_polish)
+            return (r - free_soft * rho_w * (lam_star + d_slack)) * act
+        return (r - st.rho_soft * s.soft * lam_star) * act
+
+    lam_star, u2, okl = s.lam_star, s.u, is_opt
+    for _ in range(refine_steps):
+        dlam = jnp.sum(s.E * residual(lam_star, u2)[None, :, :], axis=1)
+        okl = okl & jnp.all(jnp.isfinite(dlam), axis=0)
+        dlam = jnp.where(okl[None, :], dlam * act, 0)
+        lam_star = lam_star + dlam
+        u2 = u2 - jnp.sum(s.M * dlam[:, None, :], axis=0)
+    lam_star = jnp.where(okl[None, :], lam_star, s.lam_star)
     u2 = jnp.where(okl[None, :], u2, s.u)
-    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True) \
-        + st.rho_soft * jnp.sum(s.soft * act * lam_star * lam_star,
-                                axis=0, keepdims=True)
+    if s.sw_dls is not None:
+        slack2 = jnp.sum(s.soft * act * rho_w * lam_star * lam_star,
+                         axis=0, keepdims=True)
+    else:
+        slack2 = st.rho_soft * jnp.sum(s.soft * act * lam_star
+                                       * lam_star, axis=0, keepdims=True)
+    fv2 = jnp.sum(u2 * u2, axis=0, keepdims=True) + slack2
     mu = jnp.sum(s.M * u2[None, :, :], axis=1)
     blocked = (act > 0) | (s.immut > 0)
     viol = (((s.dupper - mu) < -st.primal_tol * s.scaling)
@@ -874,9 +1222,12 @@ def polish(s: DenseState, st: Settings) -> DenseState:
     # drifted E had wrongly accepted — re-open the lane
     up_bad = (lam_star < -st.dual_tol).astype(act.dtype)
     lo_bad = (lam_star > st.dual_tol).astype(act.dtype)
-    dual_bad = jnp.any(
-        ((s.act_lo * lo_bad + s.act_up * up_bad)
-         * (1.0 - s.immut)) > 0, axis=0)
+    bad_rows = (s.act_lo * lo_bad + s.act_up * up_bad) * (1.0 - s.immut)
+    if s.sw_dls is not None:
+        # SW soft rows follow the slack-bound rules, not the hard sign
+        # convention (ldp_flat.flat_polish)
+        bad_rows = bad_rows * (1.0 - s.soft)
+    dual_bad = jnp.any(bad_rows > 0, axis=0)
     reopen = okl & (jnp.any(viol, axis=0) | dual_bad)
     return s._replace(
         lam_star=jnp.where(okl[None, :], lam_star, s.lam_star),

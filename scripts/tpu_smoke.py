@@ -112,6 +112,35 @@ def main():
     print("soft batch:", "FAIL" if len(failures) > nf0 else "ok",
           flush=True)
 
+    # --- SOFT_WEIGHTS variant (has_sw kernel compile; slack state
+    # machine + aliased sfix/pfix buffers) vs the flat SW tier ----------
+    nf0 = len(failures)
+    from tests.test_pallas_sw import _make_batch
+    B, n, m = 128, 6, 14
+    soft_rows = [0, 3, 7, 11]
+    Hs, fs, As, bus, bls, sense, sw, _ = _make_batch(
+        B, n, m, soft_rows, seed=57)
+    stsw = _as_settings({"iter_limit": 500}, jnp.float32)
+    res = batch_mod.solve_batch_pallas_jit(
+        jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+        jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), stsw,
+        ms=0, sw=sw)
+    res_f = batch_mod.solve_batch_flat_jit(
+        jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+        jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), stsw,
+        ms=0, K=n + len(soft_rows) + 1, sw=sw)
+    flags = np.asarray(res.exitflag)
+    flags_f = np.asarray(res_f.exitflag)
+    if not (np.all(flags > 0) and np.all(flags_f > 0)):
+        failures.append(f"sw: flags {np.unique(flags)} vs flat "
+                        f"{np.unique(flags_f)}")
+    else:
+        dx = np.abs(np.asarray(res.x) - np.asarray(res_f.x)).max()
+        if dx > 5e-4:
+            failures.append(f"sw: kernel-vs-flat dx {dx}")
+    print("SOFT_WEIGHTS batch:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
     # --- warm/equality bulk activation (dense_activate path) ------------
     nf0 = len(failures)
     B, n, m = 128, 10, 24
