@@ -42,4 +42,8 @@ def __getattr__(name):
         from .geometry import isfeasible
         globals()[name] = isfeasible
         return isfeasible
+    if name == "warmup":
+        from .precompile import warmup
+        globals()[name] = warmup
+        return warmup
     raise AttributeError(name)

@@ -1,6 +1,14 @@
 """Debug the defaults-match-plain SW dense-kernel divergence (one lane
 ends 2.45e-4 from the plain kernel).  Which side is off the f64 lifted
-truth, and what differs structurally (working set, iterations, flags)?"""
+truth, and what differs structurally (working set, iterations, flags)?
+
+Resolution (round 4): the SW side exited SOFT_OPTIMAL with a hard ACTIVE
+row violated by 2.4e-4 — refinement stalling through a drifted f32 E;
+fixed by ``pallas_batch.newton_refresh`` in ``polish``.  CAVEAT reading
+this script's "lifted truth" columns: x64 is NOT enabled here, so the
+"f64" lift/single-instance solves silently truncate to f32 (the
+2.1e-3-level "hard_viol" on the lift is that truncation, not a solver
+defect — with jax_enable_x64 the lift solves to 5e-14)."""
 import sys
 sys.path.insert(0, '/root/repo')
 import numpy as np

@@ -212,12 +212,33 @@ def main():
             ms=0, K=n + ns + 1, sw=sw)
         flags = np.asarray(r.exitflag)
         xs = np.asarray(r.x)
+        # SW dense-mask kernel tier (f32, interpret) on the same batch
+        st32 = _as_settings({"iter_limit": 2000}, jnp.float32)
+        f32a = lambda a: jnp.asarray(a, jnp.float32)
+        rk = batch_mod.solve_batch_pallas_jit(
+            f32a(Hs), f32a(fs), f32a(As), f32a(bus), f32a(bls),
+            jnp.asarray(sense), st32, ms=0, interpret=True,
+            sw=SoftWeights(*(f32a(v) for v in
+                             (d_ls, d_us, rho_ls, rho_us))))
+        kflags = np.asarray(rk.exitflag)
+        kxs = np.asarray(rk.x)
         for b in range(B):
             one = daqp_tpu.quadprog(
                 Hs[b], fs[b], As[b], bus[b], bls[b], sense[b], ms=0,
                 soft_weights={'d_ls': d_ls[b], 'd_us': d_us[b],
                               'rho_ls': rho_ls[b], 'rho_us': rho_us[b]},
                 settings={"iter_limit": 2000})
+            if int(kflags[b]) > 0 and int(one.exitflag) > 0:
+                if np.abs(kxs[b] - np.asarray(one.x)).max() > 5e-4:
+                    issues.append((seed, 'sw-kernel', n, m, ns, b, 'x',
+                                   float(np.abs(kxs[b]
+                                                - np.asarray(one.x)).max())))
+            elif int(kflags[b]) != int(one.exitflag) \
+                    and int(kflags[b]) != -2:
+                # EXIT_CYCLE lanes escalate through backstop_resolve on
+                # the production driver; here only log true flag splits
+                issues.append((seed, 'sw-kernel', n, m, ns, b, 'flag',
+                               int(kflags[b]), int(one.exitflag)))
             if int(flags[b]) > 0 and int(one.exitflag) > 0:
                 if np.abs(xs[b] - np.asarray(one.x)).max() > 1e-5:
                     issues.append((seed, 'sw', n, m, ns, b, 'x',
