@@ -271,11 +271,12 @@ def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "chunk",
-                                             "has_soft"))
+                                             "has_soft", "interpret"))
 def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
                                   st: Settings, ms: int = 0,
                                   chunk: int = 256, has_soft: bool = False,
-                                  deadline=None, sw=None) -> BatchResult:
+                                  deadline=None, sw=None,
+                                  interpret: bool = False) -> BatchResult:
     """One-dispatch streaming variant of ``solve_batch_pallas_jit``: the
     whole (large) batch is processed in ``chunk``-lane kernel waves
     inside a single jitted program via ``lax.map``.
@@ -295,6 +296,8 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
     trivial instances inside ``_pallas_batch_core``'s own lane padding
     by rounding B up to a chunk multiple here.
     """
+    if sw is not None:
+        has_soft = True          # SW batches run the dense-mask kernel
     B = H.shape[0]
     n = A.shape[-1]
     pad = (-B) % chunk
@@ -313,7 +316,8 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
             padded(sense, jnp.zeros((mm,), jnp.int32)),
             st, ms=ms, chunk=chunk, has_soft=has_soft, deadline=deadline,
             sw=None if sw is None else jax.tree_util.tree_map(
-                lambda x: padded(x, jnp.zeros(x.shape[1:])), sw))
+                lambda x: padded(x, jnp.zeros(x.shape[1:])), sw),
+            interpret=interpret)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     C = B // chunk
     data = tuple(x.reshape((C, chunk) + x.shape[1:])
@@ -324,7 +328,7 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
     def one(args):
         return _pallas_batch_core(*args[:6], st=st, ms=ms,
                                   has_soft=has_soft, deadline=deadline,
-                                  sw=args[6])
+                                  sw=args[6], interpret=interpret)
 
     parts = lax.map(one, data + (sw_c,))
     return jax.tree_util.tree_map(

@@ -156,6 +156,26 @@ def test_pallas_sw_defaults_match_plain_soft_kernel():
     assert ds < 1e-5, ds
 
 
+def test_pallas_sw_stream_tier_pad_branch():
+    # streaming variant with B % chunk != 0: exercises the trivial-lane
+    # SW padding and the lax.map sw threading; must match the per-call
+    # kernel tier exactly (identical per-lane programs)
+    B, n, m = 24, 5, 12
+    soft_rows = [0, 2, 5, 8, 10]
+    Hs, fs, As, bus, bls, sense, sw, _ = _make_batch(
+        B, n, m, soft_rows, seed=91, d_scale=1.5, rho_lo=2.0)
+    st = _as_settings({"iter_limit": 500}, jnp.float32)
+    res = _solve_kernel(Hs, fs, As, bus, bls, sense, sw, st)
+    res_s = batch_mod.solve_batch_pallas_stream_jit(
+        jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+        jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(sense), st,
+        ms=0, chunk=16, sw=sw, interpret=True)
+    assert np.array_equal(np.asarray(res.exitflag),
+                          np.asarray(res_s.exitflag))
+    dx = np.abs(np.asarray(res.x) - np.asarray(res_s.x)).max()
+    assert dx < 1e-6, dx
+
+
 def test_pallas_sw_equality_activation():
     # SW batch with an equality row (bulk activation path): the activated
     # row's Gram and the SW rows' slack states must coexist.
