@@ -49,12 +49,16 @@ def bench_body():
     from tests.gen import generate_test_qp_batch
 
     B_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
-    # Per-call batch 256 measured FASTER than 1024 on v5e (49.5k vs 41.1k
-    # solves/s at 10240 total): smaller enqueued programs pipeline better
-    # and the 2-tile rounds track their own convergence, while per-call
-    # dispatch still amortizes.  Scan: 128→47.6k, 256→49.5k, 512→46.9k,
-    # 1024→41.1k, 2048→32.5k.
-    B = 256                          # per-call batch
+    mode = sys.argv[2] if len(sys.argv) > 2 else "stream"
+    # Headline mode "stream" (round 5): ONE dispatch processes the whole
+    # stream in 256-lane kernel waves via lax.map, globally sorted by
+    # the difficulty proxy before chunking.  Round-4 measurements that
+    # motivated this: 40 separate 256-lane calls paid ~45 ms of a 154 ms
+    # wall in pure host/tunnel dispatch, and per-call difficulty sorting
+    # reached only 73.1% tile occupancy vs 99.1% for a globally sorted
+    # stream (scripts/occupancy.py).  Mode "calls" keeps the round-4
+    # per-call pipeline for A/B.
+    B = 256                          # kernel wave within the stream
     NB = max(1, B_total // B)
     n, m, ms, nact, kappa = 50, 100, 0, 40, 1e2
 
@@ -63,40 +67,66 @@ def bench_body():
     st = _as_settings({"iter_limit": 1000}, jnp.float32)
 
     keys = ('H', 'f', 'A', 'bupper', 'blower', 'sense')
-    batches = [[jnp.asarray(d[k][i * B:(i + 1) * B]) for k in keys]
-               for i in range(NB)]
-    _ = [np.asarray(b[0][0, 0, 0]) for b in batches]   # inputs resident
-
-    def solve(b):
-        # has_soft=False explicitly: the auto-dispatch would inspect the
-        # sense array (a small host transfer) on every pipelined call
-        return batch_mod.solve_batch_pallas_jit(*b, st=st, ms=ms,
-                                                has_soft=False)
-
-    # compile + warm; accuracy gate over ALL batches (one device-side
-    # stack per field, ONE host fetch each — per-batch fetches would
-    # serialize ~32 ms of tunnel round-trip per batch)
-    stack = jax.jit(lambda *fs: jnp.stack(fs))
-    warm = [solve(b) for b in batches]
-    xs = np.asarray(stack(*[r.x for r in warm])).reshape(NB * B, n)
-    flags_all = np.asarray(stack(*[r.exitflag for r in warm])).reshape(-1)
-    err = np.linalg.norm(xs - d['x'], axis=1)
-    ok = float(np.mean((flags_all == 1) & (err < 1e-4)))
-
-    # One device-side stack + ONE host transfer as the true sync: the
-    # stacked array depends on every batch, and the chip executes
-    # enqueued programs in order, so fetching it proves all solves are
-    # done.  (Measured: a trivial jitted call syncs at 32 ms when
-    # fetched, 3.9 ms when pipelined — that is transfer latency, not
-    # solver throughput.)
     total = NB * B
-    best = None
-    for _rep in range(3):   # best-of-3: tunnel timing varies +-10%
-        t0 = time.perf_counter()
-        rs = [solve(b) for b in batches]
-        flags = np.asarray(stack(*[r.exitflag for r in rs])).reshape(-1)
-        t1 = time.perf_counter()
-        best = min(best, t1 - t0) if best is not None else t1 - t0
+
+    if mode == "stream":
+        full = [jnp.asarray(d[k]) for k in keys]
+        _ = np.asarray(full[0][0, 0, 0])               # inputs resident
+
+        def solve():
+            return batch_mod.solve_batch_pallas_stream_jit(
+                *full, st=st, ms=ms, chunk=B, has_soft=False,
+                sort_stream=True)
+
+        warm = solve()
+        xs = np.asarray(warm.x)
+        flags_all = np.asarray(warm.exitflag)
+        err = np.linalg.norm(xs - d['x'], axis=1)
+        ok = float(np.mean((flags_all == 1) & (err < 1e-4)))
+        med_iters = int(np.median(np.asarray(warm.iterations)))
+
+        best = None
+        for _rep in range(3):   # best-of-3: tunnel timing varies +-10%
+            t0 = time.perf_counter()
+            r = solve()
+            flags = np.asarray(r.exitflag)   # ONE fetch = the true sync
+            t1 = time.perf_counter()
+            best = min(best, t1 - t0) if best is not None else t1 - t0
+    else:
+        batches = [[jnp.asarray(d[k][i * B:(i + 1) * B]) for k in keys]
+                   for i in range(NB)]
+        _ = [np.asarray(b[0][0, 0, 0]) for b in batches]   # resident
+
+        def solve_b(b):
+            # has_soft=False explicitly: the auto-dispatch would inspect
+            # the sense array (a host transfer) on every pipelined call
+            return batch_mod.solve_batch_pallas_jit(*b, st=st, ms=ms,
+                                                    has_soft=False)
+
+        # compile + warm; accuracy gate over ALL batches (one device-side
+        # stack per field, ONE host fetch each — per-batch fetches would
+        # serialize ~32 ms of tunnel round-trip per batch)
+        stack = jax.jit(lambda *fs: jnp.stack(fs))
+        warm = [solve_b(b) for b in batches]
+        xs = np.asarray(stack(*[r.x for r in warm])).reshape(total, n)
+        flags_all = np.asarray(
+            stack(*[r.exitflag for r in warm])).reshape(-1)
+        err = np.linalg.norm(xs - d['x'], axis=1)
+        ok = float(np.mean((flags_all == 1) & (err < 1e-4)))
+        med_iters = int(np.median(np.asarray(warm[0].iterations)))
+
+        # One device-side stack + ONE host transfer as the true sync: the
+        # stacked array depends on every batch, and the chip executes
+        # enqueued programs in order, so fetching it proves all solves
+        # are done.
+        best = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            rs = [solve_b(b) for b in batches]
+            flags = np.asarray(
+                stack(*[r.exitflag for r in rs])).reshape(-1)
+            t1 = time.perf_counter()
+            best = min(best, t1 - t0) if best is not None else t1 - t0
     solves_per_sec = total / best
 
     print(json.dumps({
@@ -105,11 +135,12 @@ def bench_body():
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 100000.0, 4),
+        "mode": mode,
         "batches": NB,
         "batch_size": B,
         "accuracy_pass_rate": ok,
         "optimal_rate": float(np.mean(flags == 1)),
-        "median_iters": int(np.median(np.asarray(warm[0].iterations))),
+        "median_iters": med_iters,
         "wall_s": round(best, 4),
     }))
 

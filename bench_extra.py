@@ -222,6 +222,58 @@ def bench_miqp(jnp, st):
     }
 
 
+def bench_lp(jnp, st):
+    # batched LP tier at the suite.py shape (the ROUND4 794/s row):
+    # adaptive-eps proximal LP over the whole-batch slot kernel
+    import jax
+    from daqp_tpu import batch as batch_mod
+    from daqp_tpu.api import _as_settings
+    from tests.gen import generate_test_lp
+
+    B, n, m, ms = 256, 10, 50, 0
+    rng = np.random.default_rng(17)
+    probs = [generate_test_lp(n, m, ms, rng) for _ in range(B)]
+    xs = np.stack([p[0] for p in probs])
+    fs = jnp.asarray(np.stack([p[1] for p in probs]), jnp.float32)
+    As = jnp.asarray(np.stack([p[2] for p in probs]), jnp.float32)
+    bus = jnp.asarray(np.stack([p[3] for p in probs]), jnp.float32)
+    bls = jnp.asarray(np.stack([p[4] for p in probs]), jnp.float32)
+    se = jnp.zeros((B, m), jnp.int32)
+    stl = _as_settings({"iter_limit": 3000}, jnp.float32)
+
+    run = lambda fs_: batch_mod.solve_batch_lp_pallas_jit(
+        fs_, As, bus, bls, se, stl, ms=ms)
+    out = run(fs)
+    flags0 = np.asarray(out.exitflag)
+    x0 = np.asarray(out.x)
+    # LP accuracy gate = the reference benchmark's relative-objective +
+    # feasibility criterion (benchmark.jl LP suites; degenerate vertices
+    # make ||x - xref|| ill-posed)
+    fv_ref = np.einsum('bn,bn->b', np.asarray(fs), xs)
+    fv_got = np.einsum('bn,bn->b', np.asarray(fs), x0)
+    gap = np.abs(fv_got - fv_ref) / (1.0 + np.abs(fv_ref))
+    Ax = np.einsum('bmn,bn->bm', np.asarray(As), x0)
+    feas = np.maximum((Ax - np.asarray(bus)).max(axis=1),
+                      (np.asarray(bls) - Ax).max(axis=1))
+    ok = (flags0 == 1) & (gap < 1e-4) & (feas < 1e-4)
+    best = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        outs = [run(fs * (1.0 + 1e-5 * i)) for i in range(4)]
+        flags = _stack_fetch(jnp, [o.exitflag for o in outs]).reshape(-1)
+        t1 = time.perf_counter()
+        best = min(best, t1 - t0) if best is not None else t1 - t0
+    total = 4 * B
+    return {
+        "metric": "configLP batched LP tier",
+        "value": round(total / best, 1), "unit": "LP solves/s",
+        "batch": B, "n": n, "m": m,
+        "optimal_rate": float(np.mean(flags == 1)),
+        "accuracy_pass_rate": float(np.mean(ok)),
+        "wall_s": round(best, 4),
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -230,14 +282,26 @@ def main():
     sys.path.insert(0, '.')
     from daqp_tpu.api import _as_settings
 
+    out_path = None
+    argv = list(sys.argv[1:])
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+
     st = _as_settings({"iter_limit": 1000}, jnp.float32)
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    which = argv[0] if argv else "all"
     runs = {"3": bench_mpc, "4": bench_prox, "4b": bench_hiqp,
-            "5": bench_miqp}
+            "5": bench_miqp, "lp": bench_lp}
     for key, fn in runs.items():
         if which not in ("all", key):
             continue
-        print(json.dumps(fn(jnp, st)), flush=True)
+        rec = fn(jnp, st)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if out_path:
+            with open(out_path, "a") as fh:
+                fh.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -221,7 +221,7 @@ def solve_batch_flat_jit(H, f, A, bupper, blower, sense, st: Settings,
 def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
                            ms: int = 0, interpret: bool = False,
                            has_soft=None, deadline=None,
-                           sw=None) -> BatchResult:
+                           sw=None, guess_cap=None) -> BatchResult:
     """Batched strictly-convex QP solve on the Pallas mega-kernel path
     (``ops.pallas_batch``): the whole active-set loop runs VMEM-resident
     in 128-lane tiles; numerical repair runs between kernel rounds on the
@@ -256,27 +256,33 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
     return _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st,
                                     ms=ms, interpret=interpret,
                                     has_soft=bool(has_soft),
-                                    deadline=deadline, sw=sw)
+                                    deadline=deadline, sw=sw,
+                                    guess_cap=guess_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
-                                             "has_soft"))
+                                             "has_soft", "guess_cap"))
 def _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st: Settings,
                              ms: int = 0, interpret: bool = False,
                              has_soft: bool = False,
-                             deadline=None, sw=None) -> BatchResult:
+                             deadline=None, sw=None,
+                             guess_cap=None) -> BatchResult:
     return _pallas_batch_core(H, f, A, bupper, blower, sense, st, ms=ms,
                               interpret=interpret, has_soft=has_soft,
-                              deadline=deadline, sw=sw)
+                              deadline=deadline, sw=sw,
+                              guess_cap=guess_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "chunk",
-                                             "has_soft", "interpret"))
+                                             "has_soft", "interpret",
+                                             "sort_stream", "guess_cap"))
 def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
                                   st: Settings, ms: int = 0,
                                   chunk: int = 256, has_soft: bool = False,
                                   deadline=None, sw=None,
-                                  interpret: bool = False) -> BatchResult:
+                                  interpret: bool = False,
+                                  sort_stream: bool = False,
+                                  guess_cap=None) -> BatchResult:
     """One-dispatch streaming variant of ``solve_batch_pallas_jit``: the
     whole (large) batch is processed in ``chunk``-lane kernel waves
     inside a single jitted program via ``lax.map``.
@@ -291,6 +297,16 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
     tiles stop at the CHUNK's own max iteration, and the 128-lane tiles
     within it at their own — see the kernel early exit) while the map
     serializes waves back-to-back with no host involvement.
+
+    ``sort_stream=True`` additionally sorts the WHOLE stream by the
+    difficulty proxy (violated-constraint count at the unconstrained
+    optimum) before chunking, so 128-lane lockstep tiles are
+    iteration-homogeneous across the entire batch, not just within one
+    chunk (scripts/occupancy.py: per-call sorting reached 73.1% tile
+    occupancy on BASELINE config 2, a globally sorted stream bounds it
+    at 99.1%).  The factorization computed for the proxy is reused by
+    the chunk solves (not recomputed).  Outputs are returned in input
+    order.
 
     ``B`` need not divide ``chunk``: the remainder is padded with
     trivial instances inside ``_pallas_batch_core``'s own lane padding
@@ -317,30 +333,96 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
             st, ms=ms, chunk=chunk, has_soft=has_soft, deadline=deadline,
             sw=None if sw is None else jax.tree_util.tree_map(
                 lambda x: padded(x, jnp.zeros(x.shape[1:])), sw),
-            interpret=interpret)
+            interpret=interpret, sort_stream=sort_stream,
+            guess_cap=guess_cap)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+    fact = None
+    unsort = None
+    if sort_stream:
+        # Global difficulty sort.  The tile-layout factorization kernel
+        # handles the full stream in one grid launch (grid-based Pallas,
+        # not a vmapped XLA loop — outside the v5e B>=1024 miscompile
+        # class, see scripts/repro_v5e_bool_scatter.py); its Rinv is
+        # reused by the chunk solves below so the proxy costs two
+        # batched matvecs, not a second factorization.
+        use_tile = (jax.default_backend() == 'tpu') and not interpret \
+            and H.dtype == jnp.float32 and (B % 128 == 0)
+        if use_tile:
+            from .ops import chol as chol_ops
+            with jax.default_matmul_precision('high'):
+                fact = chol_ops.batched_rinv_regularized(H, st)
+            nv = _difficulty_nviol(H, f, A, bupper, blower, ms,
+                                   Rinv_b=fact[0])
+        else:
+            nv = _difficulty_nviol(H, f, A, bupper, blower, ms)
+        order = jnp.argsort(nv)
+        unsort = jnp.argsort(order)
+        H, f, A, bupper, blower, sense = (
+            x[order] for x in (H, f, A, bupper, blower, sense))
+        if sw is not None:
+            sw = jax.tree_util.tree_map(lambda x: x[order], sw)
+        if fact is not None:
+            fact = jax.tree_util.tree_map(lambda x: x[order], fact)
+
     C = B // chunk
     data = tuple(x.reshape((C, chunk) + x.shape[1:])
                  for x in (H, f, A, bupper, blower, sense))
     sw_c = None if sw is None else jax.tree_util.tree_map(
         lambda x: x.reshape((C, chunk) + x.shape[1:]), sw)
+    fact_c = None if fact is None else jax.tree_util.tree_map(
+        lambda x: x.reshape((C, chunk) + x.shape[1:]), fact)
 
     def one(args):
         return _pallas_batch_core(*args[:6], st=st, ms=ms,
                                   has_soft=has_soft, deadline=deadline,
-                                  sw=args[6], interpret=interpret)
+                                  sw=args[6], interpret=interpret,
+                                  fact=args[7], guess_cap=guess_cap)
 
-    parts = lax.map(one, data + (sw_c,))
-    return jax.tree_util.tree_map(
+    parts = lax.map(one, data + (sw_c, fact_c))
+    out = jax.tree_util.tree_map(
         lambda x: x.reshape((B,) + x.shape[2:]), parts)
+    if unsort is not None:
+        out = jax.tree_util.tree_map(lambda x: x[unsort], out)
+    return out
+
+
+def _difficulty_nviol(H, f, A, bupper, blower, ms: int, Rinv_b=None):
+    """Violated-constraint count at the unconstrained optimum — the
+    difficulty proxy used for iteration-homogeneous 128-lane tiling
+    (tracks the number of active-set changes the solver must make).
+
+    Equivalent to the in-core LDP-space count (``dupper < 0 | dlower >
+    0``: row normalization preserves signs) but computed pre-transform,
+    so it can order the stream BEFORE per-chunk LDP builds.  With
+    ``Rinv_b`` given, ``x_unc = -Rinv Rinv' f``; else a batched dense
+    solve (CPU/test path).
+    """
+    if Rinv_b is not None:
+        x_unc = -jnp.einsum('bij,bkj,bk->bi', Rinv_b, Rinv_b, f,
+                            precision=lax.Precision.HIGHEST)
+    else:
+        Hs = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+        x_unc = jnp.linalg.solve(Hs, -f[..., None])[..., 0]
+    Ax = jnp.einsum('bmn,bn->bm', A, x_unc,
+                    precision=lax.Precision.HIGHEST)
+    vals = jnp.concatenate([x_unc[:, :ms], Ax], axis=1)
+    return jnp.sum((vals > bupper) | (vals < blower), axis=-1)
 
 
 def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
                        ms: int = 0, interpret: bool = False,
                        has_soft: bool = False,
-                       deadline=None, sw=None) -> BatchResult:
+                       deadline=None, sw=None, fact=None,
+                       guess_cap=None) -> BatchResult:
     """Traceable core of the Pallas-kernel batched solve (called directly
-    by the sharded path inside ``shard_map``)."""
+    by the sharded path inside ``shard_map``).
+
+    ``fact``: optional precomputed ``(Rinv, ok, reg_mask, eps_used)``
+    from ``ops.chol.batched_rinv_regularized`` (the sorted-stream path
+    computes it once globally for the difficulty proxy and reuses it
+    here instead of refactorizing per chunk).
+    """
     from .ops import pallas_batch as pb
     from .types import IMMUTABLE, EXIT_UNSUPPORTED
 
@@ -367,10 +449,14 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         sense = padded(sense, jnp.zeros((mm,), jnp.int32))
         if sw is not None:
             sw = jax.tree_util.tree_map(lambda x: padded(x, 0.0), sw)
+        if fact is not None:
+            Rp, okp, regp, epsp = fact
+            fact = (padded(Rp, jnp.eye(n)), padded(okp, True),
+                    padded(regp, False), padded(epsp, 0.0))
         out = _pallas_batch_core(H, f, A, bupper, blower, sense, st,
                                  ms=ms, interpret=interpret,
                                  has_soft=has_soft, deadline=deadline,
-                                 sw=sw)
+                                 sw=sw, fact=fact, guess_cap=guess_cap)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     # 'high' (3-pass bf16, ~f32 accurate) for the decomposition internals
     # (cholesky/triangular expanders follow the context); the numerically
@@ -385,13 +471,17 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
         # still-failing lane is flagged EXIT_NONCONVEX.  The diagonal-H
         # semi-proximal fast path is NOT taken here (batch path requires
         # PD H; dense factorization of a PD diagonal H is identical).
-        use_tile = (jax.default_backend() == 'tpu') and not interpret \
-            and H.dtype == jnp.float32 and (H.shape[0] % 128 == 0)
+        use_tile = fact is not None or (
+            (jax.default_backend() == 'tpu') and not interpret
+            and H.dtype == jnp.float32 and (H.shape[0] % 128 == 0))
         if use_tile:
             from .ops import chol as chol_ops
             from .types import EXIT_NONCONVEX
-            Rinv_b, okl, regl, eps_l = chol_ops.batched_rinv_regularized(
-                H, st)
+            if fact is not None:
+                Rinv_b, okl, regl, eps_l = fact
+            else:
+                Rinv_b, okl, regl, eps_l = \
+                    chol_ops.batched_rinv_regularized(H, st)
             ldpd = jax.vmap(
                 lambda H_, f_, A_, bu_, bl_, se_, R_: transform.build_ldp(
                     H_, f_, A_, bu_, bl_, se_, ms, st, Rinv=R_))(
@@ -483,12 +573,70 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
             # path.  Any lane carrying SOFT bits is flagged
             # EXIT_UNSUPPORTED below instead of silently dropping rows.
             from .ops import pallas_slot as ps
+            from .ldp_flat import EXIT_REFACTOR
             s = ps.slot_init(ldpd.M, ldpd.dupper, ldpd.dlower,
                              ldpd.scaling, immut, n_true=n, fbound_b=fb)
-            s = jax.lax.cond(jnp.any(act_bits),
-                             lambda s: ps.slot_activate(s, up_l, lo_l,
-                                                        st),
-                             lambda s: s, s)
+
+            def user_act(s):
+                return ps.slot_activate(s, up_l, lo_l, st)
+
+            gcap = 0 if guess_cap is None else guess_cap
+
+            def guess_act(s):
+                # Primal-init active-set guess (the batched analogue of
+                # the reference's warm-start activation,
+                # daqp_primal_init_active api.c:555-592, applied at the
+                # unconstrained optimum u = 0): bulk-activate the top-k
+                # most-violated rows with ONE batched activation
+                # Cholesky instead of ~k pricing/add kernel steps.
+                # Wrongly guessed rows are dual-infeasible at the first
+                # CSP and leave through the ordinary blocking search; a
+                # lane whose guessed set is numerically dependent
+                # reverts to its cold start below.
+                #
+                # DEFAULT OFF — measured a NET LOSS on v5e (BASELINE
+                # config 2, scripts/guess_scan.py, round 5): the top-10
+                # guessed rows are essentially always correct (cap=10
+                # cuts median iters 97->87, exactly the cap) but the
+                # saving saturates at ~16 iterations by cap=30 while the
+                # activation branch costs ~1.5 ms per 256-lane chunk —
+                # scan: cap 0 = 56.8k solves/s, cap 10/20/30/40 = 43.2 /
+                # 43.0 / 45.1 / 43.7k.  Kept as an opt-in variant
+                # (guess_cap=k) for shapes where cold iterations
+                # dominate harder.
+                if gcap <= 0:
+                    return s
+                viol = jnp.maximum(-ldpd.dupper, ldpd.dlower)  # (B, m)
+                elig = (viol > 0) & (immut <= 0)
+                order = jnp.argsort(
+                    jnp.where(elig, -viol, jnp.inf), axis=-1)
+                rank = jnp.argsort(order, axis=-1)
+                pick = elig & (rank < gcap)
+                gup = pick & (ldpd.dupper < 0)
+                glo = pick & ~(ldpd.dupper < 0)
+                pad8 = (-m) % 8
+                gup_l = jnp.moveaxis(
+                    jnp.pad(gup, ((0, 0), (0, pad8))), 0, -1)
+                glo_l = jnp.moveaxis(
+                    jnp.pad(glo, ((0, 0), (0, pad8))), 0, -1)
+                s_g = ps.slot_activate(s, gup_l, glo_l, st)
+                okg = s_g.status[0] != EXIT_REFACTOR       # (B,)
+
+                def sel(a, b):
+                    return jnp.where(
+                        okg.reshape((1,) * (a.ndim - 1) + (-1,)), a, b)
+
+                return s_g._replace(
+                    W=sel(s_g.W, s.W), used=sel(s_g.used, s.used),
+                    sid=sel(s_g.sid, s.sid), slo=sel(s_g.slo, s.slo),
+                    simm=sel(s_g.simm, s.simm), dsl=sel(s_g.dsl, s.dsl),
+                    act_up=sel(s_g.act_up, s.act_up),
+                    act_lo=sel(s_g.act_lo, s.act_lo),
+                    lam=sel(s_g.lam, s.lam), E=sel(s_g.E, s.E),
+                    status=sel(s_g.status,
+                               s.status).astype(jnp.int32))
+
+            s = jax.lax.cond(jnp.any(act_bits), user_act, guess_act, s)
             s = ps.slot_solve(s, st, n_true=n, interpret=interpret,
                               deadline=deadline)
             lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m]
@@ -693,7 +841,7 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
     refinement pass (the vertex-polish stage of ``linprog_core``).
 
     Scope: hard constraints.  Differential tests vs ``linprog_core``:
-    tests/test_flat_batch.py::test_batch_lp_*.
+    tests/test_batch_lp.py::test_batch_lp_*.
     """
     from .ops import pallas_slot as ps
     from .ops import pallas_batch as pb
@@ -1407,8 +1555,10 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
 
     The vmap(bnb(single-lane)) nesting pays the slow per-lane solver at
     every relaxation iteration; here each lane carries its own DFS stack
-    (a node is two int32 bitmasks over the binary rows: fixed-set and
-    fixed-side), and one outer while_loop pops every live lane's next
+    (a node is a fixed-set and a fixed-side bitmask over the binary rows,
+    each a (NW,)-word int32 vector with 31 binaries per word — no
+    binary-count cap), and one outer while_loop pops every live lane's
+    next
     node, solves ALL relaxations in one batched kernel call (fixed
     binaries entered as immutable equalities via the bulk activation
     Cholesky), then applies the lane-local BnB bookkeeping — dominance
@@ -1444,7 +1594,11 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
     m = bupper.shape[-1]
     nb = len(bin_ids)
     assert nb >= 1, "no binary rows; use solve_batch_pallas_jit"
-    assert nb < 31, "bitmask nodes support up to 30 binaries"
+    # nodes are multi-word int32 bitmasks (31 binaries per word), so
+    # there is NO binary-count cap (the reference BnB sizes tree_WS
+    # dynamically, bnb.c:23-90; round 4's single-word encoding capped
+    # nb < 31)
+    NW = (nb + 30) // 31
     lane_pad = (-B) % pb.LANES
     if lane_pad:
         def padded(x, fill):
@@ -1501,7 +1655,10 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
         bin_tol = st.primal_tol * jnp.take_along_axis(
             scaling, bin_idx[None, :], 1)
         _HIP = jax.lax.Precision.HIGHEST
-        kbits = (1 << jnp.arange(nb, dtype=jnp.int32))     # (nb,)
+        # binary k lives in word k // 31, bit k % 31
+        word_of = jnp.arange(nb, dtype=jnp.int32) // 31    # (nb,)
+        bit_of = jnp.left_shift(
+            jnp.int32(1), jnp.arange(nb, dtype=jnp.int32) % 31)  # (nb,)
 
         # one-hot bin->row expansion matrix (static): NO bool scatters
         # (v5e miscompiles them at batch >= 1024, see
@@ -1515,9 +1672,14 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             jnp.asarray(sense, jnp.int32), bin_idx[None, :], 1)
             & BINARY) > 0                                   # (B, nb)
 
+        def bits_to_bin(bits):
+            """(B, NW) int32 bitmask words -> (B, nb) bool per binary."""
+            return (jnp.take(bits, word_of, axis=1)
+                    & bit_of[None, :]) > 0
+
         def rows_from_bits(bits):
-            """(B,) int32 bitmask over binaries -> (B, m) bool row mask."""
-            kb = ((bits[:, None] & kbits[None, :]) > 0).astype(f32)
+            """(B, NW) int32 bitmask words -> (B, m) bool row mask."""
+            kb = bits_to_bin(bits).astype(f32)
             return jnp.einsum('bk,km->bm', kb, bin_onehot,
                               precision=_HIP) > 0.5
 
@@ -1534,8 +1696,10 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
              lane_err) = c
             live = (sp > 0) & (lane_err == 0)
             idx = jnp.maximum(sp - 1, 0)
-            fx = jnp.take_along_axis(stack_fx, idx[:, None], 1)[:, 0]
-            lo = jnp.take_along_axis(stack_lo, idx[:, None], 1)[:, 0]
+            fx = jnp.take_along_axis(stack_fx, idx[:, None, None],
+                                     1)[:, 0]              # (B, NW)
+            lo = jnp.take_along_axis(stack_lo, idx[:, None, None],
+                                     1)[:, 0]
             # parent working-set replay masks (tree_WS, bnb.c:92-128)
             wu = jnp.take_along_axis(stack_wu, idx[:, None, None],
                                      1)[:, 0]              # (B, m) f32
@@ -1608,7 +1772,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             mu_bin = jnp.take_along_axis(mu, bin_idx[None, :], 1)
             diff = 0.5 * (bin_du + bin_dl) - mu_bin        # (B, nb)
             dist = 0.5 * (bin_du - bin_dl) - jnp.abs(diff)
-            is_fixed = (fx[:, None] & kbits[None, :]) > 0
+            is_fixed = bits_to_bin(fx)
             frac = (~is_fixed) & (dist > bin_tol) & lane_is_bin
             has_branch = jnp.any(frac, axis=1)
             pos = jnp.argmax(frac, axis=1).astype(jnp.int32)
@@ -1631,19 +1795,28 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             push = viable & has_branch
             snap_u = jnp.moveaxis(s.act_up, -1, 0)[:, :m]    # (B, m) f32
             snap_l = jnp.moveaxis(s.act_lo, -1, 0)[:, :m]
-            bitk = jnp.where(push, 1 << pos, 0).astype(jnp.int32)
-            near_lo = jnp.where(lower_first, bitk, 0)
-            far_lo = jnp.where(lower_first, 0, bitk)
+            # per-lane one-hot WORD update of the branched bit
+            in_word = (jnp.arange(NW, dtype=jnp.int32)[None, :]
+                       == (pos // 31)[:, None])            # (B, NW)
+            bitk = jnp.where(push[:, None] & in_word,
+                             jnp.left_shift(jnp.int32(1),
+                                            pos % 31)[:, None],
+                             0).astype(jnp.int32)          # (B, NW)
+            z32 = jnp.zeros_like(bitk)
+            near_lo = jnp.where(lower_first[:, None], bitk, z32)
+            far_lo = jnp.where(lower_first[:, None], z32, bitk)
             slot_iota = jnp.arange(cap)[None, :]
             far_fx, far_side = fx | bitk, lo | far_lo
             near_fx, near_side = fx | bitk, lo | near_lo
             at0 = push[:, None] & (slot_iota == sp[:, None])
             at1 = push[:, None] & (slot_iota == sp[:, None] + 1)
-            stack_fx = jnp.where(at0, far_fx[:, None],
-                                 jnp.where(at1, near_fx[:, None],
+            stack_fx = jnp.where(at0[:, :, None], far_fx[:, None, :],
+                                 jnp.where(at1[:, :, None],
+                                           near_fx[:, None, :],
                                            stack_fx))
-            stack_lo = jnp.where(at0, far_side[:, None],
-                                 jnp.where(at1, near_side[:, None],
+            stack_lo = jnp.where(at0[:, :, None], far_side[:, None, :],
+                                 jnp.where(at1[:, :, None],
+                                           near_side[:, None, :],
                                            stack_lo))
             at01 = (at0 | at1)[:, :, None]
             stack_wu = jnp.where(at01, snap_u[:, None, :], stack_wu)
@@ -1657,7 +1830,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             k, sp, lane_err = c[0], c[5], c[-1]
             return (k < max_waves) & jnp.any((sp > 0) & (lane_err == 0))
 
-        zi = jnp.zeros((B, cap), jnp.int32)
+        zi = jnp.zeros((B, cap, NW), jnp.int32)
         zw = jnp.zeros((B, cap, m), f32)
         c0 = (jnp.zeros((), jnp.int32), zi, zi, zw, zw,
               jnp.where(err0 < 0, 0, 1).astype(jnp.int32),

@@ -62,6 +62,20 @@ def _load():
                                         dp, dp, dp, ip]
     lib.daqp_tpu_update.restype = None
     lib.daqp_tpu_update.argtypes = [ctypes.c_void_p, dp, dp, dp]
+    lib.daqp_tpu_update_masked.restype = ctypes.c_int
+    lib.daqp_tpu_update_masked.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                           dp, dp, dp, dp, dp, ip]
+    lib.daqp_tpu_soft_slack.restype = ctypes.c_double
+    lib.daqp_tpu_soft_slack.argtypes = [ctypes.c_void_p]
+    lib.daqp_tpu_primal_init_active.restype = None
+    lib.daqp_tpu_primal_init_active.argtypes = [ctypes.c_void_p, dp]
+    lib.daqp_tpu_dual_init_active.restype = None
+    lib.daqp_tpu_dual_init_active.argtypes = [ctypes.c_void_p, dp]
+    lib.daqp_tpu_set_primal_start.restype = None
+    lib.daqp_tpu_set_primal_start.argtypes = [ctypes.c_void_p, dp]
+    lib.daqp_tpu_minrep.restype = ctypes.c_int
+    lib.daqp_tpu_minrep.argtypes = [ip, dp, dp, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
     lib.daqp_tpu_set.restype = ctypes.c_int
     lib.daqp_tpu_set.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_double]
@@ -178,6 +192,69 @@ class NativeModel:
             nul if buh is None else _dp(buh),
             nul if blh is None else _dp(blh))
 
+    # update masks (native/daqp_c.h, reference constants.h:48-54)
+    UPDATE_Rinv, UPDATE_M, UPDATE_v, UPDATE_d, UPDATE_sense = \
+        1, 2, 4, 8, 16
+
+    def update_masked(self, H=None, f=None, A=None, bupper=None,
+                      blower=None, sense=None, mask=None):
+        """Masked in-place re-setup (the reference daqp_update_ldp
+        pipeline, utils.c:14-135): pass only the changed fields; the
+        mask defaults to the union implied by the given arguments.
+        An M/Rinv/sense change resets the working set (utils.c:381);
+        a pure v/d change keeps it (the MPC contract)."""
+        if mask is None:
+            mask = ((self.UPDATE_Rinv if H is not None else 0)
+                    | (self.UPDATE_M if A is not None else 0)
+                    | (self.UPDATE_v if f is not None else 0)
+                    | (self.UPDATE_d if bupper is not None
+                       or blower is not None else 0)
+                    | (self.UPDATE_sense if sense is not None else 0))
+        nul = ctypes.POINTER(ctypes.c_double)()
+        nuli = ctypes.POINTER(ctypes.c_int)()
+        Hh = None if H is None else np.ascontiguousarray(H, np.float64)
+        fh = None if f is None else np.ascontiguousarray(f, np.float64)
+        Ah = None if A is None else np.ascontiguousarray(
+            np.atleast_2d(A), np.float64)
+        buh = None if bupper is None else np.ascontiguousarray(
+            bupper, np.float64)
+        blh = None if blower is None else np.ascontiguousarray(
+            blower, np.float64)
+        seh = None if sense is None else np.ascontiguousarray(
+            sense, np.int32)
+        rc = self._lib.daqp_tpu_update_masked(
+            self._w, int(mask),
+            nul if Hh is None else _dp(Hh),
+            nul if fh is None else _dp(fh),
+            nul if Ah is None else _dp(Ah),
+            nul if buh is None else _dp(buh),
+            nul if blh is None else _dp(blh),
+            nuli if seh is None else seh.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int)))
+        if rc == -100:                       # DAQP_TPU_BADMASK
+            raise ValueError("invalid update mask for this workspace")
+        return int(rc)
+
+    def soft_slack(self):
+        """rho_soft * sum lam_soft^2 of the last solve (the reference
+        DAQPResult.soft_slack, api.c:441-471)."""
+        return float(self._lib.daqp_tpu_soft_slack(self._w))
+
+    def primal_init_active(self, x):
+        """Activate constraints near-tight at x (api.c:555-592)."""
+        xh = np.ascontiguousarray(x, np.float64)
+        self._lib.daqp_tpu_primal_init_active(self._w, _dp(xh))
+
+    def dual_init_active(self, lam):
+        """Activate constraints by multiplier sign (api.c:596-609)."""
+        lh = np.ascontiguousarray(lam, np.float64)
+        self._lib.daqp_tpu_dual_init_active(self._w, _dp(lh))
+
+    def set_primal_start(self, x):
+        """Seed the proximal/LP outer iterate (api.c:612-617)."""
+        xh = np.ascontiguousarray(x, np.float64)
+        self._lib.daqp_tpu_set_primal_start(self._w, _dp(xh))
+
     def reset(self):
         self._lib.daqp_tpu_reset(self._w)
 
@@ -188,3 +265,22 @@ class NativeModel:
                 self._w = None
         except Exception:
             pass
+
+
+def native_minrep(A, b, ms: int = 0):
+    """Minimal representation of {x : x[:ms] <= b[:ms], A x <= b[ms:]}
+    through the C library (reference daqp_minrep, api.c:507-534);
+    returns an (m,) int array, 1 = redundant.  Differentially tested
+    against the vmapped JAX ``geometry.minrep``."""
+    lib = _load()
+    A = np.ascontiguousarray(np.atleast_2d(A), np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    m = b.shape[0]
+    n = A.shape[1]
+    red = np.empty(m, np.int32)
+    rc = lib.daqp_tpu_minrep(
+        red.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _dp(A), _dp(b), n, m, int(ms))
+    if rc != 0:
+        raise RuntimeError(f"daqp_tpu_minrep failed (flag {rc})")
+    return red

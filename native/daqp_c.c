@@ -51,6 +51,11 @@ struct DAQPTpuWork {
     int lp_mode;
     double *f_user;           /* n: raw f for LP v re-forms + fval */
     double *bu_user, *bl_user;  /* m: raw bounds for d re-forms */
+    double *A_user;           /* (m-ms) x n: raw rows (masked updates +
+                                 primal_init_active need them) */
+    int *sense_user;          /* m: raw sense as given (derived bits —
+                                 auto-equality, zero-row IMMUTABLE — are
+                                 recomputed from this on masked updates) */
     double *x_lp;             /* n: outer iterate */
     double lp_eps;            /* eps at exit (dual rescale) */
     /* AVI mode (daqp_tpu_setup_avi): DR splitting over the projection
@@ -155,13 +160,134 @@ static void inv_upper(int n, const double *R, double *Rinv)
     }
 }
 
+static int grow_capacity(DAQPTpuWork *w, int K_new);
+
+/* Cholesky factorization of H into w->Rinv with the retry-doubling
+ * shift (utils.c:253-283); H == NULL -> identity (LP mode).  Returns 0
+ * or DAQP_TPU_NONCONVEX. */
+static int factorize_H(DAQPTpuWork *w, const double *H)
+{
+    int i, n = w->n, err = 0;
+    double *R = (double *)malloc(sizeof(double) * (size_t)n * n);
+    if (!R) return DAQP_TPU_NONCONVEX;
+    if (H) {
+        double hscale = 0.0, eps;
+        for (i = 0; i < n; i++)
+            if (fabs(H[i * n + i]) > hscale) hscale = fabs(H[i * n + i]);
+        if (chol_upper(n, H, 0.0, R)) {
+            int ok = 0, t;
+            eps = sqrt(w->ztol) * (hscale > 0 ? hscale : 1.0);
+            if (eps < 1e-6) eps = 1e-6;     /* eps_prox floor */
+            for (t = 0; t < 16; t++) {
+                if (!chol_upper(n, H, eps, R)) { ok = 1; break; }
+                eps *= 2.0;
+            }
+            if (!ok) err = DAQP_TPU_NONCONVEX;
+        }
+    } else {
+        /* LP mode: R = I (the proximal regularization IS the Hessian;
+         * api.c:175-177 + daqp_prox.c LP regime) */
+        for (i = 0; i < n * n; i++) R[i] = 0.0;
+        for (i = 0; i < n; i++) R[i * n + i] = 1.0;
+    }
+    if (!err) inv_upper(n, R, w->Rinv);
+    free(R);
+    return err;
+}
+
+/* v = Rinv' f_user (daqp_update_v, utils.c:385-408) */
+static void compute_v_w(DAQPTpuWork *w)
+{
+    int i, j, n = w->n;
+    for (i = 0; i < n; i++) {
+        double s = 0.0;
+        for (j = 0; j < n; j++) s += w->Rinv[j * n + i] * w->f_user[j];
+        w->v[i] = s;
+    }
+}
+
+/* M = [Rinv[:ms]; A_user Rinv], UNNORMALIZED (daqp_update_M,
+ * utils.c:345-383) */
+static void build_M_w(DAQPTpuWork *w)
+{
+    int i, j, k, n = w->n, m = w->m, ms = w->ms;
+    for (i = 0; i < ms; i++)
+        for (j = 0; j < n; j++) w->M[i * n + j] = w->Rinv[i * n + j];
+    for (i = ms; i < m; i++)
+        for (j = 0; j < n; j++) {
+            double s = 0.0;
+            for (k = 0; k < n; k++)
+                s += w->A_user[(i - ms) * n + k] * w->Rinv[k * n + j];
+            w->M[i * n + j] = s;
+        }
+}
+
+/* Row derivation pipeline from the raw user data: equality
+ * auto-detection + trivial-infeasibility (daqp_check_bounds,
+ * utils.c:457-478), row normalization with zero-row handling
+ * (utils.c:480-524), binary ids, soft-capacity growth.  With
+ * ``fresh_M`` the rows are normalized in place and scaling recomputed;
+ * otherwise (sense/bounds-only update) the existing normalized M and
+ * scaling persist and zero rows are recognized by ~0 normalized norm. */
+static int derive_rows_w(DAQPTpuWork *w, int fresh_M)
+{
+    int i, j, nb = 0, ns = 0, err = 0;
+    int n = w->n, m = w->m;
+    for (i = 0; i < m; i++) {
+        int sb = w->sense_user[i];
+        double nrm2 = 0.0, diff;
+        if (sb & DAQP_TPU_BINARY) w->bin_ids[nb++] = i;
+        if (sb & DAQP_TPU_SOFT) ns++;
+        /* equality auto-detection (daqp_check_bounds, utils.c:457-478) */
+        diff = w->bu_user[i] - w->bl_user[i];
+        if (!(sb & DAQP_TPU_IMMUTABLE)) {
+            if (diff < -w->ptol) err = DAQP_TPU_INFEASIBLE;
+            if (diff < w->ztol && !(sb & DAQP_TPU_SOFT))
+                sb |= DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE;
+        }
+        /* row normalization (utils.c:480-524) */
+        for (j = 0; j < n; j++) nrm2 += w->M[i * n + j] * w->M[i * n + j];
+        if (nrm2 < w->ztol) {
+            if (!(sb & (DAQP_TPU_IMMUTABLE | DAQP_TPU_SOFT))
+                && (w->bu_user[i] < -w->ztol || w->bl_user[i] > w->ztol))
+                err = DAQP_TPU_INFEASIBLE;
+            w->scaling[i] = 1.0;
+            for (j = 0; j < n; j++) w->M[i * n + j] = 0.0;
+            sb = (sb | DAQP_TPU_IMMUTABLE) & ~DAQP_TPU_ACTIVE;
+        } else if (fresh_M) {
+            double sc = 1.0 / sqrt(nrm2);
+            w->scaling[i] = sc;
+            for (j = 0; j < n; j++) w->M[i * n + j] *= sc;
+        }
+        w->sense0[i] = sb;
+        w->sense[i] = sb;
+    }
+    w->nb = nb;
+    if (n + ns + 1 > w->K && grow_capacity(w, n + ns + 1))
+        err = DAQP_TPU_NONCONVEX;       /* allocation failure */
+    return err;
+}
+
+/* d = b*scaling + M v (daqp_update_d, utils.c:410-455); also refreshes
+ * the pristine du0/dl0 the hierarchical walk restores from */
+static void compute_d_w(DAQPTpuWork *w)
+{
+    int i, j, n = w->n, m = w->m;
+    for (i = 0; i < m; i++) {
+        double mv = 0.0;
+        for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
+        w->du[i] = w->bu_user[i] * w->scaling[i] + mv;
+        w->dl[i] = w->bl_user[i] * w->scaling[i] + mv;
+        w->du0[i] = w->du[i]; w->dl0[i] = w->dl[i];
+    }
+}
+
 DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
                             const double *H, const double *f,
                             const double *A, const double *bupper,
                             const double *blower, const int *sense)
 {
-    int i, j, k, ns = 0, nb = 0, K;
-    double *R = NULL;
+    int i, ns = 0, nb = 0, K;
     DAQPTpuWork *w = (DAQPTpuWork *)calloc(1, sizeof(DAQPTpuWork));
     if (!w) return NULL;
     w->n = n; w->m = m; w->ms = ms;
@@ -181,7 +307,7 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     K = n + ns + 1;
     w->K = K; w->nb = nb;
     w->M = (double *)malloc(sizeof(double) * m * n);
-    w->Rinv = (double *)malloc(sizeof(double) * n * n);
+    w->Rinv = (double *)calloc((size_t)n * n, sizeof(double));
     w->scaling = (double *)malloc(sizeof(double) * m);
     w->du = (double *)malloc(sizeof(double) * m);
     w->dl = (double *)malloc(sizeof(double) * m);
@@ -190,10 +316,13 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     w->v = (double *)calloc(n, sizeof(double));
     w->sense = (int *)calloc(m, sizeof(int));
     w->sense0 = (int *)calloc(m, sizeof(int));
-    w->bin_ids = (int *)malloc(sizeof(int) * (nb ? nb : 1));
+    w->bin_ids = (int *)malloc(sizeof(int) * (m ? m : 1));
     w->f_user = (double *)calloc(n, sizeof(double));
     w->bu_user = (double *)malloc(sizeof(double) * m);
     w->bl_user = (double *)malloc(sizeof(double) * m);
+    w->A_user = (double *)malloc(sizeof(double)
+                                 * (size_t)(m - ms > 0 ? m - ms : 1) * n);
+    w->sense_user = (int *)calloc(m, sizeof(int));
     w->x_lp = (double *)calloc(n, sizeof(double));
     w->E = (double *)calloc((size_t)K * K, sizeof(double));
     w->Mw = (double *)malloc(sizeof(double) * K * n);
@@ -205,97 +334,30 @@ DAQPTpuWork *daqp_tpu_setup(int n, int m, int ms,
     w->scr1 = (double *)calloc(K, sizeof(double));
     w->scr2 = (double *)calloc(K, sizeof(double));
     w->iscr = (int *)calloc(K, sizeof(int));
-    R = (double *)malloc(sizeof(double) * n * n);
     if (!w->M || !w->Rinv || !w->scaling || !w->du || !w->dl || !w->du0
         || !w->dl0 || !w->v || !w->sense || !w->sense0 || !w->bin_ids
         || !w->E || !w->Mw || !w->lam || !w->lam_star || !w->WS || !w->u
-        || !w->sdir || !w->scr1 || !w->scr2 || !w->iscr || !R
-        || !w->f_user || !w->bu_user || !w->bl_user || !w->x_lp) {
-        free(R); daqp_tpu_free(w); return NULL;
+        || !w->sdir || !w->scr1 || !w->scr2 || !w->iscr
+        || !w->f_user || !w->bu_user || !w->bl_user || !w->x_lp
+        || !w->A_user || !w->sense_user) {
+        daqp_tpu_free(w); return NULL;
     }
     if (f) memcpy(w->f_user, f, sizeof(double) * n);
     memcpy(w->bu_user, bupper, sizeof(double) * m);
     memcpy(w->bl_user, blower, sizeof(double) * m);
+    if (m > ms) memcpy(w->A_user, A, sizeof(double) * (size_t)(m - ms) * n);
+    if (sense) memcpy(w->sense_user, sense, sizeof(int) * m);
 
-    /* factorization with retry-doubling shift (utils.c:253-283) */
-    if (H) {
-        double hscale = 0.0, eps;
-        for (i = 0; i < n; i++)
-            if (fabs(H[i * n + i]) > hscale) hscale = fabs(H[i * n + i]);
-        if (chol_upper(n, H, 0.0, R)) {
-            int ok = 0, t;
-            eps = sqrt(w->ztol) * (hscale > 0 ? hscale : 1.0);
-            if (eps < 1e-6) eps = 1e-6;     /* eps_prox floor */
-            for (t = 0; t < 16; t++) {
-                if (!chol_upper(n, H, eps, R)) { ok = 1; break; }
-                eps *= 2.0;
-            }
-            if (!ok) w->err0 = DAQP_TPU_NONCONVEX;
-        }
+    w->err0 = factorize_H(w, H);
+    if (f && !w->err0) compute_v_w(w);
+    build_M_w(w);
+    if (!w->err0) {
+        int err = derive_rows_w(w, 1);
+        if (err) w->err0 = err;
     } else {
-        /* LP mode: R = I (the proximal regularization IS the Hessian;
-         * api.c:175-177 + daqp_prox.c LP regime) */
-        for (i = 0; i < n * n; i++) R[i] = 0.0;
-        for (i = 0; i < n; i++) R[i * n + i] = 1.0;
+        derive_rows_w(w, 1);            /* still derive sense/bin ids */
     }
-    if (!w->err0) inv_upper(n, R, w->Rinv);
-    free(R);
-
-    /* v = Rinv' f */
-    if (f && !w->err0)
-        for (i = 0; i < n; i++) {
-            double s = 0.0;
-            for (j = 0; j < n; j++) s += w->Rinv[j * n + i] * f[j];
-            w->v[i] = s;
-        }
-    /* M = [Rinv[:ms]; A Rinv] */
-    for (i = 0; i < ms; i++)
-        for (j = 0; j < n; j++) w->M[i * n + j] = w->Rinv[i * n + j];
-    for (i = ms; i < m; i++)
-        for (j = 0; j < n; j++) {
-            double s = 0.0;
-            for (k = 0; k < n; k++)
-                s += A[(i - ms) * n + k] * w->Rinv[k * n + j];
-            w->M[i * n + j] = s;
-        }
-
-    nb = 0;
-    for (i = 0; i < m; i++) {
-        int sb = sense ? sense[i] : 0;
-        double nrm2 = 0.0, diff;
-        if (sb & DAQP_TPU_BINARY) w->bin_ids[nb++] = i;
-        /* equality auto-detection (daqp_check_bounds, utils.c:457-478) */
-        diff = bupper[i] - blower[i];
-        if (!(sb & DAQP_TPU_IMMUTABLE)) {
-            if (diff < -w->ptol) w->err0 = DAQP_TPU_INFEASIBLE;
-            if (diff < w->ztol && !(sb & DAQP_TPU_SOFT))
-                sb |= DAQP_TPU_ACTIVE | DAQP_TPU_IMMUTABLE;
-        }
-        /* row normalization (utils.c:480-524) */
-        for (j = 0; j < n; j++) nrm2 += w->M[i * n + j] * w->M[i * n + j];
-        if (nrm2 < w->ztol) {
-            if (!(sb & (DAQP_TPU_IMMUTABLE | DAQP_TPU_SOFT))
-                && (bupper[i] < -w->ztol || blower[i] > w->ztol))
-                w->err0 = DAQP_TPU_INFEASIBLE;
-            w->scaling[i] = 1.0;
-            for (j = 0; j < n; j++) w->M[i * n + j] = 0.0;
-            sb = (sb | DAQP_TPU_IMMUTABLE) & ~DAQP_TPU_ACTIVE;
-        } else {
-            double sc = 1.0 / sqrt(nrm2);
-            w->scaling[i] = sc;
-            for (j = 0; j < n; j++) w->M[i * n + j] *= sc;
-        }
-        w->sense0[i] = sb;
-        w->sense[i] = sb;
-    }
-    /* d = b*scaling + M v */
-    for (i = 0; i < m; i++) {
-        double mv = 0.0;
-        for (j = 0; j < n; j++) mv += w->M[i * n + j] * w->v[j];
-        w->du[i] = bupper[i] * w->scaling[i] + mv;
-        w->dl[i] = blower[i] * w->scaling[i] + mv;
-        w->du0[i] = w->du[i]; w->dl0[i] = w->dl[i];
-    }
+    compute_d_w(w);
     w->m_price = m;
     return w;
 }
@@ -427,6 +489,7 @@ void daqp_tpu_free(DAQPTpuWork *w)
     free(w->M); free(w->Rinv); free(w->scaling);
     free(w->du); free(w->dl); free(w->du0); free(w->dl0);
     free(w->f_user); free(w->bu_user); free(w->bl_user); free(w->x_lp);
+    free(w->A_user); free(w->sense_user);
     free(w->v); free(w->sense); free(w->sense0); free(w->bin_ids);
     free(w->E); free(w->Mw); free(w->lam); free(w->lam_star);
     free(w->WS); free(w->u); free(w->sdir);
@@ -1483,4 +1546,185 @@ int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam_out,
     free(path_id); free(path_side); free(inc_ws); free(inc_u);
     free(inc_lam);
     return flag_out;
+}
+
+/* ------------- masked update + warm-start/extraction tail ------------- */
+
+int daqp_tpu_update_masked(DAQPTpuWork *w, int mask, const double *H,
+                           const double *f, const double *A,
+                           const double *bupper, const double *blower,
+                           const int *sense)
+{
+    int i, j, need_struct;
+    int n = w->n, m = w->m, ms = w->ms;
+    if (w->avi_mode) return DAQP_TPU_BADMASK;
+    if ((mask & DAQP_TPU_UPDATE_Rinv) && (w->lp_mode || !H))
+        return DAQP_TPU_BADMASK;
+
+    /* stash the new raw data */
+    if ((mask & DAQP_TPU_UPDATE_v) && f)
+        memcpy(w->f_user, f, sizeof(double) * n);
+    if ((mask & DAQP_TPU_UPDATE_M) && A && m > ms)
+        memcpy(w->A_user, A, sizeof(double) * (size_t)(m - ms) * n);
+    if (mask & DAQP_TPU_UPDATE_d) {
+        if (bupper) memcpy(w->bu_user, bupper, sizeof(double) * m);
+        if (blower) memcpy(w->bl_user, blower, sizeof(double) * m);
+    }
+    if ((mask & DAQP_TPU_UPDATE_sense) && sense)
+        memcpy(w->sense_user, sense, sizeof(int) * m);
+
+    if (mask & DAQP_TPU_UPDATE_Rinv) {
+        w->err0 = factorize_H(w, H);
+        if (w->err0) return w->err0;
+        /* both M and v embed R^-1 */
+        mask |= DAQP_TPU_UPDATE_M | DAQP_TPU_UPDATE_v;
+    }
+    if (mask & DAQP_TPU_UPDATE_v) compute_v_w(w);
+
+    need_struct = (mask & (DAQP_TPU_UPDATE_Rinv | DAQP_TPU_UPDATE_M
+                           | DAQP_TPU_UPDATE_sense)) != 0;
+    if (!need_struct && (mask & (DAQP_TPU_UPDATE_v | DAQP_TPU_UPDATE_d))) {
+        /* the reference re-runs daqp_check_bounds on any v/d update
+         * (utils.c:40-45): inverted bounds -> infeasible; a NEW equality
+         * escalates to the structural path (do_activate) */
+        for (i = 0; i < m; i++) {
+            double diff = w->bu_user[i] - w->bl_user[i];
+            double nrm2 = 0.0;
+            if (!(w->sense[i] & DAQP_TPU_IMMUTABLE)) {
+                if (diff < -w->ptol) return DAQP_TPU_INFEASIBLE;
+                if (diff < w->ztol && !(w->sense_user[i] & DAQP_TPU_SOFT))
+                    need_struct = 1;
+            }
+            for (j = 0; j < n; j++)
+                nrm2 += w->M[i * n + j] * w->M[i * n + j];
+            if (nrm2 < w->ztol
+                && !(w->sense_user[i]
+                     & (DAQP_TPU_IMMUTABLE | DAQP_TPU_SOFT))
+                && (w->bu_user[i] < -w->ztol || w->bl_user[i] > w->ztol))
+                return DAQP_TPU_INFEASIBLE;
+        }
+        if (w->err0 == DAQP_TPU_INFEASIBLE) w->err0 = 0;
+    }
+
+    if (mask & DAQP_TPU_UPDATE_M) build_M_w(w);
+    if (need_struct) {
+        int err;
+        /* "Internal factorizations need to be redone" (utils.c:381):
+         * E/Mw reference the old rows; reset before re-derivation so a
+         * soft-capacity grow_capacity sees an empty working set. */
+        reset_ws(w);
+        err = derive_rows_w(w, (mask & DAQP_TPU_UPDATE_M) != 0);
+        if (err) { w->err0 = err; return err; }
+        w->err0 = 0;
+    }
+    if (mask & (DAQP_TPU_UPDATE_Rinv | DAQP_TPU_UPDATE_M
+                | DAQP_TPU_UPDATE_v | DAQP_TPU_UPDATE_d))
+        compute_d_w(w);
+    return 0;
+}
+
+double daqp_tpu_soft_slack(const DAQPTpuWork *w)
+{
+    return w->last_ss;
+}
+
+void daqp_tpu_primal_init_active(DAQPTpuWork *w, const double *x)
+{
+    /* reference daqp_primal_init_active (api.c:555-592): activate every
+     * mutable constraint within tol of a bound at x (upper checked
+     * first); general rows use the raw A kept from setup. */
+    int i, j;
+    const double tol = 1e-9;
+    for (i = 0; i < w->m; i++) {
+        double Ax, slack;
+        if (w->sense[i] & DAQP_TPU_IMMUTABLE) continue;
+        if (i < w->ms) Ax = x[i];
+        else {
+            Ax = 0.0;
+            for (j = 0; j < w->n; j++)
+                Ax += w->A_user[(i - w->ms) * w->n + j] * x[j];
+        }
+        slack = Ax - w->bu_user[i];
+        if (slack < tol && slack > -tol) {
+            w->sense[i] |= DAQP_TPU_ACTIVE;
+            w->sense[i] &= ~DAQP_TPU_LOWER;
+        } else {
+            slack = Ax - w->bl_user[i];
+            if (slack < tol && slack > -tol)
+                w->sense[i] |= DAQP_TPU_ACTIVE | DAQP_TPU_LOWER;
+        }
+    }
+}
+
+void daqp_tpu_dual_init_active(DAQPTpuWork *w, const double *lam)
+{
+    /* reference daqp_dual_init_active (api.c:596-609) */
+    int i;
+    const double tol = 1e-12;
+    for (i = 0; i < w->m; i++) {
+        if (w->sense[i] & DAQP_TPU_IMMUTABLE) continue;
+        if (lam[i] > tol) {
+            w->sense[i] |= DAQP_TPU_ACTIVE;
+            w->sense[i] &= ~DAQP_TPU_LOWER;
+        } else if (lam[i] < -tol) {
+            w->sense[i] |= DAQP_TPU_ACTIVE | DAQP_TPU_LOWER;
+        }
+    }
+}
+
+void daqp_tpu_set_primal_start(DAQPTpuWork *w, const double *x)
+{
+    /* reference daqp_set_primal_start (api.c:612-617): seeds the
+     * proximal / LP outer iterate (work->x is that iterate there). */
+    memcpy(w->x_lp, x, sizeof(double) * w->n);
+}
+
+int daqp_tpu_minrep(int *is_redundant, const double *A, const double *b,
+                    int n, int m, int ms)
+{
+    /* reference daqp_minrep (api.c:507-534) + daqp_minrep_work
+     * (utils.c:699-726): row i redundant iff the feasibility LDP with
+     * row i forced active (equality at its upper bound) is infeasible;
+     * an optimal solve also certifies every row in its working set as
+     * necessary.  Row normalization inside setup leaves the verdicts
+     * unchanged (scale-invariant).  H = I makes the LDP transform the
+     * identity. */
+    int i, j, flag;
+    DAQPTpuWork *w;
+    double *bl = (double *)malloc(sizeof(double) * (m ? m : 1));
+    double *H = (double *)calloc((size_t)n * n, sizeof(double));
+    if (!bl || !H) { free(bl); free(H); return DAQP_TPU_NONCONVEX; }
+    for (i = 0; i < m; i++) bl[i] = -DINF;
+    for (i = 0; i < n; i++) H[i * n + i] = 1.0;
+    w = daqp_tpu_setup(n, m, ms, H, NULL, A, b, bl, NULL);
+    free(bl); free(H);
+    if (!w) return DAQP_TPU_NONCONVEX;
+    if (w->err0) { flag = w->err0; daqp_tpu_free(w); return flag; }
+    for (i = 0; i < m; i++) is_redundant[i] = -1;
+    for (i = 0; i < m; i++) {
+        int it = 0, ex;
+        if (is_redundant[i] != -1) continue;
+        if (w->sense[i] & DAQP_TPU_IMMUTABLE) {
+            /* zero row marked immutable by normalization: 0 <= b_i is
+             * vacuous (a violated zero row fails setup above) */
+            is_redundant[i] = 1;
+            continue;
+        }
+        reset_ws(w);
+        w->sense[i] &= ~DAQP_TPU_LOWER;
+        add_constraint(w, i, 1.0);
+        w->sense[i] |= DAQP_TPU_IMMUTABLE;  /* pin it in the set */
+        ex = solve_inner(w, &it, DINF);
+        w->sense[i] &= ~DAQP_TPU_IMMUTABLE;
+        if (ex == DAQP_TPU_INFEASIBLE) {
+            is_redundant[i] = 1;
+        } else {
+            is_redundant[i] = 0;
+            if (ex == DAQP_TPU_OPTIMAL)
+                for (j = 0; j < w->n_active; j++)
+                    is_redundant[w->WS[j]] = 0;
+        }
+    }
+    daqp_tpu_free(w);
+    return 0;
 }

@@ -101,6 +101,61 @@ int daqp_tpu_solve_miqp(DAQPTpuWork *w, double *x, double *lam,
 void daqp_tpu_update(DAQPTpuWork *w, const double *f,
                      const double *bupper, const double *blower);
 
+/* update masks (reference constants.h:48-54) */
+#define DAQP_TPU_UPDATE_Rinv   1
+#define DAQP_TPU_UPDATE_M      2
+#define DAQP_TPU_UPDATE_v      4
+#define DAQP_TPU_UPDATE_d      8
+#define DAQP_TPU_UPDATE_sense 16
+
+/* Masked in-place re-setup (the reference's daqp_update_ldp pipeline,
+ * utils.c:14-135): pass the union of DAQP_TPU_UPDATE_* bits and the new
+ * data for the masked fields (unused pointers may be NULL; unmasked data
+ * persists from setup).  Semantics:
+ *   Rinv  — refactorize from the new H (retry-doubling shift); implies
+ *           M and v rebuilds (both depend on R^-1).  Invalid for LP-mode
+ *           or AVI workspaces (returns -1).
+ *   M     — rebuild M = A R^-1 against the CACHED factorization
+ *           (utils.c:345-383), renormalize rows, reset the working set
+ *           ("internal factorizations need to be redone", utils.c:381).
+ *   v     — v = R^-T f; d is recomputed (it embeds M v).
+ *   d     — new bounds; with neither Rinv/M/sense set the working set
+ *           persists (the MPC contract, same as daqp_tpu_update).
+ *   sense — new sense bits; equality auto-detection re-runs and ACTIVE
+ *           rows are (re)activated at the next solve.
+ * Returns 0, INFEASIBLE on trivially-inconsistent bounds, NONCONVEX on
+ * factorization failure, DAQP_TPU_BADMASK on an invalid mask for this
+ * workspace (AVI, or Rinv update in LP mode). */
+#define DAQP_TPU_BADMASK      -100
+int daqp_tpu_update_masked(DAQPTpuWork *w, int mask, const double *H,
+                           const double *f, const double *A,
+                           const double *bupper, const double *blower,
+                           const int *sense);
+
+/* Soft-constraint slack measure of the last solve (reference
+ * DAQPResult.soft_slack, api.c:441-471): rho_soft * sum lam_soft^2 over
+ * the active soft rows — 0 when no soft constraint is violated. */
+double daqp_tpu_soft_slack(const DAQPTpuWork *w);
+
+/* Warm-start helpers (reference api.c:555-617).  primal_init_active
+ * activates (in sense) every mutable constraint within 1e-9 of a bound
+ * at the point x (n + general rows need the A kept from setup);
+ * dual_init_active activates by multiplier sign (lam is m user-space
+ * duals: > 0 upper, < 0 lower, tol 1e-12).  Activation itself happens at
+ * the next daqp_tpu_solve.  set_primal_start seeds the proximal / LP
+ * outer iterate (reference daqp_set_primal_start, api.c:612-617). */
+void daqp_tpu_primal_init_active(DAQPTpuWork *w, const double *x);
+void daqp_tpu_dual_init_active(DAQPTpuWork *w, const double *lam);
+void daqp_tpu_set_primal_start(DAQPTpuWork *w, const double *x);
+
+/* Minimal representation of {x : x[0:ms] <= b[0:ms], A x <= b[ms:m]}
+ * (reference daqp_minrep, api.c:507-534 + utils.c:699-726): constraint i
+ * is redundant iff forcing it active makes the feasibility LDP
+ * infeasible.  is_redundant[i] in {1, 0}.  A is (m-ms) x n row-major.
+ * Returns 0, or a negative exit flag on setup failure. */
+int daqp_tpu_minrep(int *is_redundant, const double *A, const double *b,
+                    int n, int m, int ms);
+
 /* Named settings: primal_tol, dual_tol, zero_tol, pivot_tol, progress_tol,
  * sing_tol, refactor_tol, rho_soft, fval_bound, rel_subopt, abs_subopt,
  * cycle_tol, iter_limit, eps_prox, eta_prox (< 0 = auto, daqp_prox.c:43-48),

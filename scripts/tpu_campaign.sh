@@ -22,9 +22,11 @@ run smoke      3000 python scripts/tpu_smoke.py
 # 2. headline bench (slot kernel at the flagship shape — cache-warm
 #    unless the slot kernel changed)
 run bench      3600 python bench.py
-# 3. configs 3-5 (+4b); the dense kernel changed this round (SW refactor
-#    + polish Newton refresh) so config 4b recompiles
-run bench_extra 3600 python bench_extra.py
+# 3. configs 3-5 (+4b, LP) — persisted as a driver-style artifact so the
+#    claims are re-checkable next round (VERDICT r4 #9): one JSON line
+#    per config in BENCHX_r05.json at the repo root (commit it)
+rm -f /root/repo/BENCHX_r05.json
+run bench_extra 3600 python bench_extra.py all --out /root/repo/BENCHX_r05.json
 # 4. SOFT_WEIGHTS kernel-vs-flat throughput (new Mosaic compile)
 run bench_sw   3600 python scripts/bench_sw.py
 echo "campaign done $(date)" | tee -a $OUT/status.log

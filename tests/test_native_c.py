@@ -317,3 +317,182 @@ def test_native_hiqp_differential():
         scale = 1.0 + np.linalg.norm(ref['x'])
         assert np.linalg.norm(out['x'] - ref['x']) < 1e-4 * scale, \
             (trial, out['x'], ref['x'])
+
+
+@requires_cc
+def test_native_minrep_differential():
+    # C daqp_tpu_minrep vs the vmapped JAX geometry.minrep on random
+    # polyhedra with planted duplicate (redundant) rows
+    from daqp_tpu.native import native_minrep
+    from daqp_tpu import geometry
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n, m = 4, 14
+        A = rng.standard_normal((m, n))
+        b = 1.0 + rng.random(m)
+        # plant redundancies: row m-1 strictly dominated by row 0
+        A[m - 1] = A[0]
+        b[m - 1] = b[0] + 1.0
+        red_c = native_minrep(A, b, ms=0)
+        red_j = np.asarray(geometry.minrep(A, b, ms=0))
+        assert np.array_equal(red_c, red_j), (trial, red_c, red_j)
+        assert red_c[m - 1] == 1
+
+
+@requires_cc
+def test_native_minrep_simple_bounds():
+    from daqp_tpu.native import native_minrep
+    from daqp_tpu import geometry
+    rng = np.random.default_rng(29)
+    n, ms, mg = 3, 3, 8
+    A = rng.standard_normal((mg, n))
+    b = np.concatenate([10.0 + rng.random(ms),     # loose box: redundant
+                        0.5 + 0.2 * rng.random(mg)])
+    red_c = native_minrep(A, b, ms=ms)
+    red_j = np.asarray(geometry.minrep(A, b, ms=ms))
+    assert np.array_equal(red_c, red_j), (red_c, red_j)
+
+
+@requires_cc
+def test_native_soft_slack():
+    # force a soft violation; the C soft_slack must match the JAX
+    # Result.soft_slack (rho_soft * sum lam_soft^2, api.c:441-471)
+    rng = np.random.default_rng(31)
+    n, m = 5, 8
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 3, 1e2, rng)
+    bu, bl, sense = bu.copy(), bl.copy(), sense.copy()
+    # conflicting pair: a hard equality vs a SOFT row forced past it
+    sense[0] |= daqp_tpu.SOFT
+    bu[0] = bl[0] = (A[0] @ np.linalg.solve(H, -f)) - 5.0  # far-off target
+    mdl = NativeModel(H, f, A, bu, bl, sense, ms=0,
+                      settings={"rho_soft": 1e-3})
+    out = mdl.solve()
+    assert out['exitflag'] in (1, 2)
+    ss = mdl.soft_slack()
+    ref = daqp_tpu.quadprog(H, f, A, bu, bl, sense, ms=0,
+                            settings={"rho_soft": 1e-3})
+    assert abs(ss - float(ref.soft_slack)) < 1e-6 * (1.0 + abs(ss)), \
+        (ss, float(ref.soft_slack))
+
+
+@requires_cc
+def test_native_primal_dual_init_active():
+    # activating the true active set at the optimum must re-solve in one
+    # iteration (the reference warm-start contract, core_tests.jl:449-496)
+    rng = np.random.default_rng(37)
+    n, m = 8, 20
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 5, 1e2, rng)
+    mdl = NativeModel(H, f, A, bu, bl, ms=0)
+    out = mdl.solve()
+    assert out['exitflag'] == 1
+    xstar, lamstar = out['x'], out['lam']
+
+    m2 = NativeModel(H, f, A, bu, bl, ms=0)
+    m2.primal_init_active(xstar)
+    out2 = m2.solve()
+    assert out2['exitflag'] == 1
+    assert out2['iterations'] <= 2, out2['iterations']
+    assert np.linalg.norm(out2['x'] - xstar) < 1e-7
+
+    m3 = NativeModel(H, f, A, bu, bl, ms=0)
+    m3.dual_init_active(lamstar)
+    out3 = m3.solve()
+    assert out3['exitflag'] == 1
+    assert out3['iterations'] <= 2, out3['iterations']
+    assert np.linalg.norm(out3['x'] - xstar) < 1e-7
+
+
+@requires_cc
+def test_native_set_primal_start_lp():
+    # seeding the LP outer iterate at the optimum shortens the proximal
+    # outer loop (daqp_set_primal_start, api.c:612-617)
+    from tests.gen import generate_test_lp
+    rng = np.random.default_rng(41)
+    x, f, A, bu, bl, _ = generate_test_lp(6, 18, 0, rng)
+    mdl = NativeModel(None, f, A, bu, bl, ms=0)
+    out = mdl.solve()
+    assert out['exitflag'] == 1
+    m2 = NativeModel(None, f, A, bu, bl, ms=0)
+    m2.set_primal_start(out['x'])
+    m2.dual_init_active(out['lam'])
+    out2 = m2.solve()
+    assert out2['exitflag'] == 1
+    assert np.linalg.norm(out2['x'] - out['x']) < 1e-6
+    assert out2['iterations'] <= out['iterations']
+
+
+@requires_cc
+def test_native_update_masked_differential():
+    # every mask combination must equal a fresh setup on the same data
+    # (flag parity always; x parity when the solve is optimal)
+    rng = np.random.default_rng(43)
+    n, m, ms = 7, 16, 2
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, ms, 5, 1e2, rng)
+    x2, H2, f2, A2, bu2, bl2, _ = generate_test_qp(n, m, ms, 5, 1e2, rng)
+
+    def fresh(Hn, fn, An, bun, bln, sn):
+        return NativeModel(Hn, fn, An, bun, bln, sn, ms=ms).solve()
+
+    def check(mdl, Hn, fn, An, bun, bln, sn, want_optimal):
+        got = mdl.solve()
+        ref = fresh(Hn, fn, An, bun, bln, sn)
+        assert got['exitflag'] == ref['exitflag'], (got['exitflag'],
+                                                   ref['exitflag'])
+        if want_optimal:
+            assert got['exitflag'] == 1
+        if got['exitflag'] > 0:
+            assert np.linalg.norm(got['x'] - ref['x']) < 1e-7
+        return got
+
+    # d-only (keeps the working set): widened bounds stay feasible
+    mdl = NativeModel(H, f, A, bu, bl, sense, ms=ms)
+    mdl.solve()
+    bu_w, bl_w = bu + 0.05, bl - 0.05
+    assert mdl.update_masked(bupper=bu_w, blower=bl_w) == 0
+    check(mdl, H, f, A, bu_w, bl_w, sense, want_optimal=True)
+
+    # v update (scaled f stays optimal-feasible: same constraint set)
+    f_s = 1.3 * f
+    assert mdl.update_masked(f=f_s) == 0
+    check(mdl, H, f_s, A, bu_w, bl_w, sense, want_optimal=True)
+
+    # M update: new A against the CACHED Rinv (utils.c:345-383); the
+    # mixed (A2, old bounds) problem may be infeasible — flag parity
+    # with a fresh setup is the contract
+    assert mdl.update_masked(A=A2) == 0
+    check(mdl, H, f_s, A2, bu_w, bl_w, sense, want_optimal=False)
+
+    # full switch to problem 2 (Rinv update implies M + v): optimal by
+    # construction
+    assert mdl.update_masked(H=H2, f=f2, A=A2, bupper=bu2,
+                             blower=bl2) == 0
+    check(mdl, H2, f2, A2, bu2, bl2, sense, want_optimal=True)
+
+    # sense update: flag a row soft (OPTIMAL or SOFT_OPTIMAL, in parity)
+    s2 = np.asarray(sense, np.int32).copy()
+    s2[ms] |= daqp_tpu.SOFT
+    assert mdl.update_masked(sense=s2) == 0
+    got = check(mdl, H2, f2, A2, bu2, bl2, s2, want_optimal=False)
+    assert got['exitflag'] > 0
+
+
+@requires_cc
+def test_native_update_masked_guards():
+    rng = np.random.default_rng(47)
+    n, m = 5, 10
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 3, 1e2, rng)
+    # LP-mode workspace rejects an Rinv update
+    lp = NativeModel(None, f, A, bu, bl, ms=0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lp.update_masked(H=H)
+    # inverted bounds -> INFEASIBLE rc, then a repairing d update clears it
+    mdl = NativeModel(H, f, A, bu, bl, ms=0)
+    bad_bu = bu.copy()
+    bad_bu[0] = bl[0] - 1.0
+    rc = mdl.update_masked(bupper=bad_bu, blower=bl)
+    assert rc == daqp_tpu.EXIT_INFEASIBLE or rc == -1 or rc < 0
+    rc = mdl.update_masked(bupper=bu, blower=bl)
+    assert rc == 0
+    out = mdl.solve()
+    assert out['exitflag'] == 1
