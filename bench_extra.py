@@ -49,11 +49,13 @@ def bench_mpc(jnp, st):
     bl_seq = bl - np.cumsum(np.abs(drift_b), axis=1)
 
     import jax
-    # scenario-batched Pallas-tier horizon scan (the vmap(scan(per-lane))
-    # nesting measured 1.4k steps/s: under vmap every per-round repair
-    # Cholesky runs for all scenarios at every round; see mpc.py)
-    run = jax.jit(lambda fs, bus, bls: mpc_mod.solve_mpc_scan_pallas(
-        jnp.asarray(H), jnp.asarray(A), fs, bus, bls, st, ms=0))
+    # fused-horizon Pallas tier (round 5): the T loop runs INSIDE the
+    # kernel in 10-step segments, E/W/M staged into VMEM once per
+    # segment with an in-kernel cold retry on cycling (the per-step
+    # scan — solve_mpc_scan_pallas — measured 55.5k steps/s in round 4;
+    # the fused kernel alone runs ~600k, end-to-end ~194k)
+    run = jax.jit(lambda fs, bus, bls: mpc_mod.solve_mpc_scan_pallas_fused(
+        jnp.asarray(H), jnp.asarray(A), fs, bus, bls, st, ms=0, seg=10))
     args = (jnp.asarray(f_seq), jnp.asarray(bu_seq), jnp.asarray(bl_seq))
     out = run(*args)
     _sync([out.exitflag])

@@ -26,6 +26,33 @@ from . import core as solve_mod
 from .types import Settings, DAQP_INF, EXIT_OPTIMAL, EXIT_RUNNING
 
 
+# f32 conditioning floor for the batched hierarchical tier's level
+# penalty (see solve_batch_hiqp_pallas_jit); measured on chip via
+# scripts/hiqp_rho_scan.py
+_HIQP_RHO_FLOOR = 3e-2
+
+# v5e miscompilation guard (VERDICT r4 weak #8 / scripts/
+# repro_v5e_bool_scatter.py): ANY fused batched iterated program at
+# B >= 1024 lanes in ONE program silently corrupts state on v5e
+# (B = 1016 is clean; the trigger is purely the vmapped batch size).
+# Every whole-batch kernel driver therefore splits batches above this
+# bound into independent lane chunks run through lax.map — the same
+# proven guard as solve_batch_flat_jit's 512 chunk.
+_LANE_GUARD = 512          # must be a multiple of the 128-lane tile
+
+
+def _lane_chunk_map(fn, arrays, B):
+    """Split the (padded, divisible) leading dim into _LANE_GUARD
+    chunks and lax.map ``fn`` over them, restoring the batch shape."""
+    C = B // _LANE_GUARD
+    data = tuple(None if a is None else
+                 a.reshape((C, _LANE_GUARD) + a.shape[1:])
+                 for a in arrays)
+    parts = lax.map(fn, data)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((B,) + x.shape[2:]), parts)
+
+
 class BatchResult(NamedTuple):
     x: jnp.ndarray          # (B, n)
     lam: jnp.ndarray        # (B, m)
@@ -686,7 +713,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
 
     B, n = H.shape[0], H.shape[-1]
     m = bupper.shape[-1]
-    lane_pad = (-B) % pb.LANES
+    lane_pad = (-B) % (_LANE_GUARD if B > _LANE_GUARD else pb.LANES)
     if lane_pad:
         def padded(x, fill):
             pad_block = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
@@ -701,6 +728,12 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
             st, ms=ms, interpret=interpret, max_outer=max_outer,
             deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+    if B > _LANE_GUARD:
+        return _lane_chunk_map(
+            lambda a: solve_batch_prox_pallas_jit(
+                *a, st=st, ms=ms, interpret=interpret,
+                max_outer=max_outer, deadline=deadline),
+            (H, f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
     with jax.default_matmul_precision('high'):
@@ -847,12 +880,13 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
     from .ops import pallas_batch as pb
     from .types import (EXIT_OPTIMAL, EXIT_ITERLIMIT, EXIT_UNBOUNDED,
                         IMMUTABLE, ACTIVE, LOWER)
+    from .types import EXIT_CYCLE as EXIT_CYCLE_C
     from .prox import _auto_eta
 
     A = jnp.atleast_3d(A)
     B, n = f.shape
     m = bupper.shape[-1]
-    lane_pad = (-B) % pb.LANES
+    lane_pad = (-B) % (_LANE_GUARD if B > _LANE_GUARD else pb.LANES)
     if lane_pad:
         def padded(x, fill):
             blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
@@ -867,6 +901,12 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
             st, ms=ms, interpret=interpret, max_outer=max_outer,
             deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+    if B > _LANE_GUARD:
+        return _lane_chunk_map(
+            lambda a: solve_batch_lp_pallas_jit(
+                *a, st=st, ms=ms, interpret=interpret,
+                max_outer=max_outer, deadline=deadline),
+            (f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
     with jax.default_matmul_precision('high'):
@@ -911,7 +951,7 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                 s, jnp.where(row_real, du, big),
                 jnp.where(row_real, dl, -big))
 
-        def carry_solve(s, v_b, lane_run):
+        def carry_solve(s, v_b, lane_run, st_k):
             s = set_bounds(s, v_b)
             s = s._replace(
                 status=jnp.where(lane_run[None, :], EXIT_RUNNING,
@@ -921,7 +961,7 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                 repaired=jnp.zeros_like(s.repaired),
                 best_fval=jnp.zeros_like(s.best_fval) - 1.0,
                 pend=s.pend * (1.0 - lane_run[None, :]))
-            return ps.slot_solve(s, st, n_true=n, steps=64,
+            return ps.slot_solve(s, st_k, n_true=n, steps=64,
                                  interpret=interpret, deadline=deadline)
 
         def grad_step(s, x_new, x_old, need):
@@ -967,62 +1007,116 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                                 apply.astype(f32)[None, :], st, n)
             return s, x2, found
 
-        def cond(c):
-            k, s, x, eps, lane_run, stall, best, flag, tot = c
-            return (k < max_outer) & jnp.any(lane_run)
+        def run_regime(s_in, run0, flag_in, st_k):
+            """The adaptive-eps outer loop over the kernel state, from a
+            cold start, for the ``run0`` lanes (others keep ``flag_in``
+            and their state rides along terminal)."""
 
-        def body(c):
-            k, s, x, eps, lane_run, stall, best, flag, tot = c
-            v_b = fz * eps[:, None] - x
-            s = carry_solve(s, v_b, lane_run)
-            tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
-            inner_flag = s.status[0]
-            inner_ok = inner_flag > 0
-            u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
-            x_new = u_b - v_b
-            it1 = s.iterations[0] <= 1
-            nact = jnp.sum(s.used, axis=0)
-            at_vertex = nact >= n
-            diff = jnp.max(jnp.abs(x_new - x), axis=-1)
-            converged = diff < eta * eps
-            # eps-normalized stagnation acceptance (linprog_core)
-            ndiff = diff / eps
-            improved = ndiff < 0.9 * best
-            best2 = jnp.minimum(ndiff, best)
-            stall2 = jnp.where(improved | ~(it1 & at_vertex) | ~lane_run,
-                               0, stall + 1)
-            converged = converged | (inner_ok & (stall2 >= 3))
-            need_grad = it1 & ~at_vertex & ~converged & lane_run \
-                & inner_ok
-            s, x_new, found = grad_step(s, x_new, x, need_grad)
-            unbounded = need_grad & ~found
-            # adaptive eps after the first pass (daqp_prox.c:55-63,
-            # interior-stall-only growth — see linprog_core)
-            grow = it1 & ~at_vertex
-            eps2 = jnp.where((k > 0) & lane_run,
-                             jnp.minimum(eps * jnp.where(grow, 10.0,
-                                                         0.9), 1e3),
-                             eps)
-            done = lane_run & (converged | ~inner_ok | unbounded)
-            flag2 = jnp.where(
-                done,
-                jnp.where(unbounded, EXIT_UNBOUNDED,
-                          jnp.where(inner_ok, EXIT_OPTIMAL, inner_flag)),
-                flag)
-            x2 = jnp.where(lane_run[:, None], x_new, x)
-            return (k + 1, s, x2, eps2, lane_run & ~done, stall2, best2,
-                    flag2.astype(jnp.int32), tot)
+            def cond(c):
+                k, s, x, eps, lane_run, stall, best, flag, tot = c
+                return (k < max_outer) & jnp.any(lane_run)
 
-        x0 = jnp.zeros((B, n), f32)
+            def body(c):
+                k, s, x, eps, lane_run, stall, best, flag, tot = c
+                v_b = fz * eps[:, None] - x
+                s = carry_solve(s, v_b, lane_run, st_k)
+                tot = tot + jnp.where(lane_run, s.iterations[0], 0.0)
+                inner_flag = s.status[0]
+                inner_ok = inner_flag > 0
+                u_b = jnp.moveaxis(s.u, -1, 0)[:, :n]
+                x_new = u_b - v_b
+                it1 = s.iterations[0] <= 1
+                nact = jnp.sum(s.used, axis=0)
+                at_vertex = nact >= n
+                diff = jnp.max(jnp.abs(x_new - x), axis=-1)
+                converged = diff < eta * eps
+                # eps-normalized stagnation acceptance (linprog_core)
+                ndiff = diff / eps
+                improved = ndiff < 0.9 * best
+                best2 = jnp.minimum(ndiff, best)
+                stall2 = jnp.where(improved | ~(it1 & at_vertex)
+                                   | ~lane_run, 0, stall + 1)
+                converged = converged | (inner_ok & (stall2 >= 3))
+                need_grad = it1 & ~at_vertex & ~converged & lane_run \
+                    & inner_ok
+                s, x_new, found = grad_step(s, x_new, x, need_grad)
+                unbounded = need_grad & ~found
+                # adaptive eps after the first pass (daqp_prox.c:55-63,
+                # interior-stall-only growth — see linprog_core)
+                grow = it1 & ~at_vertex
+                eps2 = jnp.where((k > 0) & lane_run,
+                                 jnp.minimum(eps * jnp.where(grow, 10.0,
+                                                             0.9), 1e3),
+                                 eps)
+                done = lane_run & (converged | ~inner_ok | unbounded)
+                flag2 = jnp.where(
+                    done,
+                    jnp.where(unbounded, EXIT_UNBOUNDED,
+                              jnp.where(inner_ok, EXIT_OPTIMAL,
+                                        inner_flag)),
+                    flag)
+                # a lane exiting on an inner-solve FAILURE keeps its
+                # last good outer iterate, not the failed solve's x —
+                # the final KKT certificate then judges the best point
+                # the lane reached (often already optimal)
+                bad_exit = done & ~inner_ok
+                x2 = jnp.where((lane_run & ~bad_exit)[:, None], x_new,
+                               x)
+                return (k + 1, s, x2, eps2, lane_run & ~done, stall2,
+                        best2, flag2.astype(jnp.int32), tot)
+
+            # lanes outside run0 must be TERMINAL in the kernel or they
+            # would re-solve inside carry_solve's rounds
+            s_in = s_in._replace(status=jnp.where(
+                run0[None, :], s_in.status, EXIT_OPTIMAL
+            ).astype(jnp.int32))
+            x0 = jnp.zeros((B, n), f32)
+            c0 = (jnp.zeros((), jnp.int32), s_in, x0,
+                  jnp.ones((B,), f32), run0,
+                  jnp.zeros((B,), jnp.int32),
+                  jnp.full((B,), jnp.inf, f32), flag_in,
+                  jnp.zeros((B,), f32))
+            (k, s, x, eps, lane_run, _, _, flag, tot) = lax.while_loop(
+                cond, body, c0)
+            flag = jnp.where(lane_run, EXIT_ITERLIMIT, flag)
+            return s, x, eps, flag, tot
+
         lane_run0 = ldpd.error >= 0
         flag0 = jnp.where(ldpd.error < 0, ldpd.error,
                           EXIT_RUNNING).astype(jnp.int32)
-        c0 = (jnp.zeros((), jnp.int32), s0, x0, jnp.ones((B,), f32),
-              lane_run0, jnp.zeros((B,), jnp.int32),
-              jnp.full((B,), jnp.inf, f32), flag0, jnp.zeros((B,), f32))
-        (k, s, x, eps, lane_run, _, _, flag, tot) = lax.while_loop(
-            cond, body, c0)
-        flag = jnp.where(lane_run, EXIT_ITERLIMIT, flag)
+        s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st)
+
+        # Cold Bland retry of loud-failed lanes (the batch analogue of
+        # the reference's cold restart on cycling, bnb.c:118-125 /
+        # daqp.c's reorder+refactor repair): CYCLE / false-INFEASIBLE /
+        # ITERLIMIT lanes re-run from scratch under Bland's anti-cycling
+        # rule; measured failure census on the suite shape (B=256,
+        # scripts/lp_diag.py): 13/256 split -2 (cycling, wrong x),
+        # -1 (false infeasibility), -4 (stagnating ping-pong at the
+        # right answer).  UNBOUNDED is a certificate (a feasible
+        # unbounded ray), not a failure — no retry.
+        fail = (flag < 0) & (flag != EXIT_UNBOUNDED)
+
+        def do_retry(_):
+            st_b = st._replace(pricing=1)
+            return run_regime(s0, fail, flag, st_b)
+
+        def no_retry(_):
+            return s, x, eps, flag, tot
+
+        s_r, x_r, eps_r, flag_r, tot_r = lax.cond(
+            jnp.any(fail), do_retry, no_retry, 0)
+
+        # per-lane merge (SlotState is lanes-last throughout)
+        def mrg(a, b):
+            return jnp.where(fail.reshape((1,) * (a.ndim - 1) + (-1,)),
+                             a, b)
+
+        s = jax.tree_util.tree_map(mrg, s_r, s)
+        x = jnp.where(fail[:, None], x_r, x)
+        eps = jnp.where(fail, eps_r, eps)
+        flag = jnp.where(fail, flag_r, flag)
+        tot = tot + jnp.where(fail, tot_r, 0.0)
 
         # crossover to a vertex (linprog_core stage 2): near-dual-
         # degenerate faces leave converged lanes OFF-vertex with a tiny
@@ -1090,6 +1184,159 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
         lam = jnp.moveaxis(ps.slot_duals_dense(s), -1, 0)[:, :m] \
             / eps[:, None]
         fval = jnp.einsum('bi,bi->b', fz, x, precision=_HIP)
+
+        # Final LP KKT certificate: a loud-failed lane (CYCLE /
+        # ITERLIMIT / INFEASIBLE — typically a stagnating ping-pong that
+        # ended AT the optimum, see scripts/lp_diag.py) whose final x
+        # satisfies primal feasibility, stationarity f + G'lam = 0 and
+        # complementary slackness within the reference tolerances IS
+        # optimal — the certificate is the definition, not a flag
+        # rewrite (daqp_prox exits on the same conditions).  The duals
+        # are RE-FIT from the final working set (lam = -E W f in slot
+        # space — the stale inner-QP duals of an eps ping-pong don't
+        # certify an x that is itself optimal; measured: lane with
+        # gap 3e-8 / feas 5e-7 but stale-dual stationarity 0.4).
+        vals = jnp.concatenate(
+            [x[:, :ms],
+             jnp.einsum('bmj,bj->bm', A.astype(f32), x,
+                        precision=_HIP)], axis=1)           # (B, m)
+        feas_v = jnp.maximum(
+            jnp.max(vals - bu_r, axis=1), jnp.max(bl_r - vals, axis=1))
+        bscale = 1.0 + jnp.max(jnp.abs(jnp.where(
+            jnp.isfinite(bu_r), bu_r, 0.0)), axis=1)
+        feas_ok = feas_v < 10.0 * st.primal_tol * bscale
+        fail_c = (flag < 0) & (flag != EXIT_UNBOUNDED)
+        # audit EVERY optimal-flagged lane too: the convergence path's
+        # eta*eps acceptance can stop one pivot short of the optimal
+        # vertex (measured: a clean-flag lane at a 2e-4 RELATIVE
+        # objective gap) — a refuted clean lane is demoted loud below
+        cand_c = fail_c | (flag == EXIT_OPTIMAL)
+
+        def refit_duals(_):
+            # the ping-pong's final WORKING SET need not equal the tight
+            # set at its (optimal) x — rebuild from the rows tight AT x
+            # (daqp_primal_init_active semantics, api.c:555-592) with
+            # one bulk activation Cholesky, then lam = -E W f
+            from .ldp_flat import EXIT_REFACTOR
+            tol_t = 10.0 * st.primal_tol * bscale[:, None]
+            tight_u = (bu_r - vals < tol_t) & cand_c[:, None]
+            tight_l = (vals - bl_r < tol_t) & cand_c[:, None] & \
+                ~(bu_r - vals < tol_t)
+            up_lm = jnp.moveaxis(
+                jnp.pad(tight_u, ((0, 0), (0, mp - m))), 0, -1)
+            lo_lm = jnp.moveaxis(
+                jnp.pad(tight_l, ((0, 0), (0, mp - m))), 0, -1)
+            s_c = ps.slot_activate(s0, up_lm, lo_lm, st)
+            ok_act = s_c.status[0] != EXIT_REFACTOR       # (B,)
+            Wf_c = jnp.einsum('knb,nb->kb', s_c.W, f_l,
+                              precision=_HIP) * s_c.used
+            lam_fs = -jnp.einsum('kjb,jb->kb', s_c.E, Wf_c,
+                                 precision=_HIP) * s_c.used
+            # iterative refinement of the least-squares duals: lam =
+            # -E W f is the NORMAL-EQUATIONS solve, which squares the
+            # tight-set conditioning — raw f32 stationarity measured
+            # 6e-3 vs the 5e-4 certificate gate.  Two residual passes
+            # through the same inverse contract it well below the gate
+            # (f64 when x64 is enabled; still contracting in f32).
+            W64 = s_c.W.astype(jnp.float64)
+            f64l = f_l.astype(jnp.float64)
+            for _ in range(2):
+                res_n = f64l + jnp.einsum(
+                    'knb,kb->nb', W64,
+                    (lam_fs * s_c.used).astype(jnp.float64),
+                    precision=_HIP)
+                rK = jnp.einsum('knb,nb->kb', W64, res_n,
+                                precision=_HIP).astype(f32) * s_c.used
+                lam_fs = lam_fs - jnp.einsum(
+                    'kjb,jb->kb', s_c.E, rK,
+                    precision=_HIP) * s_c.used
+            lam_f = jnp.moveaxis(
+                ps.slot_duals_dense(s_c._replace(lam_star=lam_fs)),
+                -1, 0)[:, :m]
+            # exact vertex of the tight face (v = 0 in LP space, so
+            # W u = dsl IS A_act x = b_act): the certificate must judge
+            # the EXACT face point, not the loose-tolerance x that
+            # selected the face (a point ~1e-3 inside a wrong face
+            # passed the loose checks while 2.6e-3 off the optimum)
+            rhs_c = s_c.dsl * s_c.used
+            lam_x = jnp.einsum('kjb,jb->kb', s_c.E, rhs_c,
+                               precision=_HIP)
+            u_c = jnp.einsum('knb,kb->nb', s_c.W, lam_x, precision=_HIP)
+            W64c = s_c.W.astype(jnp.float64)
+            rhs64c = rhs_c.astype(jnp.float64)
+            for _ in range(2):
+                r64c = (jnp.einsum('knb,nb->kb', W64c,
+                                   u_c.astype(jnp.float64),
+                                   precision=_HIP)
+                        - rhs64c) * s_c.used
+                dlc = jnp.einsum('kjb,jb->kb',
+                                 s_c.E.astype(jnp.float64), r64c,
+                                 precision=_HIP)
+                u_c = (u_c.astype(jnp.float64)
+                       - jnp.einsum('knb,kb->nb', W64c, dlc,
+                                    precision=_HIP)).astype(f32)
+            x_f = jnp.moveaxis(u_c, -1, 0)[:, :n]
+            full_vx = jnp.sum(s_c.used, axis=0) >= n
+            ok_act = ok_act & full_vx \
+                & jnp.all(jnp.isfinite(x_f), axis=-1)
+            return lam_f, ok_act, x_f
+
+        lam_fit, refit_ok, x_fit = lax.cond(
+            jnp.any(cand_c), refit_duals,
+            lambda _: (jnp.zeros_like(lam), jnp.zeros((B,), bool),
+                       jnp.zeros_like(x)), 0)
+        # re-evaluate feasibility/complementarity AT the exact face
+        # point for the candidate lanes
+        vals_fit = jnp.concatenate(
+            [x_fit[:, :ms],
+             jnp.einsum('bmj,bj->bm', A.astype(f32), x_fit,
+                        precision=_HIP)], axis=1)
+        ref_lane = cand_c & refit_ok
+        vals = jnp.where(ref_lane[:, None], vals_fit, vals)
+        feas_v = jnp.where(
+            ref_lane,
+            jnp.maximum(jnp.max(vals_fit - bu_r, axis=1),
+                        jnp.max(bl_r - vals_fit, axis=1)), feas_v)
+        feas_ok = feas_v < 10.0 * st.primal_tol * bscale
+        grad = fz + jnp.einsum('bmj,bm->bj', A.astype(f32),
+                               lam_fit[:, ms:], precision=_HIP)
+        if ms > 0:
+            grad = grad.at[:, :ms].add(lam_fit[:, :ms])
+        # tight: a looser 1e-4 gate was measured to certify a vertex
+        # with a 2e-4 RELATIVE objective gap (silent suboptimality —
+        # the failure class this framework never converts to a clean
+        # flag); at 1e-5 the refined-dual residual of a genuinely
+        # optimal face (~1e-6) still passes
+        stat_ok = jnp.max(jnp.abs(grad), axis=1) \
+            < 1e-5 * (1.0 + jnp.max(jnp.abs(fz), axis=1))
+        # complementarity + dual sign in one: a positive multiplier is
+        # only legal on a near-upper-tight row, a negative one on a
+        # near-lower-tight row (this subsumes the per-side sign check)
+        ltol = 1e-6
+        comp_bad = jnp.any(
+            ((lam_fit > ltol) & (bu_r - vals > 10.0 * st.primal_tol
+                                 * bscale[:, None]))
+            | ((lam_fit < -ltol) & (vals - bl_r > 10.0 * st.primal_tol
+                                    * bscale[:, None])), axis=1)
+        cert_ok = refit_ok & feas_ok & stat_ok & ~comp_bad
+        certified = cand_c & cert_ok
+        # a clean-flag lane the certificate REFUTES (its tight-set
+        # vertex solves exactly but fails stationarity/complementarity
+        # — i.e. one or more pivots short of optimal) turns loud; the
+        # production backstop re-solves loud lanes.  A clean-flag lane
+        # whose x fails the FEASIBILITY gate is demoted regardless of
+        # whether the refit was conclusive (feasibility needs no duals;
+        # measured: eta*eps acceptance stopping at points ~1.5e-4
+        # outside the polytope with flag 1)
+        demote = (flag == EXIT_OPTIMAL) & ((refit_ok & ~cert_ok)
+                                           | ~feas_ok)
+        flag = jnp.where(certified, EXIT_OPTIMAL, flag)
+        flag = jnp.where(demote, EXIT_CYCLE_C, flag)
+        lam = jnp.where(certified[:, None], lam_fit, lam)
+        x = jnp.where(certified[:, None], x_fit, x)
+        fval = jnp.where(certified,
+                         jnp.einsum('bi,bi->b', fz, x_fit,
+                                    precision=_HIP), fval)
         return BatchResult(
             x=x, lam=lam, fval=fval, exitflag=flag.astype(jnp.int32),
             iterations=tot.astype(jnp.int32),
@@ -1128,7 +1375,7 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
     A = jnp.atleast_3d(A)
     B, n = H.shape[0], H.shape[-1]
     m = bupper.shape[-1]
-    lane_pad = (-B) % pb.LANES
+    lane_pad = (-B) % (_LANE_GUARD if B > _LANE_GUARD else pb.LANES)
     if lane_pad:
         def padded(x, fill):
             blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
@@ -1143,6 +1390,12 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
             st, ms=ms, interpret=interpret, max_outer=max_outer,
             deadline=deadline)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+    if B > _LANE_GUARD:
+        return _lane_chunk_map(
+            lambda a: solve_batch_avi_pallas_jit(
+                *a, st=st, ms=ms, interpret=interpret,
+                max_outer=max_outer, deadline=deadline),
+            (H, f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
     _HIP = jax.lax.Precision.HIGHEST
@@ -1343,12 +1596,13 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "break_points",
-                                             "interpret"))
+                                             "interpret", "rho_floor"))
 def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 break_points: tuple = (),
                                 interpret: bool = False,
-                                deadline=None) -> BatchResult:
+                                deadline=None,
+                                rho_floor: float = None) -> BatchResult:
     """Batched hierarchical (lexicographic least-squares) QP solve: the
     level walk of ``daqp_hiqp`` (hierarchical.c:5-108) carried by ONE
     unrolled loop over the whole-batch dense-mask kernel state — the
@@ -1383,7 +1637,7 @@ def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
     n = A.shape[-1] if A.size else (H.shape[-1] if H is not None else ms)
     bp = tuple(int(b) for b in break_points)
     assert len(bp) >= 2 and bp[-1] == m, (bp, m)
-    lane_pad = (-B) % pb.LANES
+    lane_pad = (-B) % (_LANE_GUARD if B > _LANE_GUARD else pb.LANES)
     if lane_pad:
         def padded(x, fill):
             blk = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
@@ -1397,21 +1651,46 @@ def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, break_points=bp, interpret=interpret,
-            deadline=deadline)
+            deadline=deadline, rho_floor=rho_floor)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+    if B > _LANE_GUARD:
+        Hc = None
+        if H is not None:
+            Hc = H.reshape((B // _LANE_GUARD, _LANE_GUARD)
+                           + H.shape[1:])
+        fc = None
+        if f is not None:
+            fc = f.reshape((B // _LANE_GUARD, _LANE_GUARD)
+                           + f.shape[1:])
+        C = B // _LANE_GUARD
+        data = tuple(x.reshape((C, _LANE_GUARD) + x.shape[1:])
+                     for x in (A, bupper, blower, sense))
+        parts = lax.map(
+            lambda a: solve_batch_hiqp_pallas_jit(
+                a[4], a[5], a[0], a[1], a[2], a[3], st, ms=ms,
+                break_points=bp, interpret=interpret,
+                deadline=deadline, rho_floor=rho_floor),
+            data + (Hc, fc))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B,) + x.shape[2:]), parts)
 
     # f32 conditioning floor for the level penalty: a conflicting soft
     # add's Schur pivot is ~rho, and rank-one updates through such a
-    # pivot amplify f32 rounding by 1/rho — at the plain f32 default
-    # (1e-4) chains of conflicting soft adds corrupt E until a soft add
-    # falsely pends and whole lanes exit INFEASIBLE (measured on the
-    # 3-level test batch: 51/128 lanes at rho 1e-4, 1/128 at 1e-2,
-    # 0/128 at 3e-2).  The reference's f64 choice (1e-6) sits ~5e9 eps
-    # above ITS epsilon; 3e-2 ~ 5e5 eps_f32 is the conservative f32
-    # analogue.  The exact-penalty approximation error of the frozen
-    # violations is O(rho); callers needing tighter levels use the f64
-    # single-instance ``hiqp_core``.
-    st = st._replace(rho_soft=max(float(st.rho_soft), 3e-2))
+    # pivot amplify f32 rounding by 1/rho.  Round-4 measurement (3-level
+    # test batch, no between-level refresh): 51/128 INFEASIBLE lanes at
+    # rho 1e-4.  Round 5 added the between-level Newton refresh below;
+    # re-measured (scripts/hiqp_rho_scan.py): the INFEASIBLE storms are
+    # GONE at every rho down to 1e-4 — but differential agreement with
+    # the f64 ``hiqp_core`` walk still degrades below 3e-2 (max diff
+    # 5e-4 at 3e-2, 3e-1 at 1e-2: the reactivation's dependent-entry
+    # drops misclassify at ~rho pivots, shifting the DOF accounting and
+    # hence which levels freeze).  The default floor therefore stays
+    # 3e-2; ``rho_floor`` lets callers trade agreement for tighter
+    # levels (loud exit-3 either way), and exact tight-rho semantics
+    # live in the f64 single-instance ``hiqp_core``.
+    st = st._replace(rho_soft=max(
+        float(st.rho_soft),
+        _HIQP_RHO_FLOOR if rho_floor is None else float(rho_floor)))
 
     f32 = jnp.float32
     with jax.default_matmul_precision('high'):
@@ -1504,6 +1783,16 @@ def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
             s = s._replace(soft=jnp.zeros_like(s.soft))
             if i < nh - 1:
                 s2, n_imm = pb.dense_reactivate(s, st, n, start)
+                # between-level E hygiene (VERDICT r4 #8): the
+                # reactivation re-adds are rank-one f32 updates through
+                # the PREVIOUS levels' conflicting-soft pivots (~rho),
+                # so drift compounds ACROSS levels — the measured
+                # INFEASIBLE storms at low rho hit level 3, not level 1.
+                # One Newton refresh against the exact Gram between
+                # levels is a whole-batch barrier anyway and lowered the
+                # usable floor (see the rho scan in
+                # scripts/hiqp_rho_scan.py).
+                s2 = pb.newton_refresh(s2, st)
                 s = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(
                         lane_run[None] if a.ndim == 2
@@ -1599,7 +1888,7 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
     # dynamically, bnb.c:23-90; round 4's single-word encoding capped
     # nb < 31)
     NW = (nb + 30) // 31
-    lane_pad = (-B) % pb.LANES
+    lane_pad = (-B) % (_LANE_GUARD if B > _LANE_GUARD else pb.LANES)
     if lane_pad:
         def padded(x, fill):
             pad_block = jnp.broadcast_to(jnp.asarray(fill, x.dtype),
@@ -1617,6 +1906,13 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             max_waves=max_waves, deadline=deadline, warm_ws=warm_ws,
             report_kernel_iters=report_kernel_iters)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
+    if B > _LANE_GUARD:
+        return _lane_chunk_map(
+            lambda a: solve_batch_miqp_pallas_jit(
+                *a, st=st, ms=ms, bin_ids=bin_ids, interpret=interpret,
+                max_waves=max_waves, deadline=deadline, warm_ws=warm_ws,
+                report_kernel_iters=report_kernel_iters),
+            (H, f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
     bin_idx = jnp.asarray(bin_ids, jnp.int32)            # (nb,)

@@ -132,6 +132,161 @@ def solve_mpc_scan_pallas(H, A, f_seq, bupper_seq, blower_seq,
             iterations=jnp.moveaxis(iters, 0, 1).astype(jnp.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("st", "ms", "seg", "steps",
+                                    "interpret"))
+def solve_mpc_scan_pallas_fused(H, A, f_seq, bupper_seq, blower_seq,
+                                st: Settings, ms: int = 0,
+                                seg: int = 10, steps: int = 192,
+                                interpret: bool = False) -> MPCStep:
+    """Scenario-batched warm MPC horizon with the T loop INSIDE the
+    kernel (VERDICT r4 #3): ``seg`` consecutive steps run per kernel
+    launch with E/W/M staged into VMEM once, so a ~2-3-iteration warm
+    step stops paying the full ~19 MB/tile staging plus the per-step
+    XLA round overhead of ``solve_mpc_scan_pallas`` (measured there:
+    ~9 ms per 512-scenario scan step, ~98% overhead).
+
+    Correctness contract: any lane that ends an in-kernel step in a
+    state the between-round repair machinery would normally fix
+    (RUNNING at the step cap / CYCLE / REFACTOR) raises a per-segment
+    ``failed`` flag and the WHOLE segment is redone through the
+    per-step ``slot_solve`` path under a ``lax.cond`` — the fallback
+    costs nothing when no lane fails.  Between segments E gets one
+    Newton refresh against the exact slot Gram (drift hygiene for the
+    f32 rank-one updates accumulating across the horizon).
+
+    Same signature/semantics as ``solve_mpc_scan_pallas`` plus ``seg``
+    (horizon steps per kernel launch; T is padded up to a multiple by
+    repeating the final step, outputs sliced back to T).
+    """
+    from .ops import pallas_slot as ps
+    from .types import IMMUTABLE
+
+    S, T, n = f_seq.shape
+    m = bupper_seq.shape[-1]
+    assert S % ps.LANES == 0, (S, ps.LANES)
+    st0 = st
+    with jax.default_matmul_precision('highest'):
+        ldpd0 = transform.build_ldp(H, f_seq[0, 0], A, bupper_seq[0, 0],
+                                    blower_seq[0, 0], None, ms, st0)
+        Rinv = ldpd0.Rinv
+        M = ldpd0.M
+        scaling = ldpd0.scaling
+        v_st = jnp.einsum('ij,stj->sti', Rinv.T, f_seq,
+                          precision=jax.lax.Precision.HIGHEST)
+        Mv = jnp.einsum('mj,stj->stm', M, v_st,
+                        precision=jax.lax.Precision.HIGHEST)
+        du_st = bupper_seq * scaling + Mv        # (S, T, m)
+        dl_st = blower_seq * scaling + Mv
+
+        immut = jnp.broadcast_to(
+            ((ldpd0.sense & IMMUTABLE) > 0).astype(jnp.float32), (S, m))
+        s0 = ps.slot_init(
+            jnp.broadcast_to(M, (S, m, n)), du_st[:, 0], dl_st[:, 0],
+            jnp.broadcast_to(scaling, (S, m)), immut, n_true=n)
+        mp = s0.dupper.shape[0]                  # padded m
+        np_ = s0.u.shape[0]                      # padded n
+
+        big = jnp.asarray(1e30, jnp.float32)
+        row_real = jnp.arange(mp)[None, :, None] < m
+        # (T, mp, S) lanes-last padded step bounds
+        duq_all = jnp.where(
+            row_real,
+            jnp.moveaxis(jnp.pad(du_st.astype(jnp.float32),
+                                 ((0, 0), (0, 0), (0, mp - m))), 0, -1),
+            big)
+        dlq_all = jnp.where(
+            row_real,
+            jnp.moveaxis(jnp.pad(dl_st.astype(jnp.float32),
+                                 ((0, 0), (0, 0), (0, mp - m))), 0, -1),
+            -big)
+        Tp = ((T + seg - 1) // seg) * seg
+        if Tp != T:
+            rep = jnp.broadcast_to(duq_all[-1:], (Tp - T, mp, S))
+            repl = jnp.broadcast_to(dlq_all[-1:], (Tp - T, mp, S))
+            duq_all = jnp.concatenate([duq_all, rep], axis=0)
+            dlq_all = jnp.concatenate([dlq_all, repl], axis=0)
+        NSEG = Tp // seg
+        duq_all = duq_all.reshape(NSEG, seg, mp, S)
+        dlq_all = dlq_all.reshape(NSEG, seg, mp, S)
+
+        def slow_segment(s_in, duq, dlq):
+            # per-step repair path (identical to solve_mpc_scan_pallas)
+            def one(sc, dd):
+                du_t, dl_t = dd                  # (mp, S)
+                sc = ps.slot_refresh_bounds(sc, du_t, dl_t)
+                sc = sc._replace(
+                    status=jnp.full_like(sc.status, EXIT_RUNNING),
+                    iterations=jnp.zeros_like(sc.iterations),
+                    cycle=jnp.zeros_like(sc.cycle),
+                    repaired=jnp.zeros_like(sc.repaired),
+                    best_fval=jnp.zeros_like(sc.best_fval) - 1.0,
+                    pend=jnp.zeros_like(sc.pend))
+                sc = ps.slot_solve(sc, st0, n_true=n, steps=steps,
+                                   interpret=interpret)
+                return sc, (sc.u, sc.fval[0], sc.iterations[0],
+                            sc.status[0])
+            s2, (useq, fvseq, itseq, stseq) = lax.scan(one, s_in,
+                                                       (duq, dlq))
+            return s2, useq, fvseq, itseq, stseq
+
+        def seg_step(s, inp):
+            duq, dlq = inp                       # (seg, mp, S)
+            s_in = s
+            s_f, useq, fvseq, itseq, stseq, failed = ps.run_mpc_segment(
+                s_in, duq, dlq, st0, n, steps=steps,
+                interpret=interpret)
+
+            def slow(_):
+                return slow_segment(s_in, duq, dlq)
+
+            def fast(_):
+                return s_f, useq, fvseq, itseq, stseq.astype(jnp.int32)
+
+            s2, useq2, fvseq2, itseq2, stseq2 = lax.cond(
+                jnp.any(failed > 0), slow, fast, 0)
+            # inter-segment drift hygiene (the per-step path's polish
+            # Newton-refreshes every round; here once per segment)
+            s2 = ps.newton_refresh(s2)
+            return s2, (useq2, fvseq2, itseq2, stseq2)
+
+        # Segment 0 always goes through the per-step repair path: its
+        # first step is the COLD solve (~100 iterations, pivot-guard
+        # parks and repair rounds are ROUTINE there, not exceptional),
+        # so the in-kernel fast path would flag failure and fall back
+        # almost every time — paying both paths.  Warm segments (1..)
+        # rarely fail.
+        s1, us0, fv0, it0, stq0 = slow_segment(s0, duq_all[0],
+                                               dlq_all[0])
+        s1 = ps.newton_refresh(s1)
+        if NSEG > 1:
+            _, (us1, fv1, it1, stq1) = lax.scan(seg_step, s1,
+                                                (duq_all[1:],
+                                                 dlq_all[1:]))
+            us = jnp.concatenate([us0[None], us1], axis=0)
+            fvals = jnp.concatenate([fv0[None], fv1], axis=0)
+            iters = jnp.concatenate([it0[None], it1], axis=0)
+            flags = jnp.concatenate([stq0.astype(jnp.int32)[None],
+                                     stq1], axis=0)
+        else:
+            us, fvals = us0[None], fv0[None]
+            iters, flags = it0[None], stq0.astype(jnp.int32)[None]
+        # (NSEG, seg, ...) -> (Tp, ...) -> slice back to T
+        us = us.reshape(Tp, np_, S)[:T, :n]      # (T, n, S)
+        fvals = fvals.reshape(Tp, S)[:T]
+        iters = iters.reshape(Tp, S)[:T]
+        flags = flags.reshape(Tp, S)[:T]
+        v_tns = jnp.moveaxis(v_st, 0, -1)        # (T, n, S)
+        xs = jnp.einsum('ij,tjs->tsi', Rinv, us - v_tns,
+                        precision=jax.lax.Precision.HIGHEST)
+        fq = 0.5 * (fvals - jnp.sum(v_tns * v_tns, axis=1))  # (T, S)
+        return MPCStep(
+            x=jnp.moveaxis(xs, 0, 1),                    # (S, T, n)
+            fval=jnp.moveaxis(fq, 0, 1),
+            exitflag=jnp.moveaxis(flags, 0, 1).astype(jnp.int32),
+            iterations=jnp.moveaxis(iters, 0, 1).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("ms",))
 def solve_mpc_scan(H, A, f_seq, bupper_seq, blower_seq, st: Settings,
                    ms: int = 0) -> MPCStep:

@@ -164,7 +164,8 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
 
         pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
         _solve_tile_live(st, m, n, K, n_true, steps, ablate, multi_add,
-                         du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
+                         du_ref[:], dl_ref[:], sc_ref[:], im_ref[:],
+                         si_ref[:], fb_ref[:],
                          au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
                          ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
                          u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
@@ -185,11 +186,11 @@ def _kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
 
 def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
                      steps: int, ablate, multi_add,
-                     du_ref, dl_ref, sc_ref, im_ref, si_ref, fb_ref,
+                     du, dl, sc, im, simm, fb,
                      au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
                      pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o,
                      bf_o, cy_o, rp_o, it_o, stt_o,
-                     E_s, W_s, M_s):
+                     E_s, W_s, M_s, chunk: int = 8):
     """The live-tile solve loop (state already staged into VMEM).
 
     ``ablate`` (frozenset of section names, normally empty) is DEV-ONLY
@@ -206,12 +207,6 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
     progtol = f32(st.progress_tol)
     cyctol = f32(st.cycle_tol)
 
-    du = du_ref[:]
-    dl = dl_ref[:]
-    sc = sc_ref[:]
-    im = im_ref[:]
-    simm = si_ref[:]
-    fb = fb_ref[:]
     M = M_s[:]                    # (m, n, L)
 
     iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -629,12 +624,14 @@ def _solve_tile_live(st: Settings, m: int, n: int, K: int, n_true: int,
     def loop_cond(c):
         return (c[0] < steps) & jnp.any(c[21] == EXIT_RUNNING)
 
-    # steps run in STATIC chunks of 8 inside the convergence-checked
-    # while: a masked step on a terminal lane is a no-op (run = 0), so
-    # up to 7 wasted masked steps trade against Mosaic scheduling a
-    # static-trip-count body (and 8x fewer cross-lane any() reductions)
+    # steps run in STATIC chunks (default 8) inside the convergence-
+    # checked while: a masked step on a terminal lane is a no-op
+    # (run = 0), so up to chunk-1 wasted masked steps trade against
+    # Mosaic scheduling a static-trip-count body (and chunk-x fewer
+    # cross-lane any() reductions).  The MPC horizon kernel passes a
+    # smaller chunk: a ~3-iteration warm step would waste 5 of 8.
     def chunk_body(c):
-        return lax.fori_loop(0, 8, lambda _, cc: body(cc), c)
+        return lax.fori_loop(0, chunk, lambda _, cc: body(cc), c)
 
     carry = lax.while_loop(loop_cond, chunk_body, carry)
     (_, au, al, dsl, used, sid, slo, lam, ls, pd, prow, plm, plo, pid,
@@ -725,6 +722,257 @@ def run_slot_round(s: SlotState, st: Settings, n_true: int,
         plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
         fval=outs[17], best_fval=outs[18], cycle=outs[19],
         repaired=outs[20], iterations=outs[21], status=outs[22])
+
+
+def _mpc_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
+                     steps: int, P: int,
+                     M_ref, sc_ref, im_ref, si_ref, fb_ref, duq_ref,
+                     dlq_ref,
+                     au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref, sidr,
+                     slor, lam_ref, ls_ref, pd_ref, pr_ref, plm_ref,
+                     plo_ref, pid_ref, pdd_ref, u_ref, fv_ref, bf_ref,
+                     cy_ref, rp_ref, it_ref, stt_ref,
+                     au_o, al_o, W_o, E_o, dsl_o, us_o, sid_o, slo_o,
+                     lam_o, ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                     u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                     useq_o, fvseq_o, itseq_o, stseq_o, fail_o,
+                     E_s, W_s, M_s):
+    """P consecutive MPC horizon steps for one 128-lane tile with the
+    big solver state (E, W, M) staged into VMEM ONCE (the round-4 bench
+    decomposition: a warm step needs ~2-3 iterations but the per-step
+    ``slot_solve`` round paid the full ~19 MB/tile staging + the XLA
+    round overhead every step — VERDICT r4 #3).
+
+    Per step p: refresh the slot-table bound values from the streamed
+    per-step d (the UPDATE_d contract, utils.c:410-455), reset the
+    per-solve control state, run the ordinary fused step loop
+    (``_solve_tile_live``), record (u, fval, iters, status).  A lane
+    that ends a step in trouble (RUNNING at the step cap, CYCLE,
+    REFACTOR — states the between-round driver repair would normally
+    fix) FREEZES for the rest of the segment and raises ``fail_o``; the
+    driver redoes the whole segment through the per-step repair path
+    (rare), so the in-kernel fast path needs no repair machinery.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, dsl_ref, us_ref, sidr, slor, lam_ref,
+               ls_ref, pd_ref, pr_ref, plm_ref, plo_ref, pid_ref, pdd_ref,
+               u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref, stt_ref]
+    out_refs = [au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o, pd_o,
+                pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o, bf_o, cy_o,
+                rp_o, it_o, stt_o]
+
+    def load_small(sems):
+        copies = []
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
+
+    def load_big(sems):
+        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_ref.at[lane_idx3], W_s,
+                                        sems.at[1]),
+                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                        sems.at[2])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
+
+    sc = sc_ref[:]
+    im = im_ref[:]
+    simm = si_ref[:]
+    fb = fb_ref[:]
+    iota_m3 = lax.broadcasted_iota(jnp.int32, (1, m, 1),
+                                   1).astype(f32)         # (1, m, 1)
+
+    def step_p(p, failed):
+        du_t = duq_ref[pl.ds(p, 1)][0]                    # (m, L)
+        dl_t = dlq_ref[pl.ds(p, 1)][0]
+        # dsl refresh from sid/slo (slot_refresh_bounds in-kernel)
+        sid = sid_o[:]
+        slo = slo_o[:]
+        used = us_o[:]
+        oh = (sid[:, None, :] == iota_m3).astype(f32)     # (K, m, L)
+        du_sel = jnp.sum(oh * du_t[None, :, :], axis=1)
+        dl_sel = jnp.sum(oh * dl_t[None, :, :], axis=1)
+        dsl_o[:] = (slo * dl_sel + (1.0 - slo) * du_sel) * used
+        # per-solve control reset (mirrors the driver step); frozen
+        # lanes keep their non-RUNNING status => run = 0 in the loop
+        live = failed == 0.0                              # (1, L)
+        stt_o[:] = jnp.where(live, EXIT_RUNNING, stt_o[:])
+        it_o[:] = jnp.zeros_like(it_o[:])
+        cy_o[:] = jnp.zeros_like(cy_o[:])
+        rp_o[:] = jnp.zeros_like(rp_o[:])
+        bf_o[:] = jnp.zeros_like(bf_o[:]) - 1.0
+        pd_o[:] = jnp.zeros_like(pd_o[:])
+        _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                         du_t, dl_t, sc, im, simm, fb,
+                         au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                         ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, W_s, M_s, chunk=4)
+        cycled = (stt_o[:] == EXIT_CYCLE) | (stt_o[:] == EXIT_REFACTOR)
+
+        @pl.when(jnp.any(cycled))
+        def cold_retry():
+            # In-kernel cycling recovery (the reference's cold restart,
+            # bnb.c:118-125 / the driver's exact_repair role): clear the
+            # lane's working set entirely and re-solve this step from
+            # scratch.  Measured necessity: without it, warm-horizon
+            # cycling events accumulate to ~45/512 lanes by step 19 and
+            # every segment falls back to the slow path.  (Slot-immut
+            # flags are per-activation consts here; the MPC tier carries
+            # no IMMUTABLE rows.)
+            cyc = cycled.astype(f32)                      # (1, L)
+            keepl = 1.0 - cyc
+            us_o[:] = us_o[:] * keepl
+            au_o[:] = au_o[:] * keepl
+            al_o[:] = al_o[:] * keepl
+            dsl_o[:] = dsl_o[:] * keepl
+            slo_o[:] = slo_o[:] * keepl
+            sid_o[:] = sid_o[:] * keepl - cyc             # freed -> -1
+            lam_o[:] = lam_o[:] * keepl
+            ls_o[:] = ls_o[:] * keepl
+            pd_o[:] = pd_o[:] * keepl
+            u_o[:] = u_o[:] * keepl
+            fv_o[:] = fv_o[:] * keepl
+            bf_o[:] = jnp.where(cycled, -1.0, bf_o[:])
+            cy_o[:] = cy_o[:] * keepl
+            E_s[:] = E_s[:] * keepl[None]
+            W_s[:] = W_s[:] * keepl[None]
+            stt_o[:] = jnp.where(cycled, EXIT_RUNNING,
+                                 stt_o[:]).astype(jnp.int32)
+            _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                             du_t, dl_t, sc, im, simm, fb,
+                             au_o, al_o, dsl_o, us_o, sid_o, slo_o,
+                             lam_o, ls_o, pd_o, pr_o, plm_o, plo_o,
+                             pid_o, pdd_o, u_o, fv_o, bf_o, cy_o, rp_o,
+                             it_o, stt_o, E_s, W_s, M_s, chunk=8)
+
+        stt = stt_o[:]
+        bad_now = ((stt == EXIT_RUNNING) | (stt == EXIT_CYCLE)
+                   | (stt == EXIT_REFACTOR)).astype(f32)
+        failed = jnp.maximum(failed, bad_now)
+        useq_o[pl.ds(p, 1)] = u_o[:][None]
+        fvseq_o[pl.ds(p, 1)] = fv_o[:][None]
+        itseq_o[pl.ds(p, 1)] = it_o[:][None]
+        stseq_o[pl.ds(p, 1)] = stt[None]
+        return failed
+
+    failed = lax.fori_loop(0, P, step_p,
+                           jnp.zeros((1, LANES), f32))
+    fail_o[:] = failed
+
+    def store_big(sems):
+        copies = [pltpu.make_async_copy(E_s, E_o.at[lane_idx3],
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_s, W_o.at[lane_idx3],
+                                        sems.at[1])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
+
+
+def run_mpc_segment(s: SlotState, duq, dlq, st: Settings, n_true: int,
+                    steps: int = 64, interpret: bool = False):
+    """Run P consecutive warm MPC steps in ONE kernel launch.
+
+    ``duq``/``dlq``: (P, m, B) lanes-last per-step bounds (already in
+    LDP space).  Returns ``(s', useq (P, n, B), fvseq (P, B),
+    itseq (P, B), stseq (P, B) int32, failed (B,) f32)``; a lane with
+    ``failed > 0`` froze mid-segment and the WHOLE segment must be
+    redone through the per-step repair path for that batch (the driver
+    wrapper ``mpc.solve_mpc_scan_pallas_fused`` does this under a
+    ``lax.cond`` so the fallback costs nothing when no lane fails)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    K = s.E.shape[0]
+    P = duq.shape[0]
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    const = [s.M, s.scaling, s.immut, s.simm, s.fbound, duq, dlq]
+    in_state = [s.act_up, s.act_lo, s.W, s.E, s.dsl, s.used, s.sid,
+                s.slo, s.lam, s.lam_star, s.pend, s.prow, s.plam, s.plo,
+                s.pid, s.pdd, s.u, s.fval, s.best_fval, s.cycle,
+                s.repaired, s.iterations, s.status]
+    big = {2, 3}                      # W, E indices within in_state
+    in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
+        + [any_spec for _ in in_state]
+    state_out_specs = [any_spec if i in big else spec(a.shape)
+                       for i, a in enumerate(in_state)]
+    state_out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       for a in in_state]
+    f32 = jnp.float32
+    seq_out_specs = [spec((P, n, B)), spec((P, 1, B)), spec((P, 1, B)),
+                     spec((P, 1, B)), spec((1, B))]
+    seq_out_shape = [jax.ShapeDtypeStruct((P, n, B), f32),
+                     jax.ShapeDtypeStruct((P, 1, B), f32),
+                     jax.ShapeDtypeStruct((P, 1, B), f32),
+                     jax.ShapeDtypeStruct((P, 1, B), jnp.int32),
+                     jax.ShapeDtypeStruct((1, B), f32)]
+    scratch_shapes = [pltpu.VMEM((K, K, LANES), jnp.float32),
+                      pltpu.VMEM((K, n, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32)]
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_mpc_kernel_body, st, m, n, K, n_true,
+                               steps, int(P))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(state_out_specs + seq_out_specs),
+        out_shape=tuple(state_out_shape + seq_out_shape),
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024 * max(1, LANES // 128)),
+    )(*const, *in_state)
+    s2 = s._replace(
+        act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
+        used=outs[5], sid=outs[6], slo=outs[7], lam=outs[8],
+        lam_star=outs[9], pend=outs[10], prow=outs[11], plam=outs[12],
+        plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
+        fval=outs[17], best_fval=outs[18], cycle=outs[19],
+        repaired=outs[20], iterations=outs[21], status=outs[22],
+        dupper=duq[-1], dlower=dlq[-1])
+    useq, fvseq, itseq, stseq, failed = outs[23:]
+    return (s2, useq, fvseq[:, 0, :], itseq[:, 0, :], stseq[:, 0, :],
+            failed[0])
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,11 @@ Families x tiers:
   * QP with equalities / soft rows / high conditioning variants;
   * MIQP: wave driver (interpret) + native C vs single-lane BnB (f64);
   * SOFT_WEIGHTS: flat batch vs single vs lifted QP;
+  * LP: batched slot tier + single + native C vs constructed optima
+    (relative-objective + feasibility gates — vertex degeneracy makes
+    ||x - xref|| ill-posed);
+  * AVI: batched DR tier + single vs constructed solutions;
+  * hierarchical: batched level walk vs single hiqp at matched rho;
   * Bland pricing variants of the above.
 
 Usage: python scripts/fuzz_differential.py [seconds] (default 600)
@@ -253,6 +258,160 @@ def main():
                 issues.append((seed, 'sw', n, m, ns, b, 'flag',
                                int(flags[b]), int(one.exitflag)))
 
+    def check_lp(seed):
+        from tests.gen import generate_test_lp
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 16))
+        m = int(rng.integers(2 * n, 5 * n))
+        ms = int(rng.integers(0, max(1, n // 2)))
+        B = 64
+        probs = [generate_test_lp(n, m, ms, rng) for _ in range(B)]
+        xs = np.stack([p[0] for p in probs])
+        fs = np.stack([p[1] for p in probs]).astype(np.float32)
+        As = np.stack([p[2] for p in probs]).astype(np.float32)
+        bus = np.stack([p[3] for p in probs]).astype(np.float32)
+        bls = np.stack([p[4] for p in probs]).astype(np.float32)
+        se = np.zeros((B, m), np.int32)
+        st = _as_settings({"iter_limit": 3000}, jnp.float32)
+        r = batch_mod.solve_batch_lp_pallas_jit(
+            jnp.asarray(fs), jnp.asarray(As), jnp.asarray(bus),
+            jnp.asarray(bls), jnp.asarray(se), st, ms=ms,
+            interpret=True)
+        flags = np.asarray(r.exitflag)
+        x = np.asarray(r.x)
+        if np.mean(flags == 1) < 0.9:
+            issues.append((seed, 'lp-tier', n, m, ms, 'optimal_rate',
+                           float(np.mean(flags == 1))))
+        # accuracy gate = relative objective + feasibility (degenerate
+        # vertices make ||x - xref|| ill-posed)
+        fv_ref = np.einsum('bn,bn->b', fs, xs)
+        fv_got = np.einsum('bn,bn->b', fs, x)
+        gap = np.abs(fv_got - fv_ref) / (1.0 + np.abs(fv_ref))
+        vals = np.concatenate(
+            [x[:, :ms], np.einsum('bmn,bn->bm', As, x)], axis=1)
+        feas = np.maximum((vals - bus).max(axis=1),
+                          (bls - vals).max(axis=1))
+        for b in np.flatnonzero(flags == 1):
+            if gap[b] > 2e-4 or feas[b] > 2e-4:
+                issues.append((seed, 'lp-tier', n, m, ms, int(b),
+                               'gap/feas', float(gap[b]),
+                               float(feas[b])))
+        # single-instance + native C LP on a few lanes
+        for b in range(0, B, 23):
+            one = daqp_tpu.linprog(fs[b].astype(np.float64),
+                                   As[b].astype(np.float64),
+                                   bus[b].astype(np.float64),
+                                   bls[b].astype(np.float64), ms=ms)
+            natv = NativeModel(None, fs[b].astype(np.float64),
+                               As[b].astype(np.float64),
+                               bus[b].astype(np.float64),
+                               bls[b].astype(np.float64), ms=ms)
+            out = natv.solve()
+            fv_b = float(fv_ref[b])
+            if int(one.exitflag) != 1:
+                issues.append((seed, 'lp-single', n, m, ms, b, 'flag',
+                               int(one.exitflag)))
+            elif abs(float(one.fval) - fv_b) > 1e-5 * (1 + abs(fv_b)):
+                issues.append((seed, 'lp-single', n, m, ms, b, 'fval',
+                               float(one.fval), fv_b))
+            if out['exitflag'] != 1:
+                issues.append((seed, 'lp-native', n, m, ms, b, 'flag',
+                               out['exitflag']))
+            elif abs(out['fval'] - fv_b) > 1e-5 * (1 + abs(fv_b)):
+                issues.append((seed, 'lp-native', n, m, ms, b, 'fval',
+                               out['fval'], fv_b))
+
+    def check_avi(seed):
+        from tests.gen import generate_test_avi_two_sided
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 14))
+        m = int(rng.integers(n + 4, 3 * n))
+        B = 64
+        probs = [generate_test_avi_two_sided(n, m, rng)
+                 for _ in range(B)]
+        xs = np.stack([p[0] for p in probs])
+        Hs = np.stack([p[1] for p in probs]).astype(np.float32)
+        fs = np.stack([p[2] for p in probs]).astype(np.float32)
+        As = np.stack([p[3] for p in probs]).astype(np.float32)
+        bus = np.stack([p[4] for p in probs]).astype(np.float32)
+        bls = np.stack([p[5] for p in probs]).astype(np.float32)
+        se = np.zeros((B, m), np.int32)
+        st = _as_settings({"iter_limit": 3000}, jnp.float32)
+        r = batch_mod.solve_batch_avi_pallas_jit(
+            jnp.asarray(Hs), jnp.asarray(fs), jnp.asarray(As),
+            jnp.asarray(bus), jnp.asarray(bls), jnp.asarray(se), st,
+            ms=0, interpret=True)
+        flags = np.asarray(r.exitflag)
+        x = np.asarray(r.x)
+        if np.mean(flags == 1) < 0.9:
+            issues.append((seed, 'avi-tier', n, m, 'optimal_rate',
+                           float(np.mean(flags == 1))))
+        err = np.abs(x - xs).max(axis=1)
+        for b in np.flatnonzero(flags == 1):
+            if err[b] > 5e-4:
+                issues.append((seed, 'avi-tier', n, m, int(b), 'x',
+                               float(err[b])))
+        for b in range(0, B, 23):
+            one = daqp_tpu.avi(Hs[b].astype(np.float64),
+                               fs[b].astype(np.float64),
+                               As[b].astype(np.float64),
+                               bus[b].astype(np.float64),
+                               bls[b].astype(np.float64), ms=0)
+            if int(one.exitflag) != 1:
+                issues.append((seed, 'avi-single', n, m, b, 'flag',
+                               int(one.exitflag)))
+            elif np.abs(np.asarray(one.x) - xs[b]).max() > 1e-5:
+                issues.append((seed, 'avi-single', n, m, b, 'x',
+                               float(np.abs(np.asarray(one.x)
+                                            - xs[b]).max())))
+
+    def check_hiqp(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 12))
+        nl = int(rng.integers(2, 4))
+        per = int(rng.integers(3, n))
+        bp = tuple(per * i for i in range(nl + 1))
+        m = bp[-1]
+        B = 32
+        As = rng.standard_normal((B, m, n)).astype(np.float32)
+        x0 = rng.standard_normal((B, n)).astype(np.float32)
+        b0 = np.einsum('bmn,bn->bm', As, x0)
+        bus = (b0 + 0.3 * rng.random((B, m))).astype(np.float32)
+        bls = (b0 - 0.3 - 0.6 * rng.random((B, m))).astype(np.float32)
+        # make some first-level rows conflict
+        for b in range(0, B, 5):
+            As[b, 1] = As[b, 0]
+            bus[b, 0] = b0[b, 0] - 1.0
+            bls[b, 0] = b0[b, 0] - 2.0
+            bls[b, 1] = b0[b, 1] + 1.0
+            bus[b, 1] = b0[b, 1] + 2.0
+        se = np.zeros((B, m), np.int32)
+        fs = np.zeros((B, n), np.float32)
+        st = _as_settings({"iter_limit": 3000}, jnp.float32)
+        r = batch_mod.solve_batch_hiqp_pallas_jit(
+            None, jnp.asarray(fs), jnp.asarray(As), jnp.asarray(bus),
+            jnp.asarray(bls), jnp.asarray(se), st, ms=0,
+            break_points=bp, interpret=True)
+        flags = np.asarray(r.exitflag)
+        x = np.asarray(r.x)
+        match = {"rho_soft": 3e-2, "primal_tol": float(st.primal_tol),
+                 "iter_limit": 3000}
+        nbad = 0
+        for b in range(0, B, 7):
+            one = daqp_tpu.quadprog(None, fs[b], As[b], bus[b], bls[b],
+                                    se[b], ms=0, break_points=bp,
+                                    settings=match)
+            if int(flags[b]) <= 0 or int(one.exitflag) <= 0:
+                if int(flags[b]) != int(one.exitflag):
+                    issues.append((seed, 'hiqp-tier', n, bp, b, 'flag',
+                                   int(flags[b]), int(one.exitflag)))
+                continue
+            if np.abs(x[b] - np.asarray(one.x)).max() > 2e-3:
+                nbad += 1
+        if nbad > 1:     # generic data: allow one f32 tie-break lane
+            issues.append((seed, 'hiqp-tier', n, bp, 'xdiff_lanes',
+                           nbad))
+
     while time.time() - t0 < budget:
         seed = 100000 + round_i
         try:
@@ -261,6 +420,12 @@ def main():
                 check_miqp(seed + 50000)
             if round_i % 3 == 1:
                 check_sw(seed + 70000)
+            if round_i % 6 == 2:
+                check_lp(seed + 90000)
+            if round_i % 6 == 4:
+                check_avi(seed + 110000)
+            if round_i % 6 == 5:
+                check_hiqp(seed + 130000)
         except Exception as e:  # noqa: BLE001 — a crash IS a finding
             issues.append((seed, 'exception', repr(e)[:300]))
         round_i += 1

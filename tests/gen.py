@@ -111,6 +111,39 @@ def generate_test_avi(n, m, rng=None):
     return x, H, f, A, b
 
 
+def generate_test_avi_two_sided(n, m, rng=None):
+    """Two-sided AVI with asymmetric PD H and known solution — the
+    two-sided extension of ``generate_test_avi`` (utils.jl:91-115):
+    lower-active rows carry negative multipliers, inactive rows get
+    slack on both sides."""
+    rng = np.random.default_rng(rng)
+    A = rng.standard_normal((m, n))
+    shuffle = rng.permutation(m)
+    n_act = int(rng.integers(0, n + 1))
+    n_up = int(rng.integers(0, n_act + 1))
+    AS_up = shuffle[:n_up]
+    AS_lo = shuffle[n_up:n_act]
+
+    lam = np.zeros(m)
+    lam[AS_up] = rng.random(n_up)
+    lam[AS_lo] = -rng.random(n_act - n_up)
+    x = rng.standard_normal(n)
+
+    Mm = rng.random((n, n))
+    Nn = rng.standard_normal((n, n))
+    sym = Mm.T @ Mm
+    asym = Nn - Nn.T
+    H = sym / np.linalg.norm(sym) + asym / np.linalg.norm(asym)
+
+    f = -H @ x - A.T @ lam
+    Ax = A @ x
+    bu = Ax + 5 * rng.random(m)
+    bl = Ax - 5 * rng.random(m)
+    bu[AS_up] = Ax[AS_up]
+    bl[AS_lo] = Ax[AS_lo]
+    return x, H, f, A, bu, bl
+
+
 def generate_test_qp_batch(B, n, m, ms, n_active, kappa, rng=None,
                            dtype=None):
     """Vectorized batch version of ``generate_test_qp``: constructs B

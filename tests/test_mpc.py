@@ -71,3 +71,42 @@ def test_mpc_scan_pallas_batched():
             assert int(ref.exitflag) == 1
             err = np.linalg.norm(xs[s, t] - np.asarray(ref.x))
             assert err < 2e-3, (s, t, err)
+
+
+def test_mpc_scan_pallas_fused_matches():
+    # The in-kernel horizon variant (run_mpc_segment, VERDICT r4 #3):
+    # per-(scenario, step) results must match the per-step Pallas scan
+    # and fresh solves; seg=2 over T=5 also exercises the repeat-pad
+    # tail (Tp=6)
+    import jax.numpy as jnp
+    from daqp_tpu import mpc as mpc_mod
+    from daqp_tpu.api import _as_settings
+
+    S, T, n, m = 128, 5, 10, 24
+    rng = np.random.default_rng(55)
+    x, H, f, A, bu, bl, sense = generate_test_qp(n, m, 0, 6, 1e2, rng)
+    H, f, A, bu, bl = (v.astype(np.float32) for v in (H, f, A, bu, bl))
+    drift_f = 0.03 * rng.standard_normal((S, T, n)).astype(np.float32)
+    drift_b = 0.03 * rng.standard_normal((S, T, m)).astype(np.float32)
+    f_seq = np.cumsum(drift_f, axis=1) + f
+    bu_seq = np.cumsum(np.abs(drift_b), axis=1) + bu
+    bl_seq = bl - np.cumsum(np.abs(drift_b), axis=1)
+    st = _as_settings({"iter_limit": 400}, jnp.float32)
+    out = mpc_mod.solve_mpc_scan_pallas_fused(
+        jnp.asarray(H), jnp.asarray(A), jnp.asarray(f_seq),
+        jnp.asarray(bu_seq), jnp.asarray(bl_seq), st, ms=0,
+        seg=2, interpret=True)
+    flags = np.asarray(out.exitflag)
+    assert np.all(flags == 1), np.unique(flags, return_counts=True)
+    iters = np.asarray(out.iterations)
+    assert iters[:, 1:].mean() < 15, iters[:, 1:].mean()  # warm steps
+    xs = np.asarray(out.x)
+    for s in range(0, S, 37):
+        for t in range(T):
+            ref = daqp_tpu.quadprog(
+                H.astype(np.float64), f_seq[s, t].astype(np.float64),
+                A.astype(np.float64), bu_seq[s, t].astype(np.float64),
+                bl_seq[s, t].astype(np.float64), ms=0)
+            assert int(ref.exitflag) == 1
+            err = np.linalg.norm(xs[s, t] - np.asarray(ref.x))
+            assert err < 2e-3, (s, t, err)
