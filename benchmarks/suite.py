@@ -34,12 +34,17 @@ def _tol():
     """Correctness gate: the REFERENCE's ||x - xref|| <= 1e-4
     (benchmark.jl:39,62-64), in f32 as well as f64.
 
-    Round 4 closed the f32 gap to the reference gate without a backstop:
-    the f32 default primal_tol moved from 1e-4 (which measurably LOSES
-    weakly-active constraints — n=100 err was 2.4e-4) to 3e-5, and the
-    kernels gained a relative add-pivot gate; measured grid errs in pure
-    f32 on v5e: 2.9e-6 (n=50), 5.4e-6 (n=100), 1.0e-5 (n=200),
-    4.1e-5 (n=500), all flags clean.
+    f32 accuracy story, chip-verified and reconciled in round 5
+    (GRID_r05.json, scripts/grid_accuracy.py): every CLEAN-FLAG
+    instance on the reference grid meets the 1e-4 gate in pure f32
+    (max clean err 2.9e-6 at n=50 ... ~4e-5 at n=500), and at n=500
+    roughly 1 instance in 10 exits LOUDLY (EXIT_CYCLE) rather than
+    silently — round 4's "EXIT_CYCLE lane gone, all flags clean" claim
+    was a stale generalization from one seed.  The production setting
+    for accuracy-gated single-instance use is therefore
+    ``f64_backstop=True`` (loud lanes re-solve in emulated f64), which
+    is what the timed loop below uses; "DAQP-equivalent accuracy" holds
+    through loud-failure escalation, never through silent answers.
     """
     return 1e-4
 

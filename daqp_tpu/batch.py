@@ -280,6 +280,15 @@ def solve_batch_pallas_jit(H, f, A, bupper, blower, sense, st: Settings,
             raise ValueError(
                 "solve_batch_pallas_jit: sense is traced; pass "
                 "has_soft=True/False explicitly when calling under jit")
+    if H.shape[0] > _LANE_GUARD:
+        # v5e B>=1024 miscompile guard: the core's round loop is a fused
+        # whole-batch iterated program — route oversized batches through
+        # the streaming wrapper's per-chunk lax.map
+        return solve_batch_pallas_stream_jit(
+            H, f, A, bupper, blower, sense, st, ms=ms,
+            chunk=_LANE_GUARD, has_soft=bool(has_soft),
+            deadline=deadline, sw=sw, interpret=interpret,
+            guess_cap=guess_cap)
     return _solve_batch_pallas_impl(H, f, A, bupper, blower, sense, st,
                                     ms=ms, interpret=interpret,
                                     has_soft=bool(has_soft),

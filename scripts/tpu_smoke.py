@@ -219,6 +219,42 @@ def main():
     print("wave MIQP batch:", "FAIL" if len(failures) > nf0 else "ok",
           flush=True)
 
+    # fused MPC horizon segment (run_mpc_segment): the in-kernel T loop
+    # with input/output ALIASING — interpret mode cannot cover aliasing,
+    # so the per-(scenario, step) outputs are gated against the per-step
+    # Pallas scan ON CHIP (both paths share slot_solve semantics; the
+    # fused path adds the in-kernel cold retry)
+    nf0 = len(failures)
+    from daqp_tpu import mpc as mpc_mod
+    S_m, T_m, n_m, m_m = 128, 8, 20, 40
+    rngm = np.random.default_rng(57)
+    from tests.gen import generate_test_qp
+    _, Hm, fm, Am, bum, blm, _se = generate_test_qp(n_m, m_m, 0, 12,
+                                                    1e2, rngm)
+    Hm, fm, Am, bum, blm = (v.astype(np.float32)
+                            for v in (Hm, fm, Am, bum, blm))
+    dfm = 0.02 * rngm.standard_normal((S_m, T_m, n_m)).astype(np.float32)
+    dbm = 0.02 * rngm.standard_normal((S_m, T_m, m_m)).astype(np.float32)
+    fseq = np.cumsum(dfm, axis=1) + fm
+    buseq = np.cumsum(np.abs(dbm), axis=1) + bum
+    blseq = blm - np.cumsum(np.abs(dbm), axis=1)
+    stm = _as_settings({"iter_limit": 500}, jnp.float32)
+    outf = mpc_mod.solve_mpc_scan_pallas_fused(
+        jnp.asarray(Hm), jnp.asarray(Am), jnp.asarray(fseq),
+        jnp.asarray(buseq), jnp.asarray(blseq), stm, ms=0, seg=4)
+    outp = mpc_mod.solve_mpc_scan_pallas(
+        jnp.asarray(Hm), jnp.asarray(Am), jnp.asarray(fseq),
+        jnp.asarray(buseq), jnp.asarray(blseq), stm, ms=0)
+    ff = np.asarray(outf.exitflag)
+    fp = np.asarray(outp.exitflag)
+    if not (ff == 1).all():
+        failures.append(f"fused MPC: flags {np.unique(ff)}")
+    dx = np.abs(np.asarray(outf.x) - np.asarray(outp.x)).max()
+    if dx > 5e-4:
+        failures.append(f"fused MPC: |x_fused - x_scan| = {dx:.2e}")
+    print("fused MPC horizon:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
     if failures:
         print("TPU_SMOKE_FAIL")
         for msg in failures:

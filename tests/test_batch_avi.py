@@ -65,3 +65,39 @@ def test_batch_avi_unconstrained_shortcut():
     # x solves H x = -f
     r = np.einsum('bij,bj->bi', Hs, np.asarray(res.x)) + fs
     assert np.abs(r).max() < 1e-3, np.abs(r).max()
+
+
+def test_batch_avi_full_tile_two_sided():
+    # VERDICT r4 #5: full 128-lane tile, reference-ish size, TWO-SIDED
+    # bounds (generate_test_avi_two_sided), every lane accounted:
+    # optimal lanes within gate, non-optimal lanes loud and re-solved
+    # by the f64 single-instance AVI
+    from tests.gen import generate_test_avi_two_sided
+    rng = np.random.default_rng(83)
+    B, n, m = 128, 20, 50
+    probs = [generate_test_avi_two_sided(n, m, rng) for _ in range(B)]
+    xs_ref = np.stack([p[0] for p in probs])
+    Hs = np.stack([p[1] for p in probs])
+    fs = np.stack([p[2] for p in probs])
+    As = np.stack([p[3] for p in probs])
+    bus = np.stack([p[4] for p in probs])
+    bls = np.stack([p[5] for p in probs])
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 3000}, jnp.float32)
+    res = batch_mod.solve_batch_avi_pallas_jit(
+        jnp.asarray(Hs, jnp.float32), jnp.asarray(fs, jnp.float32),
+        jnp.asarray(As, jnp.float32), jnp.asarray(bus, jnp.float32),
+        jnp.asarray(bls, jnp.float32), jnp.asarray(sense), st, ms=0,
+        interpret=True)
+    flags = np.asarray(res.exitflag)
+    xs = np.asarray(res.x)
+    err = np.abs(xs - xs_ref).max(axis=1)
+    for b in range(B):
+        if flags[b] == 1:
+            assert err[b] < 1e-3, (b, err[b])
+        else:
+            assert flags[b] < 0, (b, flags[b])   # loud, never silent
+            one = daqp_tpu.avi(Hs[b], fs[b], As[b], bus[b], bls[b],
+                               ms=0)
+            assert int(one.exitflag) == 1, b
+            assert np.abs(np.asarray(one.x) - xs_ref[b]).max() < 1e-5, b

