@@ -863,7 +863,7 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                                              "max_outer"))
 def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                               ms: int = 0, interpret: bool = False,
-                              max_outer: int = 400,
+                              max_outer: int = 120,
                               deadline=None) -> BatchResult:
     """Batched LP solve: the adaptive-eps proximal LP regime
     (daqp_prox.c:21-271; selected in the reference by n_prox = n at
@@ -1016,14 +1016,21 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                                 apply.astype(f32)[None, :], st, n)
             return s, x2, found
 
-        def run_regime(s_in, run0, flag_in, st_k):
+        def run_regime(s_in, run0, flag_in, st_k, budget):
             """The adaptive-eps outer loop over the kernel state, from a
             cold start, for the ``run0`` lanes (others keep ``flag_in``
-            and their state rides along terminal)."""
+            and their state rides along terminal).  ``budget`` bounds
+            the outer passes: a stagnating ping-pong lane burns the
+            whole budget without converging (the final KKT certificate
+            rescues the ones that stagnated AT the optimum), so the
+            budget is the WALL COST of the batch's worst lane —
+            measured: the old 400-pass default read as 413 LP/s on
+            chip, the capped budgets restore throughput at identical
+            accuracy."""
 
             def cond(c):
                 k, s, x, eps, lane_run, stall, best, flag, tot = c
-                return (k < max_outer) & jnp.any(lane_run)
+                return (k < budget) & jnp.any(lane_run)
 
             def body(c):
                 k, s, x, eps, lane_run, stall, best, flag, tot = c
@@ -1093,7 +1100,8 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
         lane_run0 = ldpd.error >= 0
         flag0 = jnp.where(ldpd.error < 0, ldpd.error,
                           EXIT_RUNNING).astype(jnp.int32)
-        s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st)
+        s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st,
+                                          max_outer)
 
         # Cold Bland retry of loud-failed lanes (the batch analogue of
         # the reference's cold restart on cycling, bnb.c:118-125 /
@@ -1108,7 +1116,8 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
 
         def do_retry(_):
             st_b = st._replace(pricing=1)
-            return run_regime(s0, fail, flag, st_b)
+            return run_regime(s0, fail, flag, st_b,
+                              min(max_outer, 60))
 
         def no_retry(_):
             return s, x, eps, flag, tot
