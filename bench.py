@@ -85,13 +85,21 @@ def bench_body():
         ok = float(np.mean((flags_all == 1) & (err < 1e-4)))
         med_iters = int(np.median(np.asarray(warm.iterations)))
 
+        # SUSTAINED throughput: R back-to-back dispatches per timed
+        # window with ONE final fetch — the chip executes enqueued
+        # programs in order, so run R's flags prove runs 1..R-1 done.
+        # A fetch per dispatch would bill the ~25-30 ms tunnel
+        # round-trip latency (a fixed cost, not solver time) R times;
+        # amortized over R = 3 full streams it is < 7% of the window.
+        R = 3
         best = None
         for _rep in range(3):   # best-of-3: tunnel timing varies +-10%
             t0 = time.perf_counter()
-            r = solve()
-            flags = np.asarray(r.exitflag)   # ONE fetch = the true sync
+            rs = [solve() for _ in range(R)]
+            flags = np.asarray(rs[-1].exitflag)   # one fetch = the sync
             t1 = time.perf_counter()
             best = min(best, t1 - t0) if best is not None else t1 - t0
+        total = total * R
     else:
         batches = [[jnp.asarray(d[k][i * B:(i + 1) * B]) for k in keys]
                    for i in range(NB)]
