@@ -336,12 +336,14 @@ def solve_batch_pallas_stream_jit(H, f, A, bupper, blower, sense,
 
     ``sort_stream=True`` additionally sorts the WHOLE stream by the
     difficulty proxy (violated-constraint count at the unconstrained
-    optimum) before chunking, so 128-lane lockstep tiles are
-    iteration-homogeneous across the entire batch, not just within one
-    chunk (scripts/occupancy.py: per-call sorting reached 73.1% tile
-    occupancy on BASELINE config 2, a globally sorted stream bounds it
-    at 99.1%).  The factorization computed for the proxy is reused by
-    the chunk solves (not recomputed).  Outputs are returned in input
+    optimum) before chunking.  Round-5 measurement on BASELINE config 2
+    (corr(proxy, true iters) = 0.023): the proxy carries ~no signal on
+    THAT family (initial-violation counts barely vary when ~40
+    constraints are active by construction) — occupancy 0.728 sorted
+    ~= unsorted, vs 0.988 for an oracle sort by true iterations.  The
+    sort is kept because it is nearly free (the factorization computed
+    for the proxy is REUSED by the chunk solves) and helps families
+    whose initial violations do vary.  Outputs are returned in input
     order.
 
     ``B`` need not divide ``chunk``: the remainder is padded with
@@ -693,12 +695,13 @@ def _pallas_batch_core(H, f, A, bupper, blower, sense, st: Settings,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
-                                             "max_outer"))
+                                             "max_outer", "fused"))
 def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                                 st: Settings, ms: int = 0,
                                 interpret: bool = False,
                                 max_outer: int = 200,
-                                deadline=None) -> BatchResult:
+                                deadline=None,
+                                fused: bool = True) -> BatchResult:
     """Batched semidefinite-H QP solve: proximal-point outer loop on the
     Pallas kernel tier (``daqp_prox.c`` full-shift regime, batched).
 
@@ -735,13 +738,13 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, interpret=interpret, max_outer=max_outer,
-            deadline=deadline)
+            deadline=deadline, fused=fused)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     if B > _LANE_GUARD:
         return _lane_chunk_map(
             lambda a: solve_batch_prox_pallas_jit(
                 *a, st=st, ms=ms, interpret=interpret,
-                max_outer=max_outer, deadline=deadline),
+                max_outer=max_outer, deadline=deadline, fused=fused),
             (H, f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
@@ -800,9 +803,11 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
                 'bji,bj->bi', Rinv_b,
                 fz - eps[:, None] * x_b, precision=_HIP)
 
-        def cond(c):
-            k, s, x, lane_run, stall, best_diff, lane_flag, tot = c
-            return (k < max_outer) & jnp.any(lane_run)
+        def cond_gen(budget):
+            def cond(c):
+                k, s, x, lane_run, stall, best_diff, lane_flag, tot = c
+                return (k < budget) & jnp.any(lane_run)
+            return cond
 
         def body(c):
             k, s, x, lane_run, stall, best_diff, lane_flag, tot = c
@@ -840,11 +845,122 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
         lane_run0 = okl                                     # (B,) bool
         lane_flag0 = jnp.where(okl, EXIT_RUNNING,
                                EXIT_NONCONVEX).astype(jnp.int32)
-        c0 = (jnp.zeros((), jnp.int32), s0, x0, lane_run0,
-              jnp.zeros((B,), jnp.int32), jnp.full((B,), jnp.inf, f32),
-              lane_flag0, jnp.zeros((B,), f32))
-        (k, s, x, lane_run, _, _, lane_flag,
-         tot_iters) = lax.while_loop(cond, body, c0)
+        use_fused = fused and not interpret \
+            and jax.default_backend() == 'tpu'
+        if not use_fused:
+            c0 = (jnp.zeros((), jnp.int32), s0, x0, lane_run0,
+                  jnp.zeros((B,), jnp.int32),
+                  jnp.full((B,), jnp.inf, f32),
+                  lane_flag0, jnp.zeros((B,), f32))
+            (k, s, x, lane_run, _, _, lane_flag,
+             tot_iters) = lax.while_loop(cond_gen(max_outer), body, c0)
+        else:
+            # Fused outer loop (the config-4 analogue of the fused MPC
+            # horizon): P proximal passes per kernel launch with
+            # E/W/M/Rinv VMEM-resident — measured on config 4, the
+            # per-pass XLA glue was ~1.5 ms around ~0.1 ms of kernel
+            # work.  Frozen (cycling-after-retry) lanes resume through
+            # the existing XLA repair path under lax.cond per segment.
+            np_pad = s0.u.shape[0]
+            pad_n = np_pad - n
+            Rinv_l = jnp.moveaxis(
+                jnp.pad(Rinv_b, ((0, 0), (0, pad_n), (0, pad_n))),
+                0, -1)
+            fz_l = jnp.moveaxis(jnp.pad(fz, ((0, 0), (0, pad_n))),
+                                0, -1)
+            bus_l = jnp.where(
+                row_real,
+                jnp.moveaxis(jnp.pad(bu_s, ((0, 0), (0, mp - m))),
+                             0, -1), big)
+            bls_l = jnp.where(
+                row_real,
+                jnp.moveaxis(jnp.pad(bl_s, ((0, 0), (0, mp - m))),
+                             0, -1), -big)
+            eps_ll = eps[None, :]
+            tst_l = tol_stat[None, :]
+            PSEG = 8
+
+            def seg_cond(c):
+                k, s, x_l, lr, stl, bd, lf, tt = c
+                return (k < max_outer) & jnp.any(lr > 0)
+
+            def seg_body(c):
+                k, s_c, x_l, lr, stl, bd, lf, tt = c
+                (s2, x2, lr2, stl2, bd2, lf2, tt2,
+                 failed) = ps.run_prox_segment(
+                    s_c, x_l, lr, stl, bd, lf, tt, Rinv_l, fz_l, bus_l,
+                    bls_l, eps_ll, tst_l, st, n, P=PSEG, steps=64,
+                    interpret=interpret)
+
+                def slow(args):
+                    s_f, x_f, lr_f, stl_f, bd_f, lf_f, tt_f = args
+                    x_bn = jnp.moveaxis(x_f, -1, 0)[:, :n]
+                    cfb = (jnp.zeros((), jnp.int32), s_f, x_bn,
+                           failed > 0, stl_f[0].astype(jnp.int32),
+                           bd_f[0], lf_f[0].astype(jnp.int32),
+                           tt_f[0])
+                    (_, s3, x3, lr3, stl3, bd3, lf3,
+                     tt3) = lax.while_loop(cond_gen(PSEG), body, cfb)
+                    x3l = jnp.moveaxis(
+                        jnp.pad(x3, ((0, 0), (0, pad_n))), 0, -1)
+                    fm = (failed > 0)[None, :]
+
+                    def msel(a, b):
+                        return jnp.where(
+                            (failed > 0).reshape(
+                                (1,) * (a.ndim - 1) + (-1,)), a, b)
+
+                    return (jax.tree_util.tree_map(msel, s3, s_f),
+                            jnp.where(fm, x3l, x_f),
+                            jnp.where(fm, lr3.astype(f32)[None, :],
+                                      lr_f),
+                            jnp.where(fm, stl3.astype(f32)[None, :],
+                                      stl_f),
+                            jnp.where(fm, bd3[None, :], bd_f),
+                            jnp.where(fm, lf3[None, :],
+                                      lf_f).astype(jnp.int32),
+                            jnp.where(fm, tt3[None, :], tt_f))
+
+                def fast(args):
+                    return args
+
+                s2, x2, lr2, stl2, bd2, lf2, tt2 = lax.cond(
+                    jnp.any(failed > 0), slow, fast,
+                    (s2, x2, lr2, stl2, bd2, lf2, tt2))
+                # inter-segment drift hygiene (the XLA path's slot_solve
+                # Newton-refreshes every round; here once per segment)
+                s2 = ps.newton_refresh(s2)
+                return (k + PSEG, s2, x2, lr2, stl2, bd2, lf2, tt2)
+
+            c0f = (jnp.zeros((), jnp.int32), s0,
+                   jnp.zeros((np_pad, B), f32),
+                   lane_run0.astype(f32)[None, :],
+                   jnp.zeros((1, B), f32),
+                   jnp.full((1, B), jnp.inf, f32),
+                   lane_flag0[None, :],
+                   jnp.zeros((1, B), f32))
+            (k, s, x_l, lr_f, _, _, lf_f,
+             tt_f) = lax.while_loop(seg_cond, seg_body, c0f)
+            x = jnp.moveaxis(x_l, -1, 0)[:, :n]
+            lane_run = lr_f[0] > 0
+            lane_flag = lf_f[0]
+            tot_iters = tt_f[0]
+            # Final hygiene pass: the in-kernel passes run without the
+            # between-round polish, so the LAST inner solve is looser
+            # than the XLA path's (measured max constraint violation
+            # 1.1e-2 vs 1.6e-3 at the accepted prox fixed point).  One
+            # driver-side warm pass with the full repair/polish
+            # machinery at the final v restores it for ~5% of the wall.
+            fin = lane_flag == EXIT_OPTIMAL
+            v_fin = v_of(x)
+            s = carry_solve(s, v_fin, fin)
+            ok_fin = fin & (s.status[0] > 0)
+            u_fin = jnp.moveaxis(s.u, -1, 0)[:, :n]
+            x_fin = jnp.einsum('bij,bj->bi', Rinv_b, u_fin - v_fin,
+                               precision=_HIP)
+            x = jnp.where(ok_fin[:, None], x_fin, x)
+            tot_iters = tot_iters + jnp.where(fin, s.iterations[0],
+                                              0.0)
         lane_flag = jnp.where(lane_run, EXIT_ITERLIMIT, lane_flag)
         lane_flag = jnp.where(ldpd.error < 0, ldpd.error, lane_flag)
 

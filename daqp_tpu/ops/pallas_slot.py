@@ -895,6 +895,298 @@ def _mpc_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
     pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
 
 
+def _prox_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
+                      steps: int, P: int,
+                      M_ref, sc_ref, im_ref, si_ref, fb_ref, Rinv_ref,
+                      fz_ref, bus_ref, bls_ref, eps_ref, tst_ref,
+                      au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref,
+                      sidr, slor, lam_ref, ls_ref, pd_ref, pr_ref,
+                      plm_ref, plo_ref, pid_ref, pdd_ref, u_ref, fv_ref,
+                      bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
+                      x_ref, lr_ref, stl_ref, bd_ref, lf_ref, tt_ref,
+                      au_o, al_o, W_o, E_o, dsl_o, us_o, sid_o, slo_o,
+                      lam_o, ls_o, pd_o, pr_o, plm_o, plo_o, pid_o,
+                      pdd_o, u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                      x_o, lr_o, stl_o, bd_o, lf_o, tt_o,
+                      fail_o,
+                      E_s, W_s, M_s, R_s):
+    """P proximal-point outer passes for one 128-lane tile with the
+    solver state (E, W, M) AND the per-lane factorization (Rinv) staged
+    into VMEM once (VERDICT r5 follow-on to the fused MPC horizon:
+    measured on config 4, each outer pass cost ~1.5 ms of XLA glue
+    around ~0.1 ms of kernel work).
+
+    Per pass (daqp_prox.c:21-189 full-shift regime, in-kernel):
+    v = Rinv'(f - eps*x), d = b_s + M v, warm inner solve
+    (``_solve_tile_live`` + the in-kernel cold retry), x = Rinv(u - v),
+    fixed-point test ||x - x_old||_inf < eta/eps with the
+    arithmetic-floor stagnation acceptance and 1.5x over-relaxation on
+    a frozen active set.  PD lanes (eps = 0) converge after one pass.
+    Lanes whose inner solve stays in trouble after the retry freeze and
+    raise ``fail_o`` for the driver's repair fallback."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, dsl_ref, us_ref, sidr, slor, lam_ref,
+               ls_ref, pd_ref, pr_ref, plm_ref, plo_ref, pid_ref,
+               pdd_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref,
+               stt_ref, x_ref, lr_ref, stl_ref, bd_ref, lf_ref, tt_ref]
+    out_refs = [au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
+                pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o, bf_o,
+                cy_o, rp_o, it_o, stt_o, x_o, lr_o, stl_o, bd_o, lf_o,
+                tt_o]
+
+    def load_small(sems):
+        copies = []
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
+
+    def load_big(sems):
+        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_ref.at[lane_idx3], W_s,
+                                        sems.at[1]),
+                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                        sems.at[2]),
+                  pltpu.make_async_copy(Rinv_ref.at[lane_idx3], R_s,
+                                        sems.at[3])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((4,)))
+
+    sc = sc_ref[:]
+    im = im_ref[:]
+    simm = si_ref[:]
+    fb = fb_ref[:]
+    fz = fz_ref[:]                                        # (n, L)
+    bus = bus_ref[:]                                      # (m, L)
+    bls = bls_ref[:]
+    eps = eps_ref[:]                                      # (1, L)
+    tst = tst_ref[:]                                      # (1, L)
+    iota_m3 = lax.broadcasted_iota(jnp.int32, (1, m, 1),
+                                   1).astype(f32)
+
+    def pass_body(c):
+        p, failed, _anyrun = c
+        run = ((lr_o[:] > 0) & (failed == 0.0)).astype(f32)  # (1, L)
+        x = x_o[:]                                        # (n, L)
+        t = fz - eps * x
+        R = R_s[:]                                        # (n, n, L)
+        v = jnp.sum(R * t[:, None, :], axis=0)            # v = Rinv' t
+        Mv = jnp.sum(M_s[:] * v[None, :, :], axis=1)      # (m, L)
+        du_t = bus + Mv
+        dl_t = bls + Mv
+        # dsl refresh + per-solve control reset (only running lanes)
+        sid = sid_o[:]
+        slo = slo_o[:]
+        used = us_o[:]
+        oh = (sid[:, None, :] == iota_m3).astype(f32)
+        du_sel = jnp.sum(oh * du_t[None, :, :], axis=1)
+        dl_sel = jnp.sum(oh * dl_t[None, :, :], axis=1)
+        dsl_o[:] = (slo * dl_sel + (1.0 - slo) * du_sel) * used
+        stt_o[:] = jnp.where(run > 0, EXIT_RUNNING,
+                             stt_o[:]).astype(jnp.int32)
+        it_o[:] = jnp.zeros_like(it_o[:])
+        cy_o[:] = jnp.zeros_like(cy_o[:])
+        rp_o[:] = jnp.zeros_like(rp_o[:])
+        bf_o[:] = jnp.zeros_like(bf_o[:]) - 1.0
+        pd_o[:] = pd_o[:] * (1.0 - run)
+        _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                         du_t, dl_t, sc, im, simm, fb,
+                         au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                         ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, W_s, M_s, chunk=4)
+        cycled = ((stt_o[:] == EXIT_CYCLE)
+                  | (stt_o[:] == EXIT_REFACTOR)) & (run > 0)
+
+        @pl.when(jnp.any(cycled))
+        def cold_retry():
+            cyc = cycled.astype(f32)
+            keepl = 1.0 - cyc
+            us_o[:] = us_o[:] * keepl
+            au_o[:] = au_o[:] * keepl
+            al_o[:] = al_o[:] * keepl
+            dsl_o[:] = dsl_o[:] * keepl
+            slo_o[:] = slo_o[:] * keepl
+            sid_o[:] = sid_o[:] * keepl - cyc
+            lam_o[:] = lam_o[:] * keepl
+            ls_o[:] = ls_o[:] * keepl
+            pd_o[:] = pd_o[:] * keepl
+            u_o[:] = u_o[:] * keepl
+            fv_o[:] = fv_o[:] * keepl
+            bf_o[:] = jnp.where(cycled, -1.0, bf_o[:])
+            cy_o[:] = cy_o[:] * keepl
+            E_s[:] = E_s[:] * keepl[None]
+            W_s[:] = W_s[:] * keepl[None]
+            stt_o[:] = jnp.where(cycled, EXIT_RUNNING,
+                                 stt_o[:]).astype(jnp.int32)
+            _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                             du_t, dl_t, sc, im, simm, fb,
+                             au_o, al_o, dsl_o, us_o, sid_o, slo_o,
+                             lam_o, ls_o, pd_o, pr_o, plm_o, plo_o,
+                             pid_o, pdd_o, u_o, fv_o, bf_o, cy_o, rp_o,
+                             it_o, stt_o, E_s, W_s, M_s, chunk=8)
+
+        stt = stt_o[:]
+        bad_now = (((stt == EXIT_RUNNING) | (stt == EXIT_CYCLE)
+                    | (stt == EXIT_REFACTOR)) & (run > 0)).astype(f32)
+        failed = jnp.maximum(failed, bad_now)
+        run2 = run * (1.0 - bad_now)
+
+        # outer prox update (daqp_prox.c:114-154 semantics, batched)
+        it = it_o[:]
+        inner_ok = (stt > 0) & (run2 > 0)
+        w = u_o[:] - v
+        x_new = jnp.sum(R * w[None, :, :], axis=1)        # x = Rinv w
+        max_diff = jnp.max(jnp.abs(x_new - x), axis=0,
+                           keepdims=True)                 # (1, L)
+        pd_lane = eps == 0.0
+        converged = pd_lane | (max_diff < tst)
+        improved = max_diff < 0.9 * bd_o[:]
+        bd_o[:] = jnp.minimum(max_diff, bd_o[:])
+        stall = jnp.where(improved | (run2 == 0), 0.0, stl_o[:] + 1.0)
+        stl_o[:] = stall
+        converged = converged | (stall >= 8.0)
+        froze = (it <= 1.0) & ~converged & inner_ok
+        x_next = jnp.where(run2 > 0,
+                           jnp.where(froze, x + 1.5 * (x_new - x),
+                                     x_new), x)
+        x_o[:] = x_next
+        done = (run2 > 0) & (converged | ~(stt > 0))
+        lf_o[:] = jnp.where(done,
+                            jnp.where(stt > 0, EXIT_OPTIMAL, stt),
+                            lf_o[:]).astype(jnp.int32)
+        # frozen (failed) lanes KEEP lane_run = 1: the driver's repair
+        # fallback resumes them; they are excluded here via ``failed``
+        lr_new = jnp.where(done, 0.0, lr_o[:])
+        lr_o[:] = lr_new
+        tt_o[:] = tt_o[:] + jnp.where(run > 0, it, 0.0)
+        anyrun = jnp.any((lr_new > 0) & (failed == 0.0))
+        return p + 1, failed, anyrun
+
+    def pass_cond(c):
+        p, failed, anyrun = c
+        return (p < P) & anyrun
+
+    _, failed, _ = lax.while_loop(pass_cond, pass_body,
+                                  (jnp.zeros((), jnp.int32),
+                                   jnp.zeros((1, LANES), f32),
+                                   jnp.any(lr_o[:] > 0)))
+    fail_o[:] = failed
+
+    def store_big(sems):
+        copies = [pltpu.make_async_copy(E_s, E_o.at[lane_idx3],
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_s, W_o.at[lane_idx3],
+                                        sems.at[1])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
+
+
+def run_prox_segment(s: SlotState, x_b, lane_run, stall, best_diff,
+                     lflag, tot, Rinv_l, fz_l, bus_l, bls_l, eps_l,
+                     tst_l, st: Settings, n_true: int, P: int = 8,
+                     steps: int = 64, interpret: bool = False):
+    """Run up to P proximal outer passes in ONE kernel launch.
+
+    Lanes-last operands: ``x_b`` (n_pad, B) outer iterate, ``lane_run``
+    /``stall``/``best_diff``/``tot`` (1, B) f32, ``lflag`` (1, B) int32,
+    ``Rinv_l`` (n_pad, n_pad, B) per-lane inverse Cholesky factor,
+    ``fz_l`` (n_pad, B), ``bus_l``/``bls_l`` (m_pad, B) scaled user
+    bounds with +/-DAQP_INF pad rows, ``eps_l``/``tst_l`` (1, B).
+    Returns the updated ``(s, x, lane_run, stall, best_diff, lflag,
+    tot, failed)``; ``failed > 0`` lanes froze mid-segment and continue
+    through the driver's XLA repair path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    K = s.E.shape[0]
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    const = [s.M, s.scaling, s.immut, s.simm, s.fbound, Rinv_l, fz_l,
+             bus_l, bls_l, eps_l, tst_l]
+    in_state = [s.act_up, s.act_lo, s.W, s.E, s.dsl, s.used, s.sid,
+                s.slo, s.lam, s.lam_star, s.pend, s.prow, s.plam, s.plo,
+                s.pid, s.pdd, s.u, s.fval, s.best_fval, s.cycle,
+                s.repaired, s.iterations, s.status,
+                x_b, lane_run, stall, best_diff, lflag, tot]
+    big = {2, 3}                      # W, E indices within in_state
+    in_specs = [any_spec, spec(s.scaling.shape), spec(s.immut.shape),
+                spec(s.simm.shape), spec(s.fbound.shape), any_spec,
+                spec(fz_l.shape), spec(bus_l.shape), spec(bls_l.shape),
+                spec(eps_l.shape), spec(tst_l.shape)] \
+        + [any_spec for _ in in_state]
+    state_out_specs = [any_spec if i in big else spec(a.shape)
+                       for i, a in enumerate(in_state)]
+    state_out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       for a in in_state]
+    f32 = jnp.float32
+    seq_out_specs = [spec((1, B))]
+    seq_out_shape = [jax.ShapeDtypeStruct((1, B), f32)]
+    scratch_shapes = [pltpu.VMEM((K, K, LANES), jnp.float32),
+                      pltpu.VMEM((K, n, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32),
+                      pltpu.VMEM((n, n, LANES), jnp.float32)]
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_prox_kernel_body, st, m, n, K, n_true,
+                               steps, int(P))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(state_out_specs + seq_out_specs),
+        out_shape=tuple(state_out_shape + seq_out_shape),
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024 * max(1, LANES // 128)),
+    )(*const, *in_state)
+    s2 = s._replace(
+        act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
+        used=outs[5], sid=outs[6], slo=outs[7], lam=outs[8],
+        lam_star=outs[9], pend=outs[10], prow=outs[11], plam=outs[12],
+        plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
+        fval=outs[17], best_fval=outs[18], cycle=outs[19],
+        repaired=outs[20], iterations=outs[21], status=outs[22])
+    x2, lr2, stl2, bd2, lf2, tt2, failed = outs[23:]
+    return s2, x2, lr2, stl2, bd2, lf2, tt2, failed[0]
+
+
 def run_mpc_segment(s: SlotState, duq, dlq, st: Settings, n_true: int,
                     steps: int = 64, interpret: bool = False):
     """Run P consecutive warm MPC steps in ONE kernel launch.

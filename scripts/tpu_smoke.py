@@ -255,6 +255,43 @@ def main():
     print("fused MPC horizon:", "FAIL" if len(failures) > nf0 else "ok",
           flush=True)
 
+    # fused prox outer loop (run_prox_segment, aliasing + in-kernel
+    # Rinv application): gated against the XLA per-pass path ON CHIP —
+    # flags must agree and the objective at the accepted fixed point
+    # must match (x can differ along semidefinite-H null directions)
+    nf0 = len(failures)
+    Bp, n_p, m_p, rk = 128, 20, 40, 12
+    rngp = np.random.default_rng(67)
+    Qp = rngp.standard_normal((Bp, n_p, rk)).astype(np.float32)
+    Hp = np.einsum('bir,bjr->bij', Qp, Qp)
+    fp = rngp.standard_normal((Bp, n_p)).astype(np.float32)
+    Ap = rngp.standard_normal((Bp, m_p, n_p)).astype(np.float32)
+    bup = (4 + 4 * rngp.random((Bp, m_p))).astype(np.float32)
+    blp = -(4 + 4 * rngp.random((Bp, m_p))).astype(np.float32)
+    sep = np.zeros((Bp, m_p), np.int32)
+    stp = _as_settings({"iter_limit": 1000}, jnp.float32)
+    argsp = tuple(jnp.asarray(v) for v in (Hp, fp, Ap, bup, blp, sep))
+    rpx = batch_mod.solve_batch_prox_pallas_jit(*argsp, stp, ms=0,
+                                                fused=False)
+    rpf = batch_mod.solve_batch_prox_pallas_jit(*argsp, stp, ms=0,
+                                                fused=True)
+    fxp = np.asarray(rpx.exitflag)
+    ffp = np.asarray(rpf.exitflag)
+    if not np.array_equal(fxp > 0, ffp > 0):
+        failures.append("fused prox: flag split vs XLA path")
+    H64p = Hp.astype(np.float64)
+    xv = np.asarray(rpx.x).astype(np.float64)
+    xw = np.asarray(rpf.x).astype(np.float64)
+    fvx = 0.5 * np.einsum('bi,bij,bj->b', xv, H64p, xv) \
+        + np.einsum('bi,bi->b', fp, xv)
+    fvf = 0.5 * np.einsum('bi,bij,bj->b', xw, H64p, xw) \
+        + np.einsum('bi,bi->b', fp, xw)
+    dgap = np.abs(fvf - fvx).max()
+    if dgap > 1e-2:
+        failures.append(f"fused prox: objective gap {dgap:.2e}")
+    print("fused prox batch:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
     if failures:
         print("TPU_SMOKE_FAIL")
         for msg in failures:
