@@ -1478,12 +1478,13 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
-                                             "max_outer"))
+                                             "max_outer", "fused"))
 def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
                                st: Settings, ms: int = 0,
                                interpret: bool = False,
                                max_outer: int = 500,
-                               deadline=None) -> BatchResult:
+                               deadline=None,
+                               fused: bool = True) -> BatchResult:
     """Batched affine variational inequalities: the Douglas-Rachford
     splitting of ``daqp_solve_avi`` (avi.c:6-101) carried by ONE outer
     loop over the whole-batch slot-kernel state (the same architecture
@@ -1522,13 +1523,13 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
             padded(blower, -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, interpret=interpret, max_outer=max_outer,
-            deadline=deadline)
+            deadline=deadline, fused=fused)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     if B > _LANE_GUARD:
         return _lane_chunk_map(
             lambda a: solve_batch_avi_pallas_jit(
                 *a, st=st, ms=ms, interpret=interpret,
-                max_outer=max_outer, deadline=deadline),
+                max_outer=max_outer, deadline=deadline, fused=fused),
             (H, f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
@@ -1706,13 +1707,158 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
                           jnp.where(unc_ok, EXIT_OPTIMAL,
                                     EXIT_RUNNING)).astype(jnp.int32)
         K = s0.E.shape[0]
-        c0 = (jnp.zeros((), jnp.int32), s0, x0, x0,
-              jnp.zeros((B, n), f32), jnp.zeros((B, K), f32),
-              jnp.full((B,), DAQP_INF, f32), jnp.zeros((B,), jnp.int32),
-              jnp.full((B,), 5, jnp.int32), lane_run0, flag0,
-              jnp.zeros((B,), f32))
-        (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
-         tot) = lax.while_loop(cond, body, c0)
+        use_fused = fused and not interpret \
+            and jax.default_backend() == 'tpu'
+        if not use_fused:
+            c0 = (jnp.zeros((), jnp.int32), s0, x0, x0,
+                  jnp.zeros((B, n), f32), jnp.zeros((B, K), f32),
+                  jnp.full((B,), DAQP_INF, f32),
+                  jnp.zeros((B,), jnp.int32),
+                  jnp.full((B,), 5, jnp.int32), lane_run0, flag0,
+                  jnp.zeros((B,), f32))
+            (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
+             tot) = lax.while_loop(cond, body, c0)
+        else:
+            # Fused DR outer loop (ops.pallas_slot.run_avi_segment —
+            # the AVI analogue of the fused prox loop): P passes per
+            # kernel launch with E/W/M + the per-lane Rinv/G/Hrho^-1
+            # matrices VMEM-resident; the exact-KKT acceleration and
+            # inner-failure repair run at the driver between segments
+            # through freeze channels.
+            np_pad = s0.u.shape[0]
+            pad_n = np_pad - n
+
+            def padM(Mx):
+                return jnp.moveaxis(
+                    jnp.pad(Mx, ((0, 0), (0, pad_n), (0, pad_n))),
+                    0, -1)
+
+            Rinv_l = padM(ldpd.Rinv)
+            G1_l = padM(Hb - Hs_rho)
+            G2_l = padM(0.5 * Hsym + rho[:, None, None] * eyen)
+            G3_l = padM(Hb - 0.5 * Hsym)
+            Hri_l = padM(lu_solve(H_rho_lu, jnp.broadcast_to(
+                eyen, (B, n, n))))
+            fz_l = jnp.moveaxis(jnp.pad(fb, ((0, 0), (0, pad_n))),
+                                0, -1)
+            bus_l = jnp.where(
+                row_real,
+                jnp.moveaxis(jnp.pad(bu_s, ((0, 0), (0, mp - m))),
+                             0, -1), big)
+            bls_l = jnp.where(
+                row_real,
+                jnp.moveaxis(jnp.pad(bl_s, ((0, 0), (0, mp - m))),
+                             0, -1), -big)
+            mats = (Rinv_l, G1_l, G2_l, G3_l, Hri_l, fz_l, bus_l,
+                    bls_l)
+            PSEG = 8
+            zn = jnp.zeros((np_pad, B), f32)
+            vars0 = (zn, zn, zn,
+                     jnp.full((1, B), DAQP_INF, f32),
+                     jnp.zeros((1, B), f32),
+                     jnp.full((1, B), 5.0, f32),
+                     lane_run0.astype(f32)[None, :],
+                     flag0[None, :],
+                     jnp.zeros((1, B), f32))
+
+            def to_body_carry(s_a, v_a, lamK_a):
+                (x_l, y_l, xo_l, mr_l, ct_l, tl_l, lr_l, lf_l,
+                 tt_l) = v_a
+                mvx = lambda a: jnp.moveaxis(a, -1, 0)[:, :n]
+                return (jnp.zeros((), jnp.int32), s_a, mvx(x_l),
+                        mvx(y_l), mvx(xo_l), lamK_a, mr_l[0],
+                        ct_l[0].astype(jnp.int32),
+                        tl_l[0].astype(jnp.int32), lr_l[0] > 0,
+                        lf_l[0], tt_l[0])
+
+            def from_body_carry(c_a):
+                (_, s_a, x_a, y_a, xo_a, lamK_a, mr_a, ct_a, tl_a,
+                 lr_a, lf_a, tt_a) = c_a
+                pl_ = lambda a: jnp.moveaxis(
+                    jnp.pad(a, ((0, 0), (0, pad_n))), 0, -1)
+                return s_a, (pl_(x_a), pl_(y_a), pl_(xo_a),
+                             mr_a[None, :],
+                             ct_a.astype(f32)[None, :],
+                             tl_a.astype(f32)[None, :],
+                             lr_a.astype(f32)[None, :],
+                             lf_a[None, :],
+                             tt_a[None, :]), lamK_a
+
+            def seg_cond(c):
+                k, s_c, v_c, lamK_c = c
+                return (k < max_outer) & jnp.any(v_c[6] > 0)
+
+            def seg_body(c):
+                k, s_c, v_c, lamK_c = c
+                s2, v2, failed, kktq = ps.run_avi_segment(
+                    s_c, v_c, mats, st, n, P=PSEG, steps=64,
+                    interpret=interpret)
+
+                def kkt_service(args):
+                    s_a, v_a, lamK_a = args
+                    (x_l, y_l, xo_l, mr_l, ct_l, tl_l, lr_l, lf_l,
+                     tt_l) = v_a
+                    x_a = jnp.moveaxis(x_l, -1, 0)[:, :n]
+                    do_k = kktq > 0
+                    x_kkt, lam_new, opt = kkt_all(s_a, do_k)
+                    xo2 = jnp.where(
+                        do_k[None, :],
+                        jnp.moveaxis(jnp.pad(x_a, ((0, 0), (0, pad_n))),
+                                     0, -1), xo_l)
+                    x2 = jnp.where(
+                        do_k[None, :],
+                        jnp.moveaxis(jnp.pad(x_kkt,
+                                             ((0, 0), (0, pad_n))),
+                                     0, -1), x_l)
+                    lam2 = jnp.where(do_k[:, None], lam_new, lamK_a)
+                    lf2 = jnp.where((opt & (lf_l[0] == EXIT_RUNNING)
+                                     )[None, :],
+                                    EXIT_OPTIMAL, lf_l)
+                    lr2 = jnp.where((opt)[None, :], 0.0, lr_l)
+                    return (s_a, (x2, y_l, xo2, mr_l, ct_l, tl_l, lr2,
+                                  lf2.astype(jnp.int32), tt_l), lam2)
+
+                s2, v2, lamK_c = lax.cond(
+                    jnp.any(kktq > 0), kkt_service, lambda a: a,
+                    (s2, v2, lamK_c))
+
+                def repair(args):
+                    s_a, v_a, lamK_a = args
+                    cfb = to_body_carry(s_a, v_a, lamK_a)
+                    # run ONLY the frozen lanes through the XLA body
+                    cfb = cfb[:9] + (failed > 0,) + cfb[10:]
+                    cfb = lax.while_loop(
+                        lambda cc: (cc[0] < PSEG) & jnp.any(cc[9]),
+                        body, cfb)
+                    s_b, v_b, lamK_b = from_body_carry(cfb)
+                    fm1 = (failed > 0)[None, :]
+
+                    def msel(a, b):
+                        return jnp.where(
+                            (failed > 0).reshape(
+                                (1,) * (a.ndim - 1) + (-1,)), a, b)
+
+                    s_m = jax.tree_util.tree_map(msel, s_b, s_a)
+                    v_m = tuple(
+                        jnp.where(fm1, nb_, ob_).astype(ob_.dtype)
+                        for nb_, ob_ in zip(v_b, v_a))
+                    lam_m = jnp.where((failed > 0)[:, None], lamK_b,
+                                      lamK_a)
+                    return s_m, v_m, lam_m
+
+                s2, v2, lamK_c = lax.cond(
+                    jnp.any(failed > 0), repair, lambda a: a,
+                    (s2, v2, lamK_c))
+                s2 = ps.newton_refresh(s2)
+                return (k + PSEG, s2, v2, lamK_c)
+
+            c0f = (jnp.zeros((), jnp.int32), s0, vars0,
+                   jnp.zeros((B, K), f32))
+            (k, s, v_f, lamK) = lax.while_loop(seg_cond, seg_body, c0f)
+            x = jnp.moveaxis(v_f[0], -1, 0)[:, :n]
+            lane_run = v_f[6][0] > 0
+            flag = v_f[7][0]
+            tot = v_f[8][0]
         flag = jnp.where(lane_run, EXIT_ITERLIMIT, flag)
         x = jnp.where(unc_ok[:, None], x_unc, x)
 

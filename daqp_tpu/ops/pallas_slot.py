@@ -1187,6 +1187,327 @@ def run_prox_segment(s: SlotState, x_b, lane_run, stall, best_diff,
     return s2, x2, lr2, stl2, bd2, lf2, tt2, failed[0]
 
 
+def _avi_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
+                     steps: int, P: int,
+                     M_ref, sc_ref, im_ref, si_ref, fb_ref, Rinv_ref,
+                     G1_ref, G2_ref, G3_ref, Hri_ref,
+                     fz_ref, bus_ref, bls_ref,
+                     au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref,
+                     sidr, slor, lam_ref, ls_ref, pd_ref, pr_ref,
+                     plm_ref, plo_ref, pid_ref, pdd_ref, u_ref, fv_ref,
+                     bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
+                     x_ref, y_ref, xo_ref, mr_ref, ct_ref, tl_ref,
+                     lr_ref, lf_ref, tt_ref,
+                     au_o, al_o, W_o, E_o, dsl_o, us_o, sid_o, slo_o,
+                     lam_o, ls_o, pd_o, pr_o, plm_o, plo_o, pid_o,
+                     pdd_o, u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                     x_o, y_o, xo_o, mr_o, ct_o, tl_o, lr_o, lf_o,
+                     tt_o,
+                     fail_o, kkt_o,
+                     E_s, W_s, M_s, R_s, G1_s, G2_s, G3_s, Hri_s):
+    """P Douglas-Rachford outer passes of the batched AVI solve for one
+    128-lane tile, fully VMEM-resident (the AVI analogue of
+    ``_prox_kernel_body``; reference semantics avi.c:6-101).
+
+    Per pass: v = Rinv'(G1 x + f) with G1 = H - Hsym - rho*I, warm
+    inner projection solve (with the in-kernel cold retry), y = Rinv
+    (u - v), the Newton-step progress bookkeeping (avi.c:44-61), then
+    the DR update x = (H + rho I)^-1 (G2 y + G3 x) with G2 = Hsym/2 +
+    rho*I, G3 = H - Hsym/2 (all per-lane (n, n, L) VMEM buffers).
+
+    The exact-KKT acceleration (avi.c:103-184) is NOT in-kernel: a lane
+    whose inner active set has been stable for ``tlim`` passes raises
+    ``kkt_o`` and FREEZES (its DR update skipped, exactly as the
+    driver's ``do_kkt`` path skips it); the driver runs the batched
+    Schur solve and resumes.  Inner-solve failures freeze via
+    ``fail_o`` for the XLA repair fallback."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, dsl_ref, us_ref, sidr, slor, lam_ref,
+               ls_ref, pd_ref, pr_ref, plm_ref, plo_ref, pid_ref,
+               pdd_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref,
+               stt_ref, x_ref, y_ref, xo_ref, mr_ref, ct_ref, tl_ref,
+               lr_ref, lf_ref, tt_ref]
+    out_refs = [au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
+                pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o, bf_o,
+                cy_o, rp_o, it_o, stt_o, x_o, y_o, xo_o, mr_o, ct_o,
+                tl_o, lr_o, lf_o, tt_o]
+
+    def load_small(sems):
+        copies = []
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
+
+    def load_big(sems):
+        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_ref.at[lane_idx3], W_s,
+                                        sems.at[1]),
+                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                        sems.at[2]),
+                  pltpu.make_async_copy(Rinv_ref.at[lane_idx3], R_s,
+                                        sems.at[3]),
+                  pltpu.make_async_copy(G1_ref.at[lane_idx3], G1_s,
+                                        sems.at[4]),
+                  pltpu.make_async_copy(G2_ref.at[lane_idx3], G2_s,
+                                        sems.at[5]),
+                  pltpu.make_async_copy(G3_ref.at[lane_idx3], G3_s,
+                                        sems.at[6]),
+                  pltpu.make_async_copy(Hri_ref.at[lane_idx3], Hri_s,
+                                        sems.at[7])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((8,)))
+
+    sc = sc_ref[:]
+    im = im_ref[:]
+    simm = si_ref[:]
+    fb = fb_ref[:]
+    fz = fz_ref[:]
+    bus = bus_ref[:]
+    bls = bls_ref[:]
+    iota_m3 = lax.broadcasted_iota(jnp.int32, (1, m, 1),
+                                   1).astype(f32)
+
+    def mv(Gs, w):
+        # out_i = sum_j G[i, j, l] w[j, l]
+        return jnp.sum(Gs[:] * w[None, :, :], axis=1)
+
+    def mvT(Gs, w):
+        # out_i = sum_j G[j, i, l] w[j, l]
+        return jnp.sum(Gs[:] * w[:, None, :], axis=0)
+
+    def pass_body(c):
+        p, failed, kktq, anyrun = c
+        run = ((lr_o[:] > 0) & (failed == 0.0)
+               & (kktq == 0.0)).astype(f32)                 # (1, L)
+        x = x_o[:]
+        xtemp = mv(G1_s, x) + fz
+        v = mvT(R_s, xtemp)                                 # Rinv' t
+        Mv = jnp.sum(M_s[:] * v[None, :, :], axis=1)
+        du_t = bus + Mv
+        dl_t = bls + Mv
+        sid = sid_o[:]
+        slo = slo_o[:]
+        used = us_o[:]
+        oh = (sid[:, None, :] == iota_m3).astype(f32)
+        du_sel = jnp.sum(oh * du_t[None, :, :], axis=1)
+        dl_sel = jnp.sum(oh * dl_t[None, :, :], axis=1)
+        dsl_o[:] = (slo * dl_sel + (1.0 - slo) * du_sel) * used
+        stt_o[:] = jnp.where(run > 0, EXIT_RUNNING,
+                             stt_o[:]).astype(jnp.int32)
+        it_o[:] = jnp.zeros_like(it_o[:])
+        cy_o[:] = jnp.zeros_like(cy_o[:])
+        rp_o[:] = jnp.zeros_like(rp_o[:])
+        bf_o[:] = jnp.zeros_like(bf_o[:]) - 1.0
+        pd_o[:] = pd_o[:] * (1.0 - run)
+        _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                         du_t, dl_t, sc, im, simm, fb,
+                         au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                         ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, W_s, M_s, chunk=4)
+        cycled = ((stt_o[:] == EXIT_CYCLE)
+                  | (stt_o[:] == EXIT_REFACTOR)) & (run > 0)
+
+        @pl.when(jnp.any(cycled))
+        def cold_retry():
+            cyc = cycled.astype(f32)
+            keepl = 1.0 - cyc
+            us_o[:] = us_o[:] * keepl
+            au_o[:] = au_o[:] * keepl
+            al_o[:] = al_o[:] * keepl
+            dsl_o[:] = dsl_o[:] * keepl
+            slo_o[:] = slo_o[:] * keepl
+            sid_o[:] = sid_o[:] * keepl - cyc
+            lam_o[:] = lam_o[:] * keepl
+            ls_o[:] = ls_o[:] * keepl
+            pd_o[:] = pd_o[:] * keepl
+            u_o[:] = u_o[:] * keepl
+            fv_o[:] = fv_o[:] * keepl
+            bf_o[:] = jnp.where(cycled, -1.0, bf_o[:])
+            cy_o[:] = cy_o[:] * keepl
+            E_s[:] = E_s[:] * keepl[None]
+            W_s[:] = W_s[:] * keepl[None]
+            stt_o[:] = jnp.where(cycled, EXIT_RUNNING,
+                                 stt_o[:]).astype(jnp.int32)
+            _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                             du_t, dl_t, sc, im, simm, fb,
+                             au_o, al_o, dsl_o, us_o, sid_o, slo_o,
+                             lam_o, ls_o, pd_o, pr_o, plm_o, plo_o,
+                             pid_o, pdd_o, u_o, fv_o, bf_o, cy_o, rp_o,
+                             it_o, stt_o, E_s, W_s, M_s, chunk=8)
+
+        stt = stt_o[:]
+        bad_now = (((stt == EXIT_RUNNING) | (stt == EXIT_CYCLE)
+                    | (stt == EXIT_REFACTOR)) & (run > 0)).astype(f32)
+        failed = jnp.maximum(failed, bad_now)
+        run2 = run * (1.0 - bad_now)
+        it = it_o[:]
+        inner_ok = (stt > 0) & (run2 > 0)
+
+        y_inner = mv(R_s, u_o[:] - v)                       # Rinv (u-v)
+        # Newton-step progress bookkeeping (avi.c:44-61)
+        ctr = ct_o[:]
+        tlim = tl_o[:]
+        at_limit = (ctr == tlim) & (run2 > 0)
+        res2 = jnp.sum((x - y_inner) ** 2, axis=0,
+                       keepdims=True)                       # (1, L)
+        worse = at_limit & (res2 > mr_o[:])
+        x = jnp.where(worse, xo_o[:], x)
+        tl_o[:] = jnp.where(worse, jnp.minimum(tlim + 5.0, 30.0), tlim)
+        mr_o[:] = jnp.where(at_limit & ~worse, res2, mr_o[:])
+        y_new = jnp.where(worse, y_o[:], y_inner)
+        y_o[:] = jnp.where(run2 > 0, y_new, y_o[:])
+
+        stable = (it <= 1.0) & (run2 > 0)
+        ctr = jnp.where(stable, ctr + 1.0,
+                        jnp.where(run2 > 0, 0.0, ctr))
+        ct_o[:] = ctr
+        do_kkt = stable & (ctr == tl_o[:]) & inner_ok
+        kktq = jnp.maximum(kktq, do_kkt.astype(f32))
+
+        # DR update for running, non-KKT lanes (avi.c:84-96)
+        move = (run2 > 0) & ~do_kkt & inner_ok
+        x_dr = mv(Hri_s, mv(G2_s, y_o[:]) + mv(G3_s, x))
+        x_o[:] = jnp.where(move, x_dr, x)
+
+        lf_o[:] = jnp.where((run2 > 0) & ~(stt > 0), stt,
+                            lf_o[:]).astype(jnp.int32)
+        done = (run2 > 0) & ~(stt > 0)
+        lr_new = jnp.where(done, 0.0, lr_o[:])
+        lr_o[:] = lr_new
+        tt_o[:] = tt_o[:] + jnp.where(run > 0, it, 0.0)
+        anyrun = jnp.any((lr_new > 0) & (failed == 0.0)
+                         & (kktq == 0.0))
+        return p + 1, failed, kktq, anyrun
+
+    def pass_cond(c):
+        p, failed, kktq, anyrun = c
+        return (p < P) & anyrun
+
+    _, failed, kktq, _ = lax.while_loop(
+        pass_cond, pass_body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((1, LANES), f32),
+         jnp.zeros((1, LANES), f32), jnp.any(lr_o[:] > 0)))
+    fail_o[:] = failed
+    kkt_o[:] = kktq
+
+    def store_big(sems):
+        copies = [pltpu.make_async_copy(E_s, E_o.at[lane_idx3],
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_s, W_o.at[lane_idx3],
+                                        sems.at[1])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
+
+
+def run_avi_segment(s: SlotState, avi_vars, mats, st: Settings,
+                    n_true: int, P: int = 8, steps: int = 64,
+                    interpret: bool = False):
+    """Run up to P DR outer passes of the batched AVI solve in ONE
+    kernel launch (see ``_avi_kernel_body``).
+
+    ``avi_vars`` = (x, y, xold (n_pad, B); minres, ctr, tlim, lane_run,
+    tot (1, B) f32; lflag (1, B) int32).  ``mats`` = (Rinv, G1, G2, G3,
+    Hrho_inv) per-lane (n_pad, n_pad, B) + (fz (n_pad, B), bus, bls
+    (m_pad, B) with +/-INF pad rows).  Returns updated state +
+    ``(failed, kkt_req)`` (B,) f32 freeze channels."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    K = s.E.shape[0]
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+    (x_b, y_b, xo_b, mr, ct, tl, lr, lf, tt) = avi_vars
+    (Rinv_l, G1_l, G2_l, G3_l, Hri_l, fz_l, bus_l, bls_l) = mats
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    const = [s.M, s.scaling, s.immut, s.simm, s.fbound, Rinv_l, G1_l,
+             G2_l, G3_l, Hri_l, fz_l, bus_l, bls_l]
+    in_state = [s.act_up, s.act_lo, s.W, s.E, s.dsl, s.used, s.sid,
+                s.slo, s.lam, s.lam_star, s.pend, s.prow, s.plam, s.plo,
+                s.pid, s.pdd, s.u, s.fval, s.best_fval, s.cycle,
+                s.repaired, s.iterations, s.status,
+                x_b, y_b, xo_b, mr, ct, tl, lr, lf, tt]
+    big = {2, 3}
+    in_specs = [any_spec, spec(s.scaling.shape), spec(s.immut.shape),
+                spec(s.simm.shape), spec(s.fbound.shape),
+                any_spec, any_spec, any_spec, any_spec, any_spec,
+                spec(fz_l.shape), spec(bus_l.shape), spec(bls_l.shape)] \
+        + [any_spec for _ in in_state]
+    state_out_specs = [any_spec if i in big else spec(a.shape)
+                       for i, a in enumerate(in_state)]
+    state_out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       for a in in_state]
+    f32 = jnp.float32
+    seq_out_specs = [spec((1, B)), spec((1, B))]
+    seq_out_shape = [jax.ShapeDtypeStruct((1, B), f32),
+                     jax.ShapeDtypeStruct((1, B), f32)]
+    scratch_shapes = [pltpu.VMEM((K, K, LANES), jnp.float32),
+                      pltpu.VMEM((K, n, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32)] \
+        + [pltpu.VMEM((n, n, LANES), jnp.float32)] * 5
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_avi_kernel_body, st, m, n, K, n_true,
+                               steps, int(P))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(state_out_specs + seq_out_specs),
+        out_shape=tuple(state_out_shape + seq_out_shape),
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024 * max(1, LANES // 128)),
+    )(*const, *in_state)
+    s2 = s._replace(
+        act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
+        used=outs[5], sid=outs[6], slo=outs[7], lam=outs[8],
+        lam_star=outs[9], pend=outs[10], prow=outs[11], plam=outs[12],
+        plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
+        fval=outs[17], best_fval=outs[18], cycle=outs[19],
+        repaired=outs[20], iterations=outs[21], status=outs[22])
+    (x2, y2, xo2, mr2, ct2, tl2, lr2, lf2, tt2, failed,
+     kktq) = outs[23:]
+    return (s2, (x2, y2, xo2, mr2, ct2, tl2, lr2, lf2, tt2),
+            failed[0], kktq[0])
+
+
 def run_mpc_segment(s: SlotState, duq, dlq, st: Settings, n_true: int,
                     steps: int = 64, interpret: bool = False):
     """Run P consecutive warm MPC steps in ONE kernel launch.

@@ -292,6 +292,32 @@ def main():
     print("fused prox batch:", "FAIL" if len(failures) > nf0 else "ok",
           flush=True)
 
+    # fused AVI outer loop (run_avi_segment): constructed two-sided AVIs,
+    # fused vs XLA path flags + accuracy vs the known solutions
+    nf0 = len(failures)
+    from tests.gen import generate_test_avi_two_sided
+    rnga = np.random.default_rng(73)
+    Ba, n_a, m_a = 128, 12, 30
+    pav = [generate_test_avi_two_sided(n_a, m_a, rnga) for _ in range(Ba)]
+    xr_a = np.stack([p_[0] for p_ in pav])
+    Ha = jnp.asarray(np.stack([p_[1] for p_ in pav]), jnp.float32)
+    fa = jnp.asarray(np.stack([p_[2] for p_ in pav]), jnp.float32)
+    Aa = jnp.asarray(np.stack([p_[3] for p_ in pav]), jnp.float32)
+    bua = jnp.asarray(np.stack([p_[4] for p_ in pav]), jnp.float32)
+    bla = jnp.asarray(np.stack([p_[5] for p_ in pav]), jnp.float32)
+    sea = jnp.zeros((Ba, m_a), jnp.int32)
+    sta = _as_settings({"iter_limit": 1000}, jnp.float32)
+    raf = batch_mod.solve_batch_avi_pallas_jit(Ha, fa, Aa, bua, bla,
+                                               sea, sta, ms=0,
+                                               fused=True)
+    fla = np.asarray(raf.exitflag)
+    erra = np.abs(np.asarray(raf.x) - xr_a).max(axis=1)
+    oka = (fla == 1) & (erra < 1e-3)
+    if oka.mean() < 0.97:
+        failures.append(f"fused AVI: accuracy {oka.mean():.3f}")
+    print("fused AVI batch:", "FAIL" if len(failures) > nf0 else "ok",
+          flush=True)
+
     if failures:
         print("TPU_SMOKE_FAIL")
         for msg in failures:
