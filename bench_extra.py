@@ -261,8 +261,9 @@ def bench_lp(jnp, st):
     se = jnp.zeros((B, m), jnp.int32)
     stl = _as_settings({"iter_limit": 3000}, jnp.float32)
 
+    fused = "--fused" in sys.argv
     run = lambda fs_: batch_mod.solve_batch_lp_pallas_jit(
-        fs_, As, bus, bls, se, stl, ms=ms)
+        fs_, As, bus, bls, se, stl, ms=ms, fused=fused)
     out = run(fs)
     flags0 = np.asarray(out.exitflag)
     x0 = np.asarray(out.x)
@@ -285,7 +286,8 @@ def bench_lp(jnp, st):
         best = min(best, t1 - t0) if best is not None else t1 - t0
     total = 4 * B
     return {
-        "metric": "configLP batched LP tier",
+        "metric": "configLP batched LP tier"
+                  + (" (fused, loud-failure mode)" if fused else ""),
         "value": round(total / best, 1), "unit": "LP solves/s",
         "batch": B, "n": n, "m": m,
         "optimal_rate": float(np.mean(flags == 1)),

@@ -976,11 +976,12 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
 
 
 @functools.partial(jax.jit, static_argnames=("st", "ms", "interpret",
-                                             "max_outer"))
+                                             "max_outer", "fused"))
 def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                               ms: int = 0, interpret: bool = False,
                               max_outer: int = 120,
-                              deadline=None) -> BatchResult:
+                              deadline=None,
+                              fused: bool = False) -> BatchResult:
     """Batched LP solve: the adaptive-eps proximal LP regime
     (daqp_prox.c:21-271; selected in the reference by n_prox = n at
     api.c:175-177) carried by ONE outer loop over the whole-batch slot
@@ -1000,6 +1001,18 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
 
     Scope: hard constraints.  Differential tests vs ``linprog_core``:
     tests/test_batch_lp.py::test_batch_lp_*.
+
+    ``fused=True`` (opt-in) runs the outer loop IN-KERNEL
+    (ops.pallas_slot.run_lp_segment, incl. the gradient step) — measured
+    on v5e at the suite shape: 6.1k LP/s vs 1.09k, BUT ~9/256 of the
+    numerically-marginal (degenerate ping-pong) lanes exit LOUDLY
+    (EXIT_CYCLE) that the XLA per-pass path lands on-certificate: their
+    f32 trajectories are compilation-context-sensitive, and neither a
+    cold nor a continuation XLA retry inside the fused program
+    reproduces the XLA-program rounding that saves them.  The default
+    therefore stays the 100%-on-tier XLA path; choose ``fused=True``
+    for throughput when loud failures may flow to the host backstop
+    (``backstop_resolve_lp``).
     """
     from .ops import pallas_slot as ps
     from .ops import pallas_batch as pb
@@ -1024,13 +1037,13 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                                                    -jnp.ones((m,))),
             padded(sense, jnp.zeros((m,), jnp.int32)),
             st, ms=ms, interpret=interpret, max_outer=max_outer,
-            deadline=deadline)
+            deadline=deadline, fused=fused)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
     if B > _LANE_GUARD:
         return _lane_chunk_map(
             lambda a: solve_batch_lp_pallas_jit(
                 *a, st=st, ms=ms, interpret=interpret,
-                max_outer=max_outer, deadline=deadline),
+                max_outer=max_outer, deadline=deadline, fused=fused),
             (f, A, bupper, blower, sense), B)
 
     f32 = jnp.float32
@@ -1132,7 +1145,8 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
                                 apply.astype(f32)[None, :], st, n)
             return s, x2, found
 
-        def run_regime(s_in, run0, flag_in, st_k, budget):
+        def run_regime(s_in, run0, flag_in, st_k, budget,
+                       x_init=None, eps_init=None):
             """The adaptive-eps outer loop over the kernel state, from a
             cold start, for the ``run0`` lanes (others keep ``flag_in``
             and their state rides along terminal).  ``budget`` bounds
@@ -1202,9 +1216,9 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
             s_in = s_in._replace(status=jnp.where(
                 run0[None, :], s_in.status, EXIT_OPTIMAL
             ).astype(jnp.int32))
-            x0 = jnp.zeros((B, n), f32)
-            c0 = (jnp.zeros((), jnp.int32), s_in, x0,
-                  jnp.ones((B,), f32), run0,
+            x0 = (jnp.zeros((B, n), f32) if x_init is None else x_init)
+            e0 = (jnp.ones((B,), f32) if eps_init is None else eps_init)
+            c0 = (jnp.zeros((), jnp.int32), s_in, x0, e0, run0,
                   jnp.zeros((B,), jnp.int32),
                   jnp.full((B,), jnp.inf, f32), flag_in,
                   jnp.zeros((B,), f32))
@@ -1216,8 +1230,74 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
         lane_run0 = ldpd.error >= 0
         flag0 = jnp.where(ldpd.error < 0, ldpd.error,
                           EXIT_RUNNING).astype(jnp.int32)
-        s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st,
-                                          max_outer)
+        use_fused = fused and not interpret \
+            and jax.default_backend() == 'tpu'
+        if not use_fused:
+            s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st,
+                                              max_outer)
+        else:
+            # Fused adaptive-eps outer loop (ops.pallas_slot.
+            # run_lp_segment): P passes per kernel launch incl. the
+            # in-kernel gradient step; frozen (cycling) lanes turn loud
+            # and flow into the Bland cold retry below, exactly like
+            # XLA-path failures.
+            npad0 = s0.u.shape[0]
+            pad_n0 = npad0 - n
+            fz_ll = jnp.moveaxis(jnp.pad(fz, ((0, 0), (0, pad_n0))),
+                                 0, -1)
+            mv_pad = lambda a: jnp.moveaxis(
+                jnp.pad(a, ((0, 0), (0, mp - m))), 0, -1)
+            bus_ll = jnp.where(row_real, mv_pad(bu_s), big)
+            bls_ll = jnp.where(row_real, mv_pad(bl_s), -big)
+            bur_ll = jnp.where(row_real, mv_pad(bu_r), big)
+            blr_ll = jnp.where(row_real, mv_pad(bl_r), -big)
+            data_l = (fz_ll, bus_ll, bls_ll, bur_ll, blr_ll)
+            PSEG = 10
+            s0f = s0._replace(status=jnp.full_like(s0.status,
+                                                   EXIT_OPTIMAL))
+            vars0 = (jnp.zeros((npad0, B), f32),
+                     jnp.ones((1, B), f32),
+                     jnp.zeros((1, B), f32),
+                     jnp.full((1, B), jnp.inf, f32),
+                     lane_run0.astype(f32)[None, :],
+                     flag0[None, :],
+                     jnp.zeros((1, B), f32),
+                     jnp.zeros((1, B), f32))
+
+            def lp_seg_cond(c):
+                k, s_c, v_c, rsc = c
+                return (k < max_outer) & jnp.any(v_c[4] > 0)
+
+            def lp_seg_body(c):
+                k, s_c, v_c, rsc = c
+                from .prox import _auto_eta_static
+                s2, v2, failed = ps.run_lp_segment(
+                    s_c, v_c, data_l, st, n, _auto_eta_static(st),
+                    P=PSEG, steps=192, interpret=interpret)
+                (x_l, ep_l, stl_l, bd_l, lr_l, lf_l, tt_l, ps_l) = v2
+                # a frozen (in-kernel-cycling) lane is RESUMABLE: the
+                # inter-segment Newton refresh below rebuilds the E the
+                # drift corrupted, and the lane re-enters the next
+                # segment; demote loud only after two failed resumes
+                # (then the Bland cold retry takes it)
+                fm = failed > 0
+                rsc = rsc + fm.astype(f32)[None, :]
+                give_up = (rsc[0] > 2.0) & fm
+                lf_l = jnp.where(give_up[None, :], EXIT_CYCLE_C,
+                                 lf_l).astype(jnp.int32)
+                lr_l = jnp.where(give_up[None, :], 0.0, lr_l)
+                s2 = ps.newton_refresh(s2)
+                return (k + PSEG, s2, (x_l, ep_l, stl_l, bd_l, lr_l,
+                                       lf_l, tt_l, ps_l), rsc)
+
+            _, s, v_f, _ = lax.while_loop(
+                lp_seg_cond, lp_seg_body,
+                (jnp.zeros((), jnp.int32), s0f, vars0,
+                 jnp.zeros((1, B), f32)))
+            x = jnp.moveaxis(v_f[0], -1, 0)[:, :n]
+            eps = v_f[1][0]
+            flag = jnp.where(v_f[4][0] > 0, EXIT_ITERLIMIT, v_f[5][0])
+            tot = v_f[6][0]
 
         # Cold Bland retry of loud-failed lanes (the batch analogue of
         # the reference's cold restart on cycling, bnb.c:118-125 /
@@ -1228,29 +1308,52 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
         # -1 (false infeasibility), -4 (stagnating ping-pong at the
         # right answer).  UNBOUNDED is a certificate (a feasible
         # unbounded ray), not a failure — no retry.
+        def retry_stage(s_cur, x_cur, eps_cur, flag_cur, tot_cur,
+                        st_k, budget, cont=False):
+            fail_m = (flag_cur < 0) & (flag_cur != EXIT_UNBOUNDED)
+
+            def do_retry(_):
+                if cont:
+                    # CONTINUATION retry: resume the failed lanes from
+                    # their current (state, x, eps) through the XLA
+                    # per-pass path, whose between-round EXACT repair
+                    # carries a degenerate-cycling lane past the point
+                    # the kernel's cold retry replays deterministically;
+                    # the lane then lands where the final KKT
+                    # certificate can judge it
+                    return run_regime(s_cur, fail_m, flag_cur, st_k,
+                                      budget, x_init=x_cur,
+                                      eps_init=eps_cur)
+                return run_regime(s0, fail_m, flag_cur, st_k, budget)
+
+            def no_retry(_):
+                return s_cur, x_cur, eps_cur, flag_cur, tot_cur
+
+            s_r, x_r, eps_r, flag_r, tot_r = lax.cond(
+                jnp.any(fail_m), do_retry, no_retry, 0)
+
+            # per-lane merge (SlotState is lanes-last throughout)
+            def mrg(a, b):
+                return jnp.where(
+                    fail_m.reshape((1,) * (a.ndim - 1) + (-1,)), a, b)
+
+            return (jax.tree_util.tree_map(mrg, s_r, s_cur),
+                    jnp.where(fail_m[:, None], x_r, x_cur),
+                    jnp.where(fail_m, eps_r, eps_cur),
+                    jnp.where(fail_m, flag_r, flag_cur),
+                    tot_cur + jnp.where(fail_m, tot_r, 0.0))
+
+        if use_fused:
+            # continuation retry through the XLA per-pass path for
+            # fused-frozen lanes (resumes from their state/x/eps with
+            # the between-round exact repair)
+            s, x, eps, flag, tot = retry_stage(
+                s, x, eps, flag, tot, st, min(max_outer, 60),
+                cont=True)
+        s, x, eps, flag, tot = retry_stage(
+            s, x, eps, flag, tot, st._replace(pricing=1),
+            min(max_outer, 60))
         fail = (flag < 0) & (flag != EXIT_UNBOUNDED)
-
-        def do_retry(_):
-            st_b = st._replace(pricing=1)
-            return run_regime(s0, fail, flag, st_b,
-                              min(max_outer, 60))
-
-        def no_retry(_):
-            return s, x, eps, flag, tot
-
-        s_r, x_r, eps_r, flag_r, tot_r = lax.cond(
-            jnp.any(fail), do_retry, no_retry, 0)
-
-        # per-lane merge (SlotState is lanes-last throughout)
-        def mrg(a, b):
-            return jnp.where(fail.reshape((1,) * (a.ndim - 1) + (-1,)),
-                             a, b)
-
-        s = jax.tree_util.tree_map(mrg, s_r, s)
-        x = jnp.where(fail[:, None], x_r, x)
-        eps = jnp.where(fail, eps_r, eps)
-        flag = jnp.where(fail, flag_r, flag)
-        tot = tot + jnp.where(fail, tot_r, 0.0)
 
         # crossover to a vertex (linprog_core stage 2): near-dual-
         # degenerate faces leave converged lanes OFF-vertex with a tiny

@@ -53,7 +53,8 @@ from jax import lax
 import numpy as np
 
 from ..types import (Settings, DAQP_INF, EXIT_CYCLE, EXIT_INFEASIBLE,
-                     EXIT_ITERLIMIT, EXIT_OPTIMAL, EXIT_RUNNING)
+                     EXIT_ITERLIMIT, EXIT_OPTIMAL, EXIT_RUNNING,
+                     EXIT_UNBOUNDED)
 from ..ldp_flat import EXIT_REFACTOR
 
 LANES = 128
@@ -1185,6 +1186,360 @@ def run_prox_segment(s: SlotState, x_b, lane_run, stall, best_diff,
         repaired=outs[20], iterations=outs[21], status=outs[22])
     x2, lr2, stl2, bd2, lf2, tt2, failed = outs[23:]
     return s2, x2, lr2, stl2, bd2, lf2, tt2, failed[0]
+
+
+def _lp_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,
+                    steps: int, P: int, eta: float,
+                    M_ref, sc_ref, im_ref, si_ref, fb_ref,
+                    fz_ref, bus_ref, bls_ref, bur_ref, blr_ref,
+                    au_ref, al_ref, W_ref, E_ref, dsl_ref, us_ref,
+                    sidr, slor, lam_ref, ls_ref, pd_ref, pr_ref,
+                    plm_ref, plo_ref, pid_ref, pdd_ref, u_ref, fv_ref,
+                    bf_ref, cy_ref, rp_ref, it_ref, stt_ref,
+                    x_ref, ep_ref, stl_ref, bd_ref, lr_ref, lf_ref,
+                    tt_ref, ps_ref,
+                    au_o, al_o, W_o, E_o, dsl_o, us_o, sid_o, slo_o,
+                    lam_o, ls_o, pd_o, pr_o, plm_o, plo_o, pid_o,
+                    pdd_o, u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                    x_o, ep_o, stl_o, bd_o, lr_o, lf_o, tt_o, ps_o,
+                    fail_o,
+                    E_s, W_s, M_s):
+    """P adaptive-eps LP outer passes for one 128-lane tile, fully
+    VMEM-resident (daqp_prox.c:21-271 LP regime; the LP analogue of
+    ``_prox_kernel_body`` — LP mode has Rinv = I so v = f*eps - x needs
+    no factor buffers).  Includes the IN-KERNEL gradient step
+    (daqp_prox.c:201-271): min-ratio ray search over the original rows
+    + a bordered addition of the blocking row into the slot table (the
+    same update as the driver-level ``slot_add_row``).  Inner failures
+    freeze via ``fail_o`` (the driver's Bland cold retry handles them);
+    eps adaptation, stagnation acceptance and the UNBOUNDED exit run
+    in-kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    BIG = f32(DAQP_INF)
+    g = pl.program_id(0)
+    lane_idx2 = (slice(None), pl.ds(pl.multiple_of(g * LANES, LANES),
+                                    LANES))
+    lane_idx3 = (slice(None), slice(None),
+                 pl.ds(pl.multiple_of(g * LANES, LANES), LANES))
+    in_refs = [au_ref, al_ref, dsl_ref, us_ref, sidr, slor, lam_ref,
+               ls_ref, pd_ref, pr_ref, plm_ref, plo_ref, pid_ref,
+               pdd_ref, u_ref, fv_ref, bf_ref, cy_ref, rp_ref, it_ref,
+               stt_ref, x_ref, ep_ref, stl_ref, bd_ref, lr_ref, lf_ref,
+               tt_ref, ps_ref]
+    out_refs = [au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o, ls_o,
+                pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o, u_o, fv_o, bf_o,
+                cy_o, rp_o, it_o, stt_o, x_o, ep_o, stl_o, bd_o, lr_o,
+                lf_o, tt_o, ps_o]
+
+    def load_small(sems):
+        copies = []
+        for i, (src_r, dst_r) in enumerate(zip(in_refs, out_refs)):
+            nd = len(src_r.shape)
+            idx = lane_idx3 if nd == 3 else lane_idx2
+            copies.append(pltpu.make_async_copy(src_r.at[idx], dst_r,
+                                                sems.at[i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_small, pltpu.SemaphoreType.DMA((len(in_refs),)))
+
+    def load_big(sems):
+        copies = [pltpu.make_async_copy(E_ref.at[lane_idx3], E_s,
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_ref.at[lane_idx3], W_s,
+                                        sems.at[1]),
+                  pltpu.make_async_copy(M_ref.at[lane_idx3], M_s,
+                                        sems.at[2])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(load_big, pltpu.SemaphoreType.DMA((3,)))
+
+    sc = sc_ref[:]
+    im = im_ref[:]
+    simm = si_ref[:]
+    fb = fb_ref[:]
+    fz = fz_ref[:]
+    bus = bus_ref[:]
+    bls = bls_ref[:]
+    bur = bur_ref[:]
+    blr = blr_ref[:]
+    iota_m3 = lax.broadcasted_iota(jnp.int32, (1, m, 1),
+                                   1).astype(f32)
+    iota_m2 = lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(f32)
+    iota_K2i = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    etav = f32(eta)
+
+    def pass_body(c):
+        p, failed, anyrun = c
+        run = ((lr_o[:] > 0) & (failed == 0.0)).astype(f32)
+        x = x_o[:]
+        eps = ep_o[:]
+        v = fz * eps - x                                  # (n, L)
+        Mv = jnp.sum(M_s[:] * v[None, :, :], axis=1)
+        du_t = bus + Mv
+        dl_t = bls + Mv
+        sid = sid_o[:]
+        slo = slo_o[:]
+        used = us_o[:]
+        oh = (sid[:, None, :] == iota_m3).astype(f32)
+        du_sel = jnp.sum(oh * du_t[None, :, :], axis=1)
+        dl_sel = jnp.sum(oh * dl_t[None, :, :], axis=1)
+        dsl_o[:] = (slo * dl_sel + (1.0 - slo) * du_sel) * used
+        stt_o[:] = jnp.where(run > 0, EXIT_RUNNING,
+                             stt_o[:]).astype(jnp.int32)
+        it_o[:] = jnp.zeros_like(it_o[:])
+        cy_o[:] = jnp.zeros_like(cy_o[:])
+        rp_o[:] = jnp.zeros_like(rp_o[:])
+        bf_o[:] = jnp.zeros_like(bf_o[:]) - 1.0
+        pd_o[:] = pd_o[:] * (1.0 - run)
+        _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                         du_t, dl_t, sc, im, simm, fb,
+                         au_o, al_o, dsl_o, us_o, sid_o, slo_o, lam_o,
+                         ls_o, pd_o, pr_o, plm_o, plo_o, pid_o, pdd_o,
+                         u_o, fv_o, bf_o, cy_o, rp_o, it_o, stt_o,
+                         E_s, W_s, M_s, chunk=4)
+        cycled = ((stt_o[:] == EXIT_CYCLE)
+                  | (stt_o[:] == EXIT_REFACTOR)) & (run > 0)
+
+        @pl.when(jnp.any(cycled))
+        def cold_retry():
+            cyc = cycled.astype(f32)
+            keepl = 1.0 - cyc
+            us_o[:] = us_o[:] * keepl
+            au_o[:] = au_o[:] * keepl
+            al_o[:] = al_o[:] * keepl
+            dsl_o[:] = dsl_o[:] * keepl
+            slo_o[:] = slo_o[:] * keepl
+            sid_o[:] = sid_o[:] * keepl - cyc
+            lam_o[:] = lam_o[:] * keepl
+            ls_o[:] = ls_o[:] * keepl
+            pd_o[:] = pd_o[:] * keepl
+            u_o[:] = u_o[:] * keepl
+            fv_o[:] = fv_o[:] * keepl
+            bf_o[:] = jnp.where(cycled, -1.0, bf_o[:])
+            cy_o[:] = cy_o[:] * keepl
+            E_s[:] = E_s[:] * keepl[None]
+            W_s[:] = W_s[:] * keepl[None]
+            stt_o[:] = jnp.where(cycled, EXIT_RUNNING,
+                                 stt_o[:]).astype(jnp.int32)
+            _solve_tile_live(st, m, n, K, n_true, steps, frozenset(), 1,
+                             du_t, dl_t, sc, im, simm, fb,
+                             au_o, al_o, dsl_o, us_o, sid_o, slo_o,
+                             lam_o, ls_o, pd_o, pr_o, plm_o, plo_o,
+                             pid_o, pdd_o, u_o, fv_o, bf_o, cy_o, rp_o,
+                             it_o, stt_o, E_s, W_s, M_s, chunk=8)
+
+        stt = stt_o[:]
+        bad_now = (((stt == EXIT_RUNNING) | (stt == EXIT_CYCLE)
+                    | (stt == EXIT_REFACTOR)) & (run > 0)).astype(f32)
+        failed = jnp.maximum(failed, bad_now)
+        run2 = run * (1.0 - bad_now)
+        it = it_o[:]
+        inner_ok = (stt > 0) & (run2 > 0)
+
+        x_new = u_o[:] - v
+        it1 = it <= 1.0
+        nact = jnp.sum(us_o[:], axis=0, keepdims=True)
+        at_vx = nact >= f32(n_true)
+        diff = jnp.max(jnp.abs(x_new - x), axis=0, keepdims=True)
+        converged = diff < etav * eps
+        ndiff = diff / eps
+        improved = ndiff < 0.9 * bd_o[:]
+        bd_o[:] = jnp.minimum(ndiff, bd_o[:])
+        stall = jnp.where(improved | ~it1 | ~at_vx | (run2 == 0), 0.0,
+                          stl_o[:] + 1.0)
+        stl_o[:] = stall
+        converged = converged | (inner_ok & (stall >= 3.0))
+        need_grad = it1 & ~at_vx & ~converged & (run2 > 0) & inner_ok
+
+        # gradient step (daqp_prox.c:201-271): ray x_new + alpha*delta
+        # to the first blocking ORIGINAL-row bound, which is activated
+        delta = x_new - x
+        M = M_s[:]
+        ax = jnp.sum(M * x_new[None, :, :], axis=1) / sc
+        ds = jnp.sum(M * delta[None, :, :], axis=1) / sc
+        act = au_o[:] + al_o[:]
+        skip = (act > 0) | (im > 0)
+        up_ok = ~skip & (ds > 0) & (bur < BIG)
+        lo_ok = ~skip & (ds < 0) & (blr > -BIG)
+        a_up = jnp.where(up_ok, (bur - ax)
+                         / jnp.where(up_ok, ds, 1.0), BIG)
+        a_lo = jnp.where(lo_ok, (blr - ax)
+                         / jnp.where(lo_ok, ds, 1.0), BIG)
+        cand = jnp.minimum(a_up, a_lo)
+        alpha = jnp.min(cand, axis=0, keepdims=True)
+        jidx = jnp.argmin(cand, axis=0, keepdims=True).astype(jnp.int32)
+        oh_j = (iota_m2 == jidx.astype(f32)).astype(f32)   # (m, L)
+        found = alpha < BIG
+        apply = (need_grad & found).astype(f32)            # (1, L)
+        x2 = jnp.where(apply > 0, x_new + alpha * delta, x_new)
+        a_lo_j = jnp.sum(oh_j * a_lo, axis=0, keepdims=True)
+        a_up_j = jnp.sum(oh_j * a_up, axis=0, keepdims=True)
+        is_lo = (a_lo_j < a_up_j).astype(f32)
+        dval = is_lo * jnp.sum(oh_j * dl_t, axis=0, keepdims=True) \
+            + (1.0 - is_lo) * jnp.sum(oh_j * du_t, axis=0,
+                                      keepdims=True)
+        # bordered addition of the blocking row (slot_add_row math)
+        mj = jnp.sum(M * oh_j[:, None, :], axis=0)         # (n, L)
+        used1 = us_o[:]
+        gk = jnp.sum(W_s[:] * mj[None, :, :], axis=1) * used1
+        a_v = jnp.sum(E_s[:] * gk[None, :, :], axis=1)
+        dii = jnp.sum(mj * mj, axis=0, keepdims=True)
+        sval = dii - jnp.sum(gk * a_v, axis=0, keepdims=True)
+        gate = jnp.maximum(f32(st.sing_tol), 1e-4 * dii)
+        kcnt = jnp.sum(used1, axis=0, keepdims=True)
+        okadd = apply * (sval >= gate).astype(f32) \
+            * (kcnt < f32(n_true)).astype(f32)
+        # first free slot via argmin (Mosaic has no cumsum)
+        cand_free = iota_K2i.astype(f32) + used1 * BIG
+        fidx = jnp.argmin(cand_free, axis=0,
+                          keepdims=True).astype(jnp.int32)
+        oh_free = (iota_K2i == fidx).astype(f32)
+        wv = a_v * used1 - oh_free
+        cadd = okadd / jnp.where(sval != 0, sval, 1.0)
+        E_s[:] = E_s[:] + cadd[None, :, :] * wv[:, None, :] \
+            * wv[None, :, :]
+        W_s[:] = W_s[:] + (okadd * oh_free)[:, None, :] \
+            * mj[None, :, :]
+        rid = jnp.sum(oh_j * iota_m2, axis=0, keepdims=True)
+        us_o[:] = jnp.minimum(used1 + okadd * oh_free, 1.0)
+        sid_o[:] = sid_o[:] + okadd * oh_free * (rid + 1.0)
+        slo_o[:] = slo_o[:] + okadd * oh_free * is_lo
+        dsl_o[:] = dsl_o[:] + okadd * oh_free * dval
+        lam_o[:] = lam_o[:] + okadd * oh_free * (1.0 - 2.0 * is_lo)
+        au_o[:] = jnp.minimum(au_o[:] + okadd * oh_j * (1.0 - is_lo),
+                              1.0)
+        al_o[:] = jnp.minimum(al_o[:] + okadd * oh_j * is_lo, 1.0)
+
+        unbounded = need_grad & ~found
+        # adaptive eps after the first pass (daqp_prox.c:55-63)
+        grow = it1 & ~at_vx
+        eps2 = jnp.where((ps_o[:] > 0) & (run2 > 0),
+                         jnp.minimum(eps * jnp.where(grow, 10.0, 0.9),
+                                     1e3), eps)
+        ep_o[:] = eps2
+        done = (run2 > 0) & (converged | ~(stt > 0) | unbounded)
+        lf_o[:] = jnp.where(
+            done,
+            jnp.where(unbounded, EXIT_UNBOUNDED,
+                      jnp.where(stt > 0, EXIT_OPTIMAL, stt)),
+            lf_o[:]).astype(jnp.int32)
+        # a lane exiting on an inner failure keeps its last good x
+        bad_exit = done & ~(stt > 0)
+        x_o[:] = jnp.where((run2 > 0) & ~bad_exit, x2, x)
+        lr_new = jnp.where(done, 0.0, lr_o[:])
+        lr_o[:] = lr_new
+        tt_o[:] = tt_o[:] + jnp.where(run > 0, it, 0.0)
+        ps_o[:] = ps_o[:] + run
+        anyrun = jnp.any((lr_new > 0) & (failed == 0.0))
+        return p + 1, failed, anyrun
+
+    def pass_cond(c):
+        p, failed, anyrun = c
+        return (p < P) & anyrun
+
+    _, failed, _ = lax.while_loop(pass_cond, pass_body,
+                                  (jnp.zeros((), jnp.int32),
+                                   jnp.zeros((1, LANES), f32),
+                                   jnp.any(lr_o[:] > 0)))
+    fail_o[:] = failed
+
+    def store_big(sems):
+        copies = [pltpu.make_async_copy(E_s, E_o.at[lane_idx3],
+                                        sems.at[0]),
+                  pltpu.make_async_copy(W_s, W_o.at[lane_idx3],
+                                        sems.at[1])]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    pl.run_scoped(store_big, pltpu.SemaphoreType.DMA((2,)))
+
+
+def run_lp_segment(s: SlotState, lp_vars, data, st: Settings,
+                   n_true: int, eta: float, P: int = 8,
+                   steps: int = 64, interpret: bool = False):
+    """Run up to P adaptive-eps LP outer passes in ONE kernel launch
+    (see ``_lp_kernel_body``).
+
+    ``lp_vars`` = (x (n_pad, B); eps, stall, best, lane_run, tot,
+    passes (1, B) f32; lflag (1, B) int32).  ``data`` = (fz (n_pad, B),
+    bus, bls (m_pad, B) SCALED bounds with +/-INF pad rows, bur, blr
+    (m_pad, B) RAW bounds with +/-INF pad rows).  Returns the updated
+    state + ``failed`` (B,) f32 (frozen lanes for the driver's Bland
+    cold retry)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, B = s.M.shape
+    K = s.E.shape[0]
+    assert B % LANES == 0, (B, LANES)
+    grid = (B // LANES,)
+    (x_b, ep, stl, bd, lr, lf, tt, psn) = lp_vars
+    (fz_l, bus_l, bls_l, bur_l, blr_l) = data
+
+    def spec(shape):
+        nd = len(shape)
+        blk = shape[:-1] + (LANES,)
+        idx = (lambda g: (0,) * (nd - 1) + (g,))
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    const = [s.M, s.scaling, s.immut, s.simm, s.fbound, fz_l, bus_l,
+             bls_l, bur_l, blr_l]
+    in_state = [s.act_up, s.act_lo, s.W, s.E, s.dsl, s.used, s.sid,
+                s.slo, s.lam, s.lam_star, s.pend, s.prow, s.plam, s.plo,
+                s.pid, s.pdd, s.u, s.fval, s.best_fval, s.cycle,
+                s.repaired, s.iterations, s.status,
+                x_b, ep, stl, bd, lr, lf, tt, psn]
+    big = {2, 3}
+    in_specs = [any_spec] + [spec(a.shape) for a in const[1:]] \
+        + [any_spec for _ in in_state]
+    state_out_specs = [any_spec if i in big else spec(a.shape)
+                       for i, a in enumerate(in_state)]
+    state_out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                       for a in in_state]
+    f32 = jnp.float32
+    seq_out_specs = [spec((1, B))]
+    seq_out_shape = [jax.ShapeDtypeStruct((1, B), f32)]
+    scratch_shapes = [pltpu.VMEM((K, K, LANES), jnp.float32),
+                      pltpu.VMEM((K, n, LANES), jnp.float32),
+                      pltpu.VMEM((m, n, LANES), jnp.float32)]
+    n_const = len(const)
+    aliases = {n_const + i: i for i in range(len(in_state))}
+
+    kernel = functools.partial(_lp_kernel_body, st, m, n, K, n_true,
+                               steps, int(P), float(eta))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(state_out_specs + seq_out_specs),
+        out_shape=tuple(state_out_shape + seq_out_shape),
+        input_output_aliases={} if interpret else aliases,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024 * max(1, LANES // 128)),
+    )(*const, *in_state)
+    s2 = s._replace(
+        act_up=outs[0], act_lo=outs[1], W=outs[2], E=outs[3], dsl=outs[4],
+        used=outs[5], sid=outs[6], slo=outs[7], lam=outs[8],
+        lam_star=outs[9], pend=outs[10], prow=outs[11], plam=outs[12],
+        plo=outs[13], pid=outs[14], pdd=outs[15], u=outs[16],
+        fval=outs[17], best_fval=outs[18], cycle=outs[19],
+        repaired=outs[20], iterations=outs[21], status=outs[22])
+    (x2, ep2, stl2, bd2, lr2, lf2, tt2, ps2, failed) = outs[23:]
+    return (s2, (x2, ep2, stl2, bd2, lr2, lf2, tt2, ps2), failed[0])
 
 
 def _avi_kernel_body(st: Settings, m: int, n: int, K: int, n_true: int,

@@ -42,6 +42,16 @@ def _auto_eta(st: Settings):
     return jnp.where(eta < 0, auto, eta)
 
 
+def _auto_eta_static(st: Settings) -> float:
+    """Python-float twin of ``_auto_eta`` for compile-time consumers
+    (settings are static under jit; the fused LP kernel bakes eta in)."""
+    if float(st.eta_prox) >= 0:
+        return float(st.eta_prox)
+    if float(st.dual_tol) != _DEFAULT_DUAL_TOL:
+        return float(min(_AUTO_ETA_CAP, 0.1 * float(st.dual_tol)))
+    return float(_AUTO_ETA_CAP)
+
+
 class _Carry(NamedTuple):
     state: ldp_mod.LDPState
     v: jnp.ndarray
