@@ -845,8 +845,9 @@ def solve_batch_prox_pallas_jit(H, f, A, bupper, blower, sense,
         lane_run0 = okl                                     # (B,) bool
         lane_flag0 = jnp.where(okl, EXIT_RUNNING,
                                EXIT_NONCONVEX).astype(jnp.int32)
-        use_fused = fused and not interpret \
-            and jax.default_backend() == 'tpu'
+        use_fused = (fused == "force") or (
+            bool(fused) and not interpret
+            and jax.default_backend() == 'tpu')
         if not use_fused:
             c0 = (jnp.zeros((), jnp.int32), s0, x0, lane_run0,
                   jnp.zeros((B,), jnp.int32),
@@ -1230,8 +1231,9 @@ def solve_batch_lp_pallas_jit(f, A, bupper, blower, sense, st: Settings,
         lane_run0 = ldpd.error >= 0
         flag0 = jnp.where(ldpd.error < 0, ldpd.error,
                           EXIT_RUNNING).astype(jnp.int32)
-        use_fused = fused and not interpret \
-            and jax.default_backend() == 'tpu'
+        use_fused = (fused == "force") or (
+            bool(fused) and not interpret
+            and jax.default_backend() == 'tpu')
         if not use_fused:
             s, x, eps, flag, tot = run_regime(s0, lane_run0, flag0, st,
                                               max_outer)
@@ -1810,8 +1812,9 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
                           jnp.where(unc_ok, EXIT_OPTIMAL,
                                     EXIT_RUNNING)).astype(jnp.int32)
         K = s0.E.shape[0]
-        use_fused = fused and not interpret \
-            and jax.default_backend() == 'tpu'
+        use_fused = (fused == "force") or (
+            bool(fused) and not interpret
+            and jax.default_backend() == 'tpu')
         if not use_fused:
             c0 = (jnp.zeros((), jnp.int32), s0, x0, x0,
                   jnp.zeros((B, n), f32), jnp.zeros((B, K), f32),

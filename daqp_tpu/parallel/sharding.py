@@ -122,9 +122,14 @@ def _sharded_solve_fn(mesh, axis, tier, ms, K, lane_chunk, has_soft,
                 H, f, A, bu, bl, sense, st, ms=ms,
                 interpret=interpret, has_soft=has_soft)
         elif tier == "prox":
-            # batched proximal driver per shard (semidefinite-H batches)
+            # batched proximal driver per shard (semidefinite-H
+            # batches).  fused=False: the fused outer-loop kernel is
+            # chip-validated outside shard_map only (its aliased
+            # multi-buffer pallas_call under shard_map is untested on
+            # real multi-chip); the XLA per-pass path shards cleanly.
             res = batch_mod.solve_batch_prox_pallas_jit(
-                H, f, A, bu, bl, sense, st, ms=ms, interpret=interpret)
+                H, f, A, bu, bl, sense, st, ms=ms, interpret=interpret,
+                fused=False)
         else:
             res = jax.vmap(functools.partial(
                 batch_mod._solve_one, ms=ms, st=st, K=K,
