@@ -27,6 +27,8 @@ run bench      3600 python bench.py
 #    per config in BENCHX_r05.json at the repo root (commit it)
 rm -f /root/repo/BENCHX_r05.json
 run bench_extra 3600 python bench_extra.py all --out /root/repo/BENCHX_r05.json
+# the opt-in fused LP row (throughput mode, loud-failure contract)
+run bench_lp_fused 1800 python bench_extra.py lp --fused --out /root/repo/BENCHX_r05.json
 # 4. SOFT_WEIGHTS kernel-vs-flat throughput (new Mosaic compile)
 run bench_sw   3600 python scripts/bench_sw.py
 echo "campaign done $(date)" | tee -a $OUT/status.log
