@@ -258,6 +258,54 @@ def main():
                 issues.append((seed, 'sw', n, m, ns, b, 'flag',
                                int(flags[b]), int(one.exitflag)))
 
+    def check_prox_fused(seed):
+        # fused outer-loop prox kernel (interpret) vs constructed optima
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 12))
+        m = int(rng.integers(n + 4, 3 * n))
+        B = 128
+        d = generate_test_qp_batch(B, n, m, 0, max(1, n // 2), 1e2,
+                                   rng=seed, dtype=np.float32)
+        st = _as_settings({"iter_limit": 1500}, jnp.float32)
+        args = tuple(jnp.asarray(d[k]) for k in
+                     ('H', 'f', 'A', 'bupper', 'blower', 'sense'))
+        r = batch_mod.solve_batch_prox_pallas_jit(
+            *args, st, ms=0, interpret=True, fused="force")
+        flags = np.asarray(r.exitflag)
+        err = np.linalg.norm(np.asarray(r.x) - d['x'], axis=1)
+        if not (flags > 0).all():
+            issues.append((seed, 'prox-fused', n, m, 'flags',
+                           np.unique(flags).tolist()))
+        elif err.max() > 1e-3:
+            issues.append((seed, 'prox-fused', n, m, 'x',
+                           float(err.max())))
+
+    def check_avi_fused(seed):
+        from tests.gen import generate_test_avi_two_sided
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(4, 12))
+        m = int(rng.integers(n + 4, 3 * n))
+        B = 128
+        probs = [generate_test_avi_two_sided(n, m, rng)
+                 for _ in range(B)]
+        xs = np.stack([p[0] for p in probs])
+        Hs = jnp.asarray(np.stack([p[1] for p in probs]), jnp.float32)
+        fs = jnp.asarray(np.stack([p[2] for p in probs]), jnp.float32)
+        As = jnp.asarray(np.stack([p[3] for p in probs]), jnp.float32)
+        bus = jnp.asarray(np.stack([p[4] for p in probs]), jnp.float32)
+        bls = jnp.asarray(np.stack([p[5] for p in probs]), jnp.float32)
+        se = jnp.zeros((B, m), jnp.int32)
+        st = _as_settings({"iter_limit": 2000}, jnp.float32)
+        r = batch_mod.solve_batch_avi_pallas_jit(
+            Hs, fs, As, bus, bls, se, st, ms=0, interpret=True,
+            fused="force")
+        flags = np.asarray(r.exitflag)
+        err = np.abs(np.asarray(r.x) - xs).max(axis=1)
+        ok = (flags == 1) & (err < 1e-3)
+        if ok.mean() < 0.95:
+            issues.append((seed, 'avi-fused', n, m, 'acc',
+                           float(ok.mean()), float(err.max())))
+
     def check_lp(seed):
         from tests.gen import generate_test_lp
         rng = np.random.default_rng(seed)
@@ -426,6 +474,9 @@ def main():
                 check_avi(seed + 110000)
             if round_i % 6 == 5:
                 check_hiqp(seed + 130000)
+            if round_i % 6 == 3:
+                check_prox_fused(seed + 150000)
+                check_avi_fused(seed + 170000)
         except Exception as e:  # noqa: BLE001 — a crash IS a finding
             issues.append((seed, 'exception', repr(e)[:300]))
         round_i += 1
