@@ -2066,13 +2066,14 @@ def solve_batch_hiqp_pallas_jit(H, f, A, bupper, blower, sense,
     # test batch, no between-level refresh): 51/128 INFEASIBLE lanes at
     # rho 1e-4.  Round 5 added the between-level Newton refresh below;
     # re-measured (scripts/hiqp_rho_scan.py): the INFEASIBLE storms are
-    # GONE at every rho down to 1e-4 — but differential agreement with
-    # the f64 ``hiqp_core`` walk still degrades below 3e-2 (max diff
-    # 5e-4 at 3e-2, 3e-1 at 1e-2: the reactivation's dependent-entry
-    # drops misclassify at ~rho pivots, shifting the DOF accounting and
-    # hence which levels freeze).  The default floor therefore stays
-    # 3e-2; ``rho_floor`` lets callers trade agreement for tighter
-    # levels (loud exit-3 either way), and exact tight-rho semantics
+    # GONE at every rho down to 1e-4 — chip numbers: diff-vs-f64-walk
+    # 5.2e-4 at 3e-2, 9.2e-4 at 1e-2, then 3e-1+ at <= 1e-3, with the
+    # loud exit-3 (DOF) count growing 8 -> 59 as rho shrinks (the
+    # reactivation's dependent-entry drops misclassify at ~rho pivots,
+    # shifting the DOF accounting and hence which levels freeze).  The
+    # default floor stays the conservative 3e-2; ``rho_floor`` lets
+    # callers trade agreement for tighter levels (1e-2 measured usable
+    # on chip; loud exit-3 either way), and exact tight-rho semantics
     # live in the f64 single-instance ``hiqp_core``.
     st = st._replace(rho_soft=max(
         float(st.rho_soft),
@@ -2365,6 +2366,8 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             return jnp.einsum('bk,km->bm', kb, bin_onehot,
                               precision=_HIP) > 0.5
 
+        M_l, sc_l = ps.slot_precompute(ldpd.M, scaling)
+
         # rel/abs suboptimality folding (bnb.c:29-31,68 / bnb.py:191,305),
         # in LDP fval space (2x the QP objective, v'v shift dropped — it is
         # node-independent, same convention as the reference's internal cut)
@@ -2400,10 +2403,11 @@ def solve_batch_miqp_pallas_jit(H, f, A, bupper, blower, sense,
             # live incumbent bound into the kernel's per-lane dominance
             # cut; slot-space tier (relaxations are hard-only, and the
             # per-wave bulk-activation Cholesky is (B, K, K), not
-            # (B, m, m))
-            s = ps.slot_init(ldpd.M, du_node, dl_node, scaling,
-                             (immut0 | fixed_rows).astype(f32),
-                             n_true=n, fbound_b=bound_fldp)
+            # (B, m, m)).  M/scaling transposes hoisted out of the wave
+            # loop (slot_precompute).
+            s = ps.slot_init_from(M_l, sc_l, du_node, dl_node,
+                                  (immut0 | fixed_rows).astype(f32),
+                                  n_true=n, fbound_b=bound_fldp)
             mpad = s.dupper.shape[0]
             up_f = (fixed_rows & ~lower_rows) | (eq_act & ~eq_lo)
             lo_f = lower_rows | eq_lo

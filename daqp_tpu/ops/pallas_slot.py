@@ -1949,6 +1949,58 @@ def run_mpc_segment(s: SlotState, duq, dlq, st: Settings, n_true: int,
 _HI = lax.Precision.HIGHEST
 
 
+def slot_precompute(M_b, sc_b):
+    """Transpose/pad the WAVE-INVARIANT slot-state parts once for
+    callers that rebuild the state in a loop (the MIQP node waves call
+    ``slot_init`` per wave; M is the big transpose and never changes).
+    Returns ``(M_l (m_pad, n_pad, B) f32, sc_l (m_pad, B) f32)``."""
+    B, m, n = M_b.shape
+    mp = (-m) % 8
+    np_ = (-n) % 8
+    if mp or np_:
+        M_b = jnp.pad(M_b, ((0, 0), (0, mp), (0, np_)))
+        sc_b = jnp.pad(sc_b, ((0, 0), (0, mp)), constant_values=1.0)
+    T = lambda x: jnp.moveaxis(x, 0, -1)
+    return T(M_b).astype(jnp.float32), T(sc_b).astype(jnp.float32)
+
+
+def slot_init_from(M_l, sc_l, du_b, dl_b, immut_b, n_true: int,
+                   fbound_b=None) -> SlotState:
+    """``slot_init`` with the big invariants precomputed by
+    ``slot_precompute`` — only the per-wave (B, m) bounds/immut are
+    padded and transposed here."""
+    m, n, B = M_l.shape
+    f32 = jnp.float32
+    m_raw = du_b.shape[1]
+    mp = m - m_raw
+    if mp:
+        big = jnp.asarray(DAQP_INF, du_b.dtype)
+        du_b = jnp.pad(du_b, ((0, 0), (0, mp)), constant_values=big)
+        dl_b = jnp.pad(dl_b, ((0, 0), (0, mp)), constant_values=-big)
+        immut_b = jnp.pad(immut_b, ((0, 0), (0, mp)),
+                          constant_values=1.0)
+    K = n_true + 1 + ((-(n_true + 1)) % 8)
+    if fbound_b is None:
+        fbound_b = jnp.full((B,), DAQP_INF, f32)
+    T = lambda x: jnp.moveaxis(x, 0, -1)
+    z_m = jnp.zeros((m, B), f32)
+    z_K = jnp.zeros((K, B), f32)
+    z1 = jnp.zeros((1, B), f32)
+    return SlotState(
+        M=M_l, dupper=T(du_b).astype(f32), dlower=T(dl_b).astype(f32),
+        scaling=sc_l, immut=T(immut_b).astype(f32),
+        fbound=fbound_b.astype(f32).reshape(1, B),
+        act_up=z_m, act_lo=z_m,
+        W=jnp.zeros((K, n, B), f32), E=jnp.zeros((K, K, B), f32),
+        dsl=z_K, used=z_K, sid=z_K - 1.0, slo=z_K, simm=z_K,
+        lam=z_K, lam_star=z_K,
+        pend=z1, prow=jnp.zeros((n, B), f32), plam=z1, plo=z1,
+        pid=z1 - 1.0, pdd=z1,
+        u=jnp.zeros((n, B), f32), fval=z1, best_fval=z1 - 1.0,
+        cycle=z1, repaired=z1, iterations=z1,
+        status=jnp.full((1, B), EXIT_RUNNING, jnp.int32))
+
+
 def slot_init(M_b, du_b, dl_b, sc_b, immut_b, n_true: int,
               fbound_b=None) -> SlotState:
     """Build lanes-last slot state from batch-leading LDP data
