@@ -2663,6 +2663,52 @@ def backstop_resolve_lp(res: BatchResult, f, A, bupper, blower,
                         exitflag=jnp.asarray(flags2, jnp.int32))
 
 
+def backstop_resolve_avi(res: BatchResult, H, f, A, bupper, blower,
+                         sense=None, ms: int = 0,
+                         settings: Optional[dict] = None) -> BatchResult:
+    """AVI analogue of ``backstop_resolve``: lanes whose exit flag is
+    non-optimal (or non-finite x) are re-solved through the f64
+    single-instance ``daqp_tpu.avi`` (DR splitting + exact-KKT
+    acceleration + Newton revert) — completing the loud-failure
+    escalation ladder for the batched AVI tier (its large-shape f32
+    edge leaves a few percent of lanes loud, see
+    scripts/fused_parity_sweep.py)."""
+    import daqp_tpu as _pkg
+    from .types import EXIT_OPTIMAL
+
+    flags = np.asarray(res.exitflag)
+    x = np.array(np.asarray(res.x, float))
+    lam = np.array(np.asarray(res.lam, float))
+    fv = np.array(np.asarray(res.fval, float))
+    bad = flags != EXIT_OPTIMAL
+    bad |= ~np.isfinite(x).all(axis=-1)
+    if not bad.any():
+        return res
+    Hn = np.asarray(H, float)
+    fn = np.asarray(f, float)
+    An = np.asarray(A, float)
+    bun = np.asarray(bupper, float)
+    bln = np.asarray(blower, float)
+    B = flags.shape[0]
+    m = bun.shape[-1]
+    sense_arr = (np.zeros((B, m), np.int32) if sense is None
+                 else np.asarray(sense))
+    flags2 = np.array(flags)
+    for b in np.where(bad)[0]:
+        one = _pkg.avi(Hn[b], fn[b], An[b], bun[b], bln[b],
+                       np.array(sense_arr[b]), ms=ms,
+                       settings=settings)
+        fl = int(one.exitflag)
+        if fl == EXIT_OPTIMAL:
+            x[b] = np.asarray(one.x, float)
+            lam[b] = np.asarray(one.lam, float)
+            fv[b] = float(one.fval)
+        flags2[b] = fl
+    return res._replace(x=jnp.asarray(x), lam=jnp.asarray(lam),
+                        fval=jnp.asarray(fv),
+                        exitflag=jnp.asarray(flags2, jnp.int32))
+
+
 def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
                      ms: int = 0, settings: Optional[dict] = None,
                      kkt_tol: float = 1e-4, sw=None) -> BatchResult:

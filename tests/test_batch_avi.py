@@ -101,3 +101,43 @@ def test_batch_avi_full_tile_two_sided():
                                ms=0)
             assert int(one.exitflag) == 1, b
             assert np.abs(np.asarray(one.x) - xs_ref[b]).max() < 1e-5, b
+
+
+def test_batch_avi_backstop():
+    # loud lanes escalate through the f64 single-instance AVI (the
+    # recovery-ladder tail for this tier); inject a "failure" by
+    # flag-flipping a healthy lane and confirm the backstop re-solves it
+    from tests.gen import generate_test_avi_two_sided
+    rng = np.random.default_rng(47)
+    B, n, m = 8, 8, 20
+    probs = [generate_test_avi_two_sided(n, m, rng) for _ in range(B)]
+    xs_ref = np.stack([p[0] for p in probs])
+    Hs = np.stack([p[1] for p in probs])
+    fs = np.stack([p[2] for p in probs])
+    As = np.stack([p[3] for p in probs])
+    bus = np.stack([p[4] for p in probs])
+    bls = np.stack([p[5] for p in probs])
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 1500}, jnp.float32)
+    res = batch_mod.solve_batch_avi_pallas_jit(
+        jnp.asarray(Hs, jnp.float32), jnp.asarray(fs, jnp.float32),
+        jnp.asarray(As, jnp.float32), jnp.asarray(bus, jnp.float32),
+        jnp.asarray(bls, jnp.float32), jnp.asarray(sense), st, ms=0,
+        interpret=True)
+    flags = np.asarray(res.exitflag).copy()
+    # inject: mark lane 3 loud with garbage x
+    flags[3] = -2
+    x_bad = np.asarray(res.x).copy()
+    x_bad[3] = 1e9
+    injected = res._replace(exitflag=jnp.asarray(flags, jnp.int32),
+                            x=jnp.asarray(x_bad))
+    rep = batch_mod.backstop_resolve_avi(injected, Hs, fs, As, bus, bls,
+                                         sense, ms=0)
+    flags2 = np.asarray(rep.exitflag)
+    assert flags2[3] == 1, flags2
+    assert np.abs(np.asarray(rep.x)[3] - xs_ref[3]).max() < 1e-5
+    # untouched lanes unchanged
+    for b in range(B):
+        if b != 3 and flags[b] == 1:
+            assert np.allclose(np.asarray(rep.x)[b],
+                               np.asarray(res.x)[b])
