@@ -2709,6 +2709,53 @@ def backstop_resolve_avi(res: BatchResult, H, f, A, bupper, blower,
                         exitflag=jnp.asarray(flags2, jnp.int32))
 
 
+def backstop_resolve_hiqp(res: BatchResult, H, f, A, bupper, blower,
+                          sense=None, ms: int = 0,
+                          break_points: tuple = (),
+                          settings: Optional[dict] = None
+                          ) -> BatchResult:
+    """Hierarchical analogue of ``backstop_resolve``: lanes whose exit
+    flag is NEGATIVE (iteration limit / numerical failure — the loud
+    DOF exit 3 is a semantic outcome, not a failure) re-solve through
+    the f64 single-instance lexicographic walk (``hiqp_core`` via the
+    public dispatch)."""
+    import daqp_tpu as _pkg
+
+    flags = np.asarray(res.exitflag)
+    x = np.array(np.asarray(res.x, float))
+    lam = np.array(np.asarray(res.lam, float))
+    fv = np.array(np.asarray(res.fval, float))
+    bad = flags < 0
+    bad |= ~np.isfinite(x).all(axis=-1)
+    if not bad.any():
+        return res
+    fn = np.asarray(f, float) if f is not None else None
+    Hn = np.asarray(H, float) if H is not None else None
+    An = np.asarray(A, float)
+    bun = np.asarray(bupper, float)
+    bln = np.asarray(blower, float)
+    B = flags.shape[0]
+    m = bun.shape[-1]
+    sense_arr = (np.zeros((B, m), np.int32) if sense is None
+                 else np.asarray(sense))
+    flags2 = np.array(flags)
+    for b in np.where(bad)[0]:
+        one = _pkg.quadprog(
+            None if Hn is None else Hn[b],
+            np.zeros(An.shape[-1]) if fn is None else fn[b],
+            An[b], bun[b], bln[b], np.array(sense_arr[b]), ms=ms,
+            break_points=break_points, settings=settings)
+        fl = int(one.exitflag)
+        if fl > 0:
+            x[b] = np.asarray(one.x, float)
+            lam[b] = np.asarray(one.lam, float)
+            fv[b] = float(one.fval)
+        flags2[b] = fl
+    return res._replace(x=jnp.asarray(x), lam=jnp.asarray(lam),
+                        fval=jnp.asarray(fv),
+                        exitflag=jnp.asarray(flags2, jnp.int32))
+
+
 def backstop_resolve(res: BatchResult, H, f, A, bupper, blower, sense=None,
                      ms: int = 0, settings: Optional[dict] = None,
                      kkt_tol: float = 1e-4, sw=None) -> BatchResult:

@@ -138,3 +138,34 @@ def test_batch_hiqp_full_tile_accounted():
         if np.abs(np.asarray(res.x)[b] - np.asarray(one.x)).max() > 2e-3:
             nbad += 1
     assert nbad <= 1, nbad
+
+
+def test_batch_hiqp_backstop():
+    # negative-flag lanes escalate through the f64 single-instance walk
+    # (injected failure; exit 3 = DOF exhausted is semantic, untouched)
+    rng = np.random.default_rng(53)
+    B, n = 8, 8
+    bp = (0, 6, 12, 18)
+    m = bp[-1]
+    As = np.empty((B, m, n)); bus = np.empty((B, m)); bls = np.empty((B, m))
+    fs = np.zeros((B, n))
+    for b in range(B):
+        As[b], bus[b], bls[b] = _rand_hier(rng, n, bp)
+    sense = np.zeros((B, m), np.int32)
+    st = _as_settings({"iter_limit": 2000}, jnp.float32)
+    res = batch_mod.solve_batch_hiqp_pallas_jit(
+        None, jnp.asarray(fs, jnp.float32), jnp.asarray(As, jnp.float32),
+        jnp.asarray(bus, jnp.float32), jnp.asarray(bls, jnp.float32),
+        jnp.asarray(sense), st, ms=0, break_points=bp, interpret=True)
+    flags = np.asarray(res.exitflag).copy()
+    flags[2] = -4                       # injected failure
+    x_bad = np.asarray(res.x).copy()
+    x_bad[2] = np.nan
+    injected = res._replace(exitflag=jnp.asarray(flags, jnp.int32),
+                            x=jnp.asarray(x_bad))
+    rep = batch_mod.backstop_resolve_hiqp(
+        injected, None, fs, As, bus, bls, sense, ms=0, break_points=bp,
+        settings={"rho_soft": 3e-2})
+    flags2 = np.asarray(rep.exitflag)
+    assert flags2[2] > 0, flags2
+    assert np.isfinite(np.asarray(rep.x)[2]).all()
