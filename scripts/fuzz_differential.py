@@ -227,6 +227,28 @@ def main():
                              (d_ls, d_us, rho_ls, rho_us))))
         kflags = np.asarray(rk.exitflag)
         kxs = np.asarray(rk.x)
+        def lifted_x(b):
+            # lifted slack-QP arbiter (the SOFT_WEIGHTS executable
+            # spec, tests/test_soft_weights._lift_and_solve)
+            from tests.test_soft_weights import _lift_and_solve
+            return _lift_and_solve(Hs[b], fs[b], As[b], bus[b], bls[b],
+                                   soft_rows, d_ls[b], d_us[b],
+                                   rho_ls[b], rho_us[b])
+
+        def sw_gap(b, x):
+            # objective gap of x vs the lifted optimum + hard violation
+            # (a near-flat tie within ~primal_tol is a correct answer)
+            from tests.test_soft_weights import _sw_objective
+            xl = lifted_x(b)
+            ox, hx = _sw_objective(np.asarray(x, float), Hs[b], fs[b],
+                                   As[b], bus[b], bls[b], soft_rows,
+                                   d_ls[b], d_us[b], rho_ls[b],
+                                   rho_us[b])
+            ol, _ = _sw_objective(xl, Hs[b], fs[b], As[b], bus[b],
+                                  bls[b], soft_rows, d_ls[b], d_us[b],
+                                  rho_ls[b], rho_us[b])
+            return (ox - ol) / (1.0 + abs(ol)), hx
+
         for b in range(B):
             one = daqp_tpu.quadprog(
                 Hs[b], fs[b], As[b], bus[b], bls[b], sense[b], ms=0,
@@ -235,9 +257,22 @@ def main():
                 settings={"iter_limit": 2000})
             if int(kflags[b]) > 0 and int(one.exitflag) > 0:
                 if np.abs(kxs[b] - np.asarray(one.x)).max() > 5e-4:
-                    issues.append((seed, 'sw-kernel', n, m, ns, b, 'x',
-                                   float(np.abs(kxs[b]
-                                                - np.asarray(one.x)).max())))
+                    # dispute: objective gap vs the lifted optimum is
+                    # the arbiter (near-flat f32 ties are correct)
+                    gap, hard = sw_gap(b, kxs[b])
+                    if gap > 1e-4 or hard > 1e-4:
+                        issues.append((seed, 'sw-kernel', n, m, ns, b,
+                                       'obj-gap', float(gap),
+                                       float(hard)))
+            elif int(kflags[b]) > 0 and int(one.exitflag) < 0:
+                # kernel solved a lane the single path failed: verify
+                # the kernel's answer against the lifted spec instead
+                # of treating the flag split as a finding
+                gap, hard = sw_gap(b, kxs[b])
+                if gap > 1e-4 or hard > 1e-4:
+                    issues.append((seed, 'sw-kernel', n, m, ns, b,
+                                   'obj-gap-vs-lifted', float(gap),
+                                   float(hard)))
             elif int(kflags[b]) != int(one.exitflag) \
                     and int(kflags[b]) != -2:
                 # EXIT_CYCLE lanes escalate through backstop_resolve on
@@ -315,10 +350,14 @@ def main():
         B = 64
         probs = [generate_test_lp(n, m, ms, rng) for _ in range(B)]
         xs = np.stack([p[0] for p in probs])
-        fs = np.stack([p[1] for p in probs]).astype(np.float32)
-        As = np.stack([p[2] for p in probs]).astype(np.float32)
-        bus = np.stack([p[3] for p in probs]).astype(np.float32)
-        bls = np.stack([p[4] for p in probs]).astype(np.float32)
+        fs64 = np.stack([p[1] for p in probs])
+        As64 = np.stack([p[2] for p in probs])
+        bus64 = np.stack([p[3] for p in probs])
+        bls64 = np.stack([p[4] for p in probs])
+        fs = fs64.astype(np.float32)
+        As = As64.astype(np.float32)
+        bus = bus64.astype(np.float32)
+        bls = bls64.astype(np.float32)
         se = np.zeros((B, m), np.int32)
         st = _as_settings({"iter_limit": 3000}, jnp.float32)
         r = batch_mod.solve_batch_lp_pallas_jit(
@@ -344,18 +383,18 @@ def main():
                 issues.append((seed, 'lp-tier', n, m, ms, int(b),
                                'gap/feas', float(gap[b]),
                                float(feas[b])))
-        # single-instance + native C LP on a few lanes
+        # single-instance + native C LP on a few lanes: on the ORIGINAL
+        # f64 data (comparing an exact solver on f32-ROUNDED data to the
+        # f64-constructed optimum at 1e-5 false-positives on sensitive
+        # vertices — found round 5: a 1.2e-4 'fval gap' that vanished on
+        # unrounded data)
         for b in range(0, B, 23):
-            one = daqp_tpu.linprog(fs[b].astype(np.float64),
-                                   As[b].astype(np.float64),
-                                   bus[b].astype(np.float64),
-                                   bls[b].astype(np.float64), ms=ms)
-            natv = NativeModel(None, fs[b].astype(np.float64),
-                               As[b].astype(np.float64),
-                               bus[b].astype(np.float64),
-                               bls[b].astype(np.float64), ms=ms)
+            one = daqp_tpu.linprog(fs64[b], As64[b], bus64[b],
+                                   bls64[b], ms=ms)
+            natv = NativeModel(None, fs64[b], As64[b], bus64[b],
+                               bls64[b], ms=ms)
             out = natv.solve()
-            fv_b = float(fv_ref[b])
+            fv_b = float(fs64[b] @ xs[b])
             if int(one.exitflag) != 1:
                 issues.append((seed, 'lp-single', n, m, ms, b, 'flag',
                                int(one.exitflag)))

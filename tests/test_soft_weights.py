@@ -15,6 +15,29 @@ import daqp_tpu
 from daqp_tpu.types import SOFT, SLACK_FIXED
 
 
+def _sw_objective(x, H, f, A, bu, bl, soft_rows, d_ls, d_us, rho_ls,
+                  rho_us):
+    """The SOFT_WEIGHTS objective at x (slacks eliminated in closed
+    form) + the max HARD-row violation — the arbiter for near-tie
+    disputes between realizations (two points within ~primal_tol of the
+    same objective are both correct answers of the f32 solver)."""
+    m = A.shape[0]
+    su = np.sqrt(rho_us)
+    sl = np.sqrt(rho_ls)
+    obj = 0.5 * x @ H @ x + f @ x
+    hard = 0.0
+    for i in range(m):
+        ai = A[i] @ x
+        if i in soft_rows:
+            t1 = max(0.0, (ai - bu[i]) / su[i])
+            obj += 0.5 * (t1 + d_us[i] * su[i]) ** 2
+            t2 = max(0.0, (bl[i] - ai) / sl[i])
+            obj += 0.5 * (t2 + d_ls[i] * sl[i]) ** 2
+        else:
+            hard = max(hard, ai - bu[i], bl[i] - ai)
+    return obj, hard
+
+
 def _lift_and_solve(H, f, A, bu, bl, soft_rows, d_ls, d_us, rho_ls, rho_us):
     """Solve the lifted slack QP with the plain solver; returns x.
 
