@@ -1734,7 +1734,20 @@ def solve_batch_avi_pallas_jit(H, f, A, bupper, blower, sense,
                 jnp.where(act_m > 0, True,
                           (r <= bu + st.primal_tol)
                           & (r >= bl - st.primal_tol)), axis=1)
-            return x_kkt, lamK, lane_do & dual_ok & primal_ok
+            # STATIONARITY residual — feasibility + dual signs alone do
+            # NOT certify: an ill-conditioned f32 Schur solve can yield
+            # an x_kkt with O(1) stationarity error that still passes
+            # both (found by the fuzzer: a clean-flag lane 1.3e-2 off
+            # with residual 1.12).  The residual is the definition of
+            # the KKT point; a failing lane keeps iterating / exits
+            # loud and flows to backstop_resolve_avi.
+            g_res = (jnp.einsum('bij,bj->bi', Hb, x_kkt,
+                                precision=_HIP) + fb
+                     + jnp.einsum('bkn,bk->bn', Aw, lamK,
+                                  precision=_HIP))
+            stat_ok = jnp.max(jnp.abs(g_res), axis=1) \
+                < 1e-3 * (1.0 + jnp.max(jnp.abs(fb), axis=1))
+            return x_kkt, lamK, lane_do & dual_ok & primal_ok & stat_ok
 
         def cond(c):
             (k, s, x, y, xold, lamK, minres, ctr, tlim, lane_run, flag,
